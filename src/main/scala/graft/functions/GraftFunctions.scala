@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.GraftColumns
+
+/** Public Column API for graft's custom Catalyst expressions.
+  *
+  * Thin forwarder: the expression definitions live under
+  * org.apache.spark.sql.graft (Spark keeps the expression-building
+  * surface private[sql]); users import this object alongside
+  * org.apache.spark.sql.functions._.
+  */
+object GraftFunctions {
+  /** cosine(a, b) over array<float> or array<double> → double. */
+  def cosine(a: Column, b: Column): Column = GraftColumns.cosine(a, b)
+  /** k-minima MinHash signature of a token array. */
+  def minhashSignature(tokens: Column, k: Int = 128, seed: Int = 42): Column =
+    GraftColumns.minhashSignature(tokens, k, seed)
+  /** 64-bit frequency-weighted SimHash of a token array. */
+  def simhash64(tokens: Column): Column = GraftColumns.simhash64(tokens)
+  /** 64-bit FNV-1a rolling fingerprint of a string. */
+  def fingerprint64(text: Column): Column = GraftColumns.fingerprint64(text)
+  /** Deterministic stub feature over a binary payload (§2.4 multimodal). */
+  def byteFeature(payload: Column): Column = GraftColumns.byteFeature(payload)
+}

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static JVM kernels invoked from generated code (see expressions.scala).
+  *
+  * Kept as plain static-forwardable methods on a top-level object so
+  * Janino-generated code can call them as `graft.functions.GraftKernels.m(...)`
+  * — this keeps the custom expressions inside whole-stage codegen instead of
+  * falling back to interpreted eval.
+  */
+object GraftKernels {
+
+  /** Cosine similarity over float arrays, accumulated in double, combining as
+    * dot / (sqrt(na) * sqrt(nb)) — bit-for-bit the formula DuckDB's
+    * list_cosine_similarity uses, so the oracle can hash-match raw doubles.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cosine similarity over double arrays (same combining formula). */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MinHash signature: k 32-bit minima over murmur3(token, seed_i).
+    * One pass over the token array per seed; O(k * tokens) with no
+    * allocation beyond the k-length result.
+    */
+  def minHash(tokens: ArrayData, k: Int, seed: Int): ArrayData = {
+    val out = new Array[Int](k)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < k) { out(i) = Int.MaxValue; i += 1 }
+    var t = 0
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        var i = 0
+        while (i < k) {
+          // distinct per-band seed stream derived from (seed, i)
+          val h = Murmur3_x86_32.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), seed + i * 0x9E3779B9)
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash: per-token 64-bit hash (two murmur32 streams), bit votes
+    * accumulated over all tokens (duplicates count — frequency-weighted).
+    */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        val lo = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x1b873593)
+        val hi = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x85ebca6b)
+        val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** FNV-1a-style 64-bit rolling fingerprint over the UTF-8 bytes. */
+  def fingerprint64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Deterministic stand-in for a decoded-media feature: byte histogram sum.
+    * The real decoder (image/audio libs) is intentionally stubbed; the
+    * Spark-side plumbing (binary column in, fixed-width feature out) is real.
+    */
+  def byteFeature(payload: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < payload.length) {
+      acc += (payload(i) & 0xff) * ((i % 7) + 1)
+      i += 1
+    }
+    acc
+  }
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Warehouse-query suite (SURVEY.md §2.1 queries + §2.2).
+  *
+  * Correctness-by-construction rules shared with the DuckDB oracle:
+  *  - monetary aggregates accumulate in exact DECIMAL (each double input is
+  *    rounded identically by both engines on the cast, and decimal addition
+  *    is order-independent), then surface as DOUBLE — so Spark's and
+  *    DuckDB's results are bit-identical no matter the partitioning;
+  *  - averages = exact decimal sum cast to double / count (one deterministic
+  *    fp division on both sides);
+  *  - timestamps never escape raw: outputs are DATE or epoch BIGINT;
+  *  - every result carries a total ORDER BY with a unique tie-break.
+  *
+  * Scale notes: all dimension joins are broadcast (zero shuffle on dims);
+  * fact tables shuffle at most once on their aggregation/join key; every
+  * filter is a plain parquet-pushable predicate.
+  */
+object Relational {
+
+  /** Exact decimal-accumulated sum surfaced as double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  /** revenue term ep*(1-disc) computed entirely in exact decimal.
+    *
+    * The testdata's monetary columns are 2dp, so casting each RAW input to
+    * DECIMAL(.,2) is tie-free (a stored double is never exactly halfway
+    * between two 2dp decimals), and the subsequent decimal multiply/sum is
+    * exact — unlike rounding the DOUBLE product, where Spark (HALF_UP) and
+    * DuckDB (round-half-even) can disagree on ties at the last digit.
+    */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+
+  private def charge: Column =
+    discPrice * (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2))
+
+  /** §2.2 q1: TPC-H Q1-style pricing summary. One shuffle (groupBy), full
+    * map-side partial aggregation, filter pushed to the parquet scan.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ts("2000-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** §2.2 q3: shipping priority. customer is broadcast; orders⋈lineitem is
+    * the only shuffle join; top-10 with deterministic tie-break.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        to_date(col("o_orderdate")).as("orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** §2.2 q5: regional revenue through the full dimension chain. All four
+    * dims broadcast; the single shuffle is lineitem⋈orders on orderkey.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1999-01-01 00:00:00"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** §2.2 q6: forecast revenue — selective scan, global agg, no join. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1999-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(4, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** §2.2: top-3 customers by account balance per nation (window top-k). */
+  def qTopCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rk").cast("bigint").as("rk"),
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  /** §2.2: order priorities with a late shipment (EXISTS → left-semi). */
+  def qOrderPriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** §2.2: customers with no recent orders (NOT EXISTS → left-anti). */
+  def qCustomerNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-06-01 00:00:00"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2.2: hourly event rollup — the batch twin of the §2.5 streaming
+    * windowed aggregation (same bucket boundaries as window("1 hour")).
+    */
+  def qEventsWindowed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket_s"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"), col("bucket_s"))
+
+  /** §2.2: gap-based sessionization (30-minute inactivity boundary).
+    * Two stacked windows over one (user_id, ts) shuffle partition — a
+    * single exchange; scales by user cardinality.
+    */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("new_s",
+        when(col("tus") - lag(col("tus"), 1).over(byUser) > 1800000000L ||
+          lag(col("tus"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** §2.2: top-2 parts by retail price within brand (dense_rank). */
+  def qPartTopnPrice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+    Tables.part(spark, dir)
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("p_brand"), col("rk").cast("bigint").as("rk"),
+        col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
+  }
+
+  /** §2.1 q_count: the reference README's counting query
+    * (reference README.md:29-34) — COUNT over a non-null key.
+    */
+  def qCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(count(col("o_orderkey")).as("n_orders"))
+
+  /** §2.1 q_nested_exists: the reference README's doubly-UNNESTed EXISTS
+    * query (reference README.md:39-61), re-expressed with a higher-order
+    * array predicate — no explode, no shuffle, no row multiplication.
+    */
+  def qNestedExists(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(exists(col("embedding"), e => e > 0.3))
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
+  /** §2.1 q_incremental_antijoin: the reference's incremental-update
+    * dedup (reference etl.py:80-92, a driver-side Python set) as a
+    * distributed left-anti join: feed rows whose ID is already in the
+    * warehouse are dropped.
+    */
+  def qIncrementalAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val warehouse = events.filter(col("ts") < ts("2024-01-15 00:00:00"))
+    val feed = events.filter(col("ts") >= ts("2024-01-10 00:00:00"))
+    feed.join(warehouse.select(col("event_id")), Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.1 q_dedup_load: first-writer-wins load semantics — keep the first
+    * record per natural key, as the reference's load effectively does by
+    * only appending unseen CVE IDs.
+    */
+  def qDedupLoad(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("tus").as("first_ts_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+}

@@ -1,0 +1,123 @@
+/* Catalyst expression extensions.
+ *
+ * Lives under org.apache.spark.sql because Spark marks AbstractDataType /
+ * ExpectsInputTypes / classic.ExpressionUtils private[sql]; extension
+ * libraries conventionally register codegen'd expressions from a [sql]
+ * subpackage. Kernels stay in graft.functions (fully public API).
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import graft.functions.GraftKernels
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the operators Spark's built-ins can't
+  * express efficiently. All generate straight-line calls into
+  * [[GraftKernels]] so they stay inside whole-stage codegen.
+  */
+
+/** cosine(array<float|double>, array<float|double>) → double.
+  * Matches DuckDB list_cosine_similarity on doubles bit-for-bit
+  * (same accumulation order + combining formula).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType, ArrayType)
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val l = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    if (isFloat(left)) GraftKernels.cosineF(l, r) else GraftKernels.cosineD(l, r)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat(left)) "cosineF" else "cosineD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftKernels.$m($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** minhash_signature(array<string>, k, seed) → array<int> of k minima. */
+case class MinHashSignature(child: Expression, k: Int, seed: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.minHash(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.minHash($c, $k, $seed)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(array<string>) → long (frequency-weighted bit votes). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.simHash64(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** fingerprint64(string) → long rolling-hash document fingerprint. */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.fingerprint64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.fingerprint64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** byte_feature(binary) → long: stubbed media feature extraction (§2.4). */
+case class ByteFeature(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.byteFeature(v.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.byteFeature($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API wrappers (re-exported as graft.functions.GraftFunctions). */
+object GraftColumns {
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def cosine(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+  def minhashSignature(tokens: Column, k: Int = 128, seed: Int = 42): Column =
+    col(MinHashSignature(ex(tokens), k, seed))
+  def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
+  def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
+}
