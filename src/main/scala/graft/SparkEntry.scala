@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -37,6 +37,20 @@ object SparkEntry {
     "q_events_windowed" -> (Relational.qEventsWindowed _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_part_topn_price" -> (Relational.qPartTopnPrice _),
+    // §2.3 dedup + similarity
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
+    "sim_topk_lsh" -> (Similarity.simTopkLsh _),
+    // §2.4 text analysis + multimodal
+    "text_tokencount" -> (TextAnalysis.textTokencount _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_langid" -> (TextAnalysis.textLangid _),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "mm_metadata" -> (Multimodal.mmMetadata _),
   )
 
   /** DuckDB-equivalent SQL per query (the driver's correctness oracle). */
@@ -185,5 +199,92 @@ object SparkEntry {
          SELECT p_brand, rk, p_partkey, p_retailprice
          FROM r WHERE rk <= 2
          ORDER BY p_brand, rk, p_partkey""",
+
+    "dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents)
+         SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM u GROUP BY md5(text)
+         ORDER BY canonical_id""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+                        list_distinct(string_split(text, ' ')) AS tset
+                    FROM documents),
+              p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                        round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.tset, b.tset))), 6) AS jac
+                    FROM t a JOIN t b
+                      ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+         SELECT i, j, jac FROM p WHERE jac >= 0.9
+         ORDER BY i, j""",
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+                    FROM e a JOIN e b
+                      ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT i, j, sim FROM p WHERE sim >= 0.4
+         ORDER BY i, j""",
+
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id AS c_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                    FROM embeddings),
+              s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS sim_raw
+                    FROM q CROSS JOIN c WHERE c_id <> q_id),
+              r AS (SELECT q_id, c_id, sim_raw,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim_raw DESC, c_id) AS rk
+                    FROM s)
+         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id, round(sim_raw, 6) AS sim
+         FROM r WHERE rk <= 10
+         ORDER BY q_id, rank""",
+
+    "text_tokencount" ->
+      """SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) AS nc,
+                        len(string_split(text, ' ')) AS nt,
+                        len(regexp_extract_all(text, '[0-9]')) AS nd
+                    FROM documents),
+              s AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                        CAST(nc - nt + 1 AS DOUBLE) / nt AS aw,
+                        CAST(nd AS DOUBLE) / nc AS dr,
+                        least(CAST(nt AS DOUBLE) / 50.0, 1.0) AS ls
+                    FROM t)
+         SELECT doc_id, n_tokens, round(aw, 6) AS avg_word_len,
+             round(dr, 6) AS digit_ratio,
+             round(ls * 0.6 +
+               (CASE WHEN aw >= 3.0 AND aw <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.4,
+               6) AS quality
+         FROM s ORDER BY doc_id""",
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM documents),
+              h AS (SELECT doc_id, lang,
+                        CAST(len(list_filter(toks, x -> list_contains(
+                          ['the','a','of','and','to','in'], x))) AS BIGINT) AS en_hits,
+                        CAST(len(list_filter(toks, x -> list_contains(
+                          ['el','la','de','y','que','en'], x))) AS BIGINT) AS es_hits,
+                        CAST(len(list_filter(toks, x -> list_contains(
+                          ['der','die','das','und','ist','zu'], x))) AS BIGINT) AS de_hits
+                    FROM t)
+         SELECT doc_id, lang, en_hits, es_hits, de_hits,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS pred_lang
+         FROM h ORDER BY doc_id""",
   )
 }

@@ -18,6 +18,9 @@ object GraftFunctions {
     GraftColumns.minhashSignature(tokens, k, seed)
   /** 64-bit frequency-weighted SimHash of a token array. */
   def simhash64(tokens: Column): Column = GraftColumns.simhash64(tokens)
+  /** Random-hyperplane LSH bucket signature of a float vector. */
+  def rhpSignature(vec: Column, bits: Int = 16, seed: Int = 42): Column =
+    GraftColumns.rhpSignature(vec, bits, seed)
   /** 64-bit FNV-1a rolling fingerprint of a string. */
   def fingerprint64(text: Column): Column = GraftColumns.fingerprint64(text)
   /** Deterministic stub feature over a binary payload (§2.4 multimodal). */

@@ -118,6 +118,29 @@ object GraftKernels {
     h
   }
 
+  /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes. Hyperplane component (b, i) is
+    * murmur3(b*65536+i, seed) scaled to (-1, 1) — no RNG state, so every
+    * executor derives identical planes. O(bits * dim) per row.
+    */
+  def rhpSignature(vec: ArrayData, bits: Int, seed: Int): Int = {
+    val dim = vec.numElements()
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = Murmur3_x86_32.hashInt(b * 65536 + i, seed)
+        dot += vec.getFloat(i).toDouble * (h.toDouble / Int.MaxValue)
+        i += 1
+      }
+      if (dot > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Deterministic stand-in for a decoded-media feature: byte histogram sum.
     * The real decoder (image/audio libs) is intentionally stubbed; the
     * Spark-side plumbing (binary column in, fixed-width feature out) is real.

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{GraftFunctions, GraftKernels}
+
+/** Multimodal column plumbing (SURVEY.md §2.4 mm_*).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct
+  * alongside. The real decoders (image/audio libs) are not in this
+  * environment, so decode is a clearly-marked deterministic stub
+  * ([[GraftKernels.byteFeature]]); everything Spark-side — schema, batch
+  * shape, partitioning, per-partition batched extraction — is real and
+  * tested, and a real decoder drops into [[extractBatch]] unchanged.
+  */
+object Multimodal {
+
+  /** §2.4 mm_metadata: documents surfaced as (payload binary, typed meta
+    * struct, stub feature). Pure map-side projection; the binary payload is
+    * the UTF-8 encoding of the text (a stand-in for image/audio bytes).
+    */
+  def mmMetadata(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          col("source").as("origin"),
+          lit("text/plain").as("mime"),
+          col("n_chars").as("n_bytes_claimed")).as("meta"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("bigint").as("payload_len"),
+        col("meta.origin").as("origin"), col("meta.mime").as("mime"),
+        GraftFunctions.byteFeature(col("payload")).as("feature"))
+      .orderBy(col("doc_id"))
+
+  /** Feature record produced by batched extraction. */
+  case class MediaFeature(doc_id: Long, batch_size: Int, feature: Long)
+
+  /** §2.4 mm_batch_extract: per-partition batched feature extraction — the
+    * shape a real vectorized decoder needs (accumulate a batch of payloads,
+    * decode together, emit features). Batches never cross partitions, so
+    * the operator is embarrassingly parallel; batch size bounds memory.
+    */
+  def extractBatch(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // A real decoder would process `batch` as one vectorized call
+          // (e.g. stacked image tensor). Stub: per-payload byte feature.
+          batch.map { case (id, payload) =>
+            MediaFeature(id, batch.size, GraftKernels.byteFeature(payload))
+          }
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis suite over the documents table (SURVEY.md §2.4).
+  *
+  * All operators are single-pass, map-side-only column arithmetic — zero
+  * shuffles except the output sort. Everything stays inside whole-stage
+  * codegen (built-in functions + one custom codegen'd expression for the
+  * fingerprint), so throughput is scan-bound at any scale.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** BPE-ish subword pattern: runs of alphanumerics or single punctuation
+    * marks (both Java regex and RE2 interpret these classes identically).
+    */
+  private val tokenRe = "[a-z0-9]+|[^a-z0-9 ]"
+
+  /** §2.4 text_tokencount: whitespace tokens + regex (punct-aware) tokens. */
+  def textTokencount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("bigint").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
+          .cast("bigint").as("n_re_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** §2.4 text_quality: length/word-shape quality heuristics. All ratios
+    * are single fp divisions of exact integers → bit-identical across
+    * engines; score is a fixed linear blend, rounded to 6dp.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("bigint")
+    val nChar = length(col("text")).cast("bigint")
+    // single-spaced text: total word chars = len - (n_tokens - 1)
+    val avgWord = (nChar - nTok + lit(1L)).cast("double") / nTok
+    val digitRatio =
+      size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("double") / nChar
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val wordScore =
+      when(avgWord >= 3.0 && avgWord <= 8.0, 1.0).otherwise(0.5)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        round(avgWord, 6).as("avg_word_len"),
+        round(digitRatio, 6).as("digit_ratio"),
+        round(lenScore * 0.6 + wordScore * 0.4, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val enStops = Seq("the", "a", "of", "and", "to", "in")
+  private val esStops = Seq("el", "la", "de", "y", "que", "en")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "zu")
+
+  /** §2.4 text_langid: stopword-hit language scoring (frequency-weighted),
+    * argmax with deterministic en > es > de tie-break. The stopword lists
+    * are literals compiled into the plan — broadcast-free.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    def hits(stops: Seq[String]): Column = {
+      val litArr = array(stops.map(lit): _*)
+      size(filter(toks, t => array_contains(litArr, t))).cast("bigint")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        hits(enStops).as("en_hits"), hits(esStops).as("es_hits"),
+        hits(deStops).as("de_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("de_hits"), "en")
+          .when(col("es_hits") >= col("de_hits"), "es")
+          .otherwise("de"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 text_fingerprint: 64-bit FNV-1a rolling fingerprint (codegen'd
+    * custom expression) — the cheap first-stage signature for exact dedup
+    * at 100 TB (fingerprint collision → confirm by full text compare).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), GraftFunctions.fingerprint64(col("text")).as("fp64"))
+      .orderBy(col("doc_id"))
+}

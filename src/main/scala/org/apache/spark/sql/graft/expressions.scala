@@ -94,6 +94,22 @@ case class Fingerprint64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rhp_signature(array<float>, bits, seed) → int LSH bucket signature. */
+case class RhpSignature(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.rhpSignature(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.rhpSignature($c, $bits, $seed)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** byte_feature(binary) → long: stubbed media feature extraction (§2.4). */
 case class ByteFeature(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -118,6 +134,8 @@ object GraftColumns {
   def minhashSignature(tokens: Column, k: Int = 128, seed: Int = 42): Column =
     col(MinHashSignature(ex(tokens), k, seed))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def rhpSignature(vec: Column, bits: Int = 16, seed: Int = 42): Column =
+    col(RhpSignature(ex(vec), bits, seed))
   def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
 }
