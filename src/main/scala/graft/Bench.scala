@@ -1,24 +1,62 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * Each query is forced through a `noop`-format write — every column of
+  * every row is actually computed and serialized, so the optimizer cannot
+  * prune unreferenced projections or drop sorts the way a bare `.count()`
+  * lets it. Two timed passes run per query: `queries` reports the warm
+  * (second) pass — the steady-state number, free of first-query JVM/codegen
+  * warm-up — and `queries_cold` keeps the first pass for reference. A query
+  * that throws is reported in `errors` with a negative time, never disguised
+  * as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.build(GraftSession.envCpus)
+
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      timeOne(fn) match {
+        case Right(t1) =>
+          cold(name) = t1
+          timeOne(fn) match {
+            case Right(t2) => warm(name) = t2
+            case Left(err) => warm(name) = -1.0; errors(name) = err
+          }
+        case Left(err) =>
+          cold(name) = -1.0; warm(name) = -1.0; errors(name) = err
+      }
+    }
+
+    def jmap(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    def jsmap(m: collection.Map[String, String]): String =
+      m.map { case (k, v) =>
+        s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}\""
+      }.mkString("{", ",", "}")
+
+    val total = warm.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(warm)},"queries_cold":${jmap(cold)},"errors":${jsmap(errors)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,10 +5,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q1_pricing_summary")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.build(8)
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")

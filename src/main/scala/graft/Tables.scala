@@ -13,18 +13,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
-    * and truncate to microsecond timestamps — the same ns→µs truncation
-    * DuckDB applies on read, so oracle comparisons stay exact. Integer
-    * `div` (not fp division) because ~1.7e18 ns exceeds double's 53-bit
-    * integer range.
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]) unless the session was built
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` — set once in
+    * [[GraftSession]], never mutated here. We read nanos as raw longs and
+    * truncate to microsecond timestamps — the same ns→µs truncation DuckDB
+    * applies on read, so oracle comparisons stay exact. Integer `div` (not
+    * fp division) because ~1.7e18 ns exceeds double's 53-bit integer range.
     */
-  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def eventsRaw(s: SparkSession, d: String): DataFrame =
     table(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -66,15 +66,17 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** §2.2 q3: shipping priority. customer is broadcast; orders⋈lineitem is
-    * the only shuffle join; top-10 with deterministic tie-break.
+  /** §2.2 q3: shipping priority. customer is SF-proportional (fact-sized at
+    * large SF), so its join is left to AQE / size-based planning — a
+    * hardcoded broadcast would OOM at 100× scale; orders⋈lineitem shuffles
+    * once on orderkey; top-10 with deterministic tie-break.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(discPrice).cast("double").as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
@@ -83,8 +85,11 @@ object Relational {
       .limit(10)
   }
 
-  /** §2.2 q5: regional revenue through the full dimension chain. All four
-    * dims broadcast; the single shuffle is lineitem⋈orders on orderkey.
+  /** §2.2 q5: regional revenue through the full dimension chain. Only the
+    * fixed-cardinality dims (region=5, nation=25) carry broadcast hints;
+    * supplier/customer are SF-proportional, so their joins are left to
+    * AQE / autoBroadcastJoinThreshold (broadcast at small SF, shuffle at
+    * warehouse scale — never a hardcoded executor-OOM).
     */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -96,8 +101,8 @@ object Relational {
         col("o_orderdate") < ts("1999-01-01 00:00:00"))
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c),
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c,
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

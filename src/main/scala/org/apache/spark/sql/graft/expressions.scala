@@ -9,6 +9,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import graft.functions.GraftKernels
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -25,9 +26,22 @@ import org.apache.spark.sql.types._
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType, ArrayType)
+  override def inputTypes: Seq[AbstractDataType] = {
+    val ok = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+    Seq(ok, ok)
+  }
   override def dataType: DataType = DoubleType
+
+  // Both sides must share one element type — mixed float/double would read
+  // the wrong byte width via the single-kernel dispatch below.
+  override def checkInputDataTypes(): TypeCheckResult =
+    super.checkInputDataTypes() match {
+      case TypeCheckResult.TypeCheckSuccess if left.dataType != right.dataType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"cosine requires both arrays to have the same element type, " +
+            s"got ${left.dataType.sql} and ${right.dataType.sql}")
+      case other => other
+    }
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType

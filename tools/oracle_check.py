@@ -41,7 +41,7 @@ def main(outdir, sfdir):
     for name, sql in sorted(oracle.items()):
         try:
             import glob
-            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
             spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
             scols = sorted(spark_tbl.column_names)
             sdata = [[norm(v) for v in spark_tbl.column(c).to_pylist()] for c in scols]
