@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Nvd, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -21,7 +21,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.1 reference-surface queries
+    // §2.1 reference-surface queries — nested NVD table (feed fixture)
+    "q_nvd_count" -> (Nvd.qNvdCount _),
+    "q_nvd_linux_exists" -> (Nvd.qNvdLinuxExists _),
+    "q_nvd_severity_hist" -> (Nvd.qNvdSeverityHist _),
+    "q_nvd_cwe_top" -> (Nvd.qNvdCweTop _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -53,8 +57,50 @@ object SparkEntry {
     "mm_metadata" -> (Multimodal.mmMetadata _),
   )
 
+  /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
+  private val nvdFeedCte =
+    """WITH f AS (SELECT unnest(CVE_Items) AS item
+         FROM read_json('/root/repo/fixtures/nvd/nvdcve-1.1-fixture.json.gz',
+                        maximum_object_size=104857600))"""
+
   /** DuckDB-equivalent SQL per query (the driver's correctness oracle). */
   def oracleSql: Map[String, String] = Map(
+    "q_nvd_count" ->
+      s"""$nvdFeedCte
+         SELECT count(item.cve.CVE_data_meta.ID) AS cve_count FROM f""",
+
+    "q_nvd_linux_exists" ->
+      s"""$nvdFeedCte
+         SELECT item.cve.CVE_data_meta.ID AS cve_id,
+                CAST(epoch(item.publishedDate) AS BIGINT) AS published_s,
+                item.impact.baseMetricV2.severity AS severity_v2
+         FROM f
+         WHERE len(list_filter(item.configurations.nodes,
+                 n -> len(list_filter(n.cpe_match,
+                        c -> c.cpe23Uri LIKE '%linux%')) > 0)) > 0
+         ORDER BY cve_id""",
+
+    "q_nvd_severity_hist" ->
+      s"""$nvdFeedCte
+         SELECT item.impact.baseMetricV2.severity AS severity_v2,
+                count(*) AS n_cves,
+                CAST(sum(CAST(item.impact.baseMetricV2.cvssV2.baseScore
+                              AS DECIMAL(18,1))) AS DOUBLE) AS sum_v2_score,
+                count(item.impact.baseMetricV3.cvssV3.baseScore) AS n_with_v3
+         FROM f
+         GROUP BY severity_v2
+         ORDER BY severity_v2 NULLS FIRST""",
+
+    "q_nvd_cwe_top" ->
+      s"""$nvdFeedCte,
+           d AS (SELECT unnest(flatten(list_transform(
+                   item.cve.problemtype.problemtype_data,
+                   p -> p.description))) AS d FROM f)
+         SELECT d.value AS cwe, count(*) AS n_cves
+         FROM d WHERE d.lang = 'en'
+         GROUP BY cwe
+         ORDER BY n_cves DESC, cwe""",
+
     "q_count" ->
       "SELECT count(o_orderkey) AS n_orders FROM orders",
 

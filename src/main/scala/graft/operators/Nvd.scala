@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.NvdEtl
+
+/** Queries over the nested NVD CVE table (SURVEY.md §2.1) — the reference's
+  * actual query surface: deep dotted struct access and doubly-UNNESTed
+  * repeated records, re-expressed with higher-order array functions so no
+  * explode/shuffle ever touches rows that a predicate can reject in place.
+  *
+  * All four run over the committed deterministic feed fixture (the sfDir
+  * argument is ignored — the NVD table is feed-derived, not SF-scaled), so
+  * DuckDB can read the exact same gz bytes as the oracle.
+  */
+object Nvd {
+
+  private val Fixture = "/root/repo/fixtures/nvd/nvdcve-1.1-fixture.json.gz"
+
+  private def cves(spark: SparkSession): DataFrame =
+    NvdEtl.ingest(spark, Fixture)
+
+  /** §2.1 q_nvd_count: COUNT over the nested ID path — the reference
+    * README's counting query (README.md:29-34) and the bootstrap probe
+    * (bq.py:125-127).
+    */
+  def qNvdCount(spark: SparkSession, dir: String): DataFrame =
+    cves(spark).agg(count(NvdEtl.cveId).as("cve_count"))
+
+  /** §2.1 q_nvd_linux_exists: the reference README's flagship query
+    * (README.md:39-61) — EXISTS over UNNEST(configurations.nodes), nested
+    * EXISTS over UNNEST(nodes.cpe_match), cpe23Uri LIKE '%linux%'. Two
+    * levels of repeated records, evaluated as nested higher-order `exists`
+    * predicates: zero row multiplication, fully codegen'd, and NULL/empty
+    * node arrays short-circuit exactly like BQ's EXISTS. Note the query
+    * deliberately does NOT search nodes[].children[].cpe_match — the
+    * fixture plants linux entries there to prove the paths stay distinct.
+    */
+  def qNvdLinuxExists(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .filter(exists(col("configurations.nodes"),
+        n => exists(n.getField("cpe_match"),
+          m => m.getField("cpe23Uri").contains("linux"))))
+      .select(NvdEtl.cveId.as("cve_id"),
+        unix_timestamp(col("publishedDate")).as("published_s"),
+        col("impact.baseMetricV2.severity").as("severity_v2"))
+      .orderBy(col("cve_id"))
+
+  /** §2.1 q_nvd_severity_hist: aggregate over a three-level-deep nested
+    * numeric (impact.baseMetricV2.cvssV2.baseScore) grouped by a
+    * two-level-deep string — the "dashboard over the warehouse" shape.
+    * NULL impact records (feeds omit them) form their own group. Scores are
+    * 1dp, so the decimal(18,1) sum is exact on both engines.
+    */
+  def qNvdSeverityHist(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .groupBy(col("impact.baseMetricV2.severity").as("severity_v2"))
+      .agg(count(lit(1)).as("n_cves"),
+        sum(col("impact.baseMetricV2.cvssV2.baseScore").cast(DecimalType(18, 1)))
+          .cast("double").as("sum_v2_score"),
+        count(col("impact.baseMetricV3.cvssV3.baseScore")).as("n_with_v3"))
+      .orderBy(col("severity_v2").asc_nulls_first)
+
+  /** §2.1 q_nvd_cwe_top: flatten the doubly-repeated problemtype path
+    * (problemtype_data[].description[]) and count CVEs per English CWE tag.
+    * `flatten ∘ transform` keeps the nesting collapse inside codegen; the
+    * single explode feeds a map-side-combined count.
+    */
+  def qNvdCweTop(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .select(explode(flatten(transform(
+        col("cve.problemtype.problemtype_data"),
+        p => p.getField("description")))).as("d"))
+      .filter(col("d.lang") === "en")
+      .groupBy(col("d.value").as("cwe"))
+      .agg(count(lit(1)).as("n_cves"))
+      .orderBy(col("n_cves").desc, col("cwe"))
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ETL core, re-expressed Spark-first (SURVEY.md §2.1).
+  *
+  * Reference pipeline (bq-nvd.py:153-166): download feed → gunzip+parse JSON
+  * (etl.py:19-49) → drop feed metadata, keep CVE_Items, drop CVEs whose IDs
+  * already exist in the warehouse via a driver-side Python set
+  * (etl.py:80-92) → bulk-append (bq.py:171-202).
+  *
+  * Spark-first differences, by design:
+  *  - extract+transform is one declarative `spark.read.schema(...).json`
+  *    (native gzip codec) + `explode(CVE_Items)` — no driver-side JSON pass;
+  *    a directory of feed files parallelizes per-file (each gz feed is one
+  *    task; the 100 TB shape is many feeds, not one giant file);
+  *  - the incremental set-difference is a distributed left-anti join on the
+  *    CVE ID — never a collected id list on the driver;
+  *  - the warehouse is year-partitioned parquet, so queries over a CVE-year
+  *    range prune partitions at the scan.
+  */
+object NvdEtl {
+
+  /** The reference's own BQ schema file — parsed, never hand-copied. */
+  val DefaultSchemaPath = "/root/reference/schema.json"
+
+  val FixturePath = "fixtures/nvd/nvdcve-1.1-fixture.json.gz"
+  val RecentFixturePath = "fixtures/nvd/nvdcve-1.1-recent.json.gz"
+
+  /** Schema of one CVE item (schema.json → StructType). */
+  def itemSchema(schemaPath: String = DefaultSchemaPath): StructType =
+    BqJsonSchema.parseFile(schemaPath)
+
+  /** Schema of a whole NVD 1.1 feed file: string metadata the transform
+    * drops (reference etl.py:75-77) + the CVE_Items array.
+    */
+  def feedSchema(schemaPath: String = DefaultSchemaPath): StructType =
+    StructType(Seq(
+      StructField("CVE_data_type", StringType),
+      StructField("CVE_data_format", StringType),
+      StructField("CVE_data_version", StringType),
+      StructField("CVE_data_numberOfCVEs", StringType),
+      StructField("CVE_data_timestamp", StringType),
+      StructField("CVE_Items", ArrayType(itemSchema(schemaPath)))))
+
+  /** The nested CVE ID path used throughout the reference
+    * (bq.py:156-158 get_cve_ids, etl.py:87).
+    */
+  def cveId: Column = col("cve.CVE_data_meta.ID")
+
+  /** Extract+transform: gz feed file(s) → one row per CVE, full nested
+    * schema (reference etl.py:19-49 + the CVE_Items projection at :77).
+    * `multiLine` because a feed is one JSON object, not NDJSON.
+    */
+  def ingest(spark: SparkSession, feedPath: String,
+      schemaPath: String = DefaultSchemaPath): DataFrame =
+    spark.read
+      .schema(feedSchema(schemaPath))
+      .option("multiLine", value = true)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+      .json(feedPath)
+      .select(explode(col("CVE_Items")).as("item"))
+      .select("item.*")
+
+  /** Incremental set-difference (reference etl.py:80-92): keep only feed
+    * CVEs whose ID is not already in the warehouse — a distributed
+    * left-anti join replacing the reference's driver-side Python set.
+    */
+  def newCves(feed: DataFrame, warehouse: DataFrame): DataFrame =
+    feed.join(warehouse.select(cveId.as("__existing_id")),
+      cveId === col("__existing_id"), "left_anti")
+
+  /** CVE year from the ID itself ("CVE-2024-1234" → 2024) — the stable
+    * partitioning key (publishedDate can shift across feed revisions).
+    */
+  def cveYear: Column = substring(cveId, 5, 4).cast("int")
+
+  /** Append to the year-partitioned parquet warehouse (replaces the GCS→BQ
+    * bulk load, reference bq.py:171-202). Caller is responsible for
+    * dedup via [[newCves]] — mirroring the reference, where transform
+    * scrubs duplicates before load ever runs.
+    */
+  def append(df: DataFrame, warehouseDir: String): Unit =
+    df.withColumn("cve_year", cveYear)
+      .write.partitionBy("cve_year").mode("append").parquet(warehouseDir)
+
+  /** The warehouse table, or an empty frame with the right schema if the
+    * warehouse does not exist yet (greenfield).
+    */
+  def warehouse(spark: SparkSession, warehouseDir: String,
+      schemaPath: String = DefaultSchemaPath): DataFrame = {
+    val schema = itemSchema(schemaPath).add(StructField("cve_year", IntegerType))
+    if (new java.io.File(warehouseDir).exists())
+      spark.read.schema(schema).parquet(warehouseDir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** COUNT(cve.CVE_data_meta.ID) over the warehouse (reference
+    * bq.py:125-127) — the probe behind the bootstrap decision.
+    */
+  def countCves(spark: SparkSession, warehouseDir: String): Long =
+    warehouse(spark, warehouseDir).agg(count(cveId)).head().getLong(0)
+
+  /** Bootstrap-vs-incremental decision (reference bq-nvd.py:70-85): a
+    * warehouse with fewer than `threshold` CVEs is treated as greenfield.
+    * The reference hardcodes 130000 ("there are over 130k CVEs in the NVD").
+    */
+  def bootstrapNeeded(spark: SparkSession, warehouseDir: String,
+      threshold: Long = 130000L): Boolean =
+    countCves(spark, warehouseDir) < threshold
+
+  /** One incremental load step (reference bq-nvd.py:98-104): ingest a feed,
+    * drop already-present CVEs, append the rest. First-writer-wins across
+    * loads by construction. Returns the number of newly loaded CVEs.
+    */
+  def loadFeed(spark: SparkSession, feedPath: String, warehouseDir: String,
+      schemaPath: String = DefaultSchemaPath): Long = {
+    val feed = ingest(spark, feedPath, schemaPath)
+    val delta = newCves(feed, warehouse(spark, warehouseDir, schemaPath))
+      .persist()
+    try {
+      val n = delta.count()
+      if (n > 0) append(delta, warehouseDir)
+      n
+    } finally delta.unpersist()
+  }
+}

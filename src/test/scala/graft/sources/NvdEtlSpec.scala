@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Gates for nvd_ingest / nvd_incremental / nvd_load / nvd_bootstrap_detect
+  * (SURVEY §2.1) over the committed deterministic feed fixtures.
+  */
+class NvdEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = TestSpark.spark
+  private val fixture = NvdEtl.FixturePath
+  private val recent = NvdEtl.RecentFixturePath
+
+  test("nvd_ingest: gz feed → one row per CVE with the full nested schema") {
+    val df = NvdEtl.ingest(spark, fixture)
+    assert(df.schema === NvdEtl.itemSchema())
+    assert(df.count() === 96)
+    assert(df.select(NvdEtl.cveId).filter(NvdEtl.cveId.isNull).count() === 0)
+    assert(df.select(NvdEtl.cveId).distinct().count() === 96)
+  }
+
+  test("nvd_ingest: doubly-nested repeated records survive round-trip") {
+    val df = NvdEtl.ingest(spark, fixture)
+    // k=3 → CVE-2005-1003: linux in nodes[0].cpe_match, no children payload
+    val row = df.filter(NvdEtl.cveId === "CVE-2005-1003")
+      .select(
+        col("configurations.nodes").getItem(0).getField("operator").as("op"),
+        size(col("configurations.nodes").getItem(0).getField("cpe_match")).as("n_match"),
+        col("configurations.nodes").getItem(0).getField("cpe_match")
+          .getItem(1).getField("cpe23Uri").as("uri2"),
+        col("impact.baseMetricV2.cvssV2.baseScore").as("score"))
+      .head()
+    assert(row.getAs[String]("op") === "AND")
+    assert(row.getAs[Int]("n_match") === 2)
+    assert(row.getAs[String]("uri2").contains("linux_kernel"))
+    assert(row.getAs[Double]("score") === ((3 * 37) % 100) / 10.0)
+  }
+
+  test("nvd_ingest: NULLABLE records absent from the feed are null") {
+    val df = NvdEtl.ingest(spark, fixture)
+    // k % 13 == 0 → impact omitted; 96/13 → k ∈ {0,13,26,...,91} = 8 CVEs
+    assert(df.filter(col("impact").isNull).count() === 8)
+    // k % 11 == 0 → empty nodes array, not null
+    assert(df.filter(size(col("configurations.nodes")) === 0).count() === 9)
+  }
+
+  test("nvd_ingest: timestamps parse to the exact UTC instant") {
+    val df = NvdEtl.ingest(spark, fixture)
+    val s = df.filter(NvdEtl.cveId === "CVE-2002-1000")
+      .select(unix_timestamp(col("publishedDate"))).head().getLong(0)
+    // k=0 → 2002-01-01T00:00:00Z
+    assert(s === java.time.Instant.parse("2002-01-01T00:00:00Z").getEpochSecond)
+  }
+
+  test("nvd_incremental: left-anti set difference drops already-loaded CVEs") {
+    val boot = NvdEtl.ingest(spark, fixture)   // k 0..95
+    val rec = NvdEtl.ingest(spark, recent)     // k 72..119
+    val delta = NvdEtl.newCves(rec, boot)
+    assert(delta.count() === 24)               // k 96..119 only
+    assert(delta.filter(NvdEtl.cveId.isin(
+      boot.select(NvdEtl.cveId).collect().map(_.getString(0)).toSeq: _*))
+      .count() === 0)
+  }
+
+  test("nvd_load + nvd_bootstrap_detect: round-trip with overlap, no dup IDs") {
+    val wh = TestSpark.tmpDir("nvd_wh")
+    // greenfield → bootstrap needed at any sane threshold
+    assert(NvdEtl.bootstrapNeeded(spark, wh, threshold = 10))
+    assert(NvdEtl.countCves(spark, wh) === 0)
+
+    assert(NvdEtl.loadFeed(spark, fixture, wh) === 96)
+    assert(NvdEtl.countCves(spark, wh) === 96)
+    assert(!NvdEtl.bootstrapNeeded(spark, wh, threshold = 90))
+
+    // overlapping feed: only the 24 unseen CVEs load (first-writer-wins)
+    assert(NvdEtl.loadFeed(spark, recent, wh) === 24)
+    assert(NvdEtl.countCves(spark, wh) === 120)
+    val ids = NvdEtl.warehouse(spark, wh).select(NvdEtl.cveId)
+    assert(ids.distinct().count() === 120)
+
+    // idempotent: loading the same feed again appends nothing
+    assert(NvdEtl.loadFeed(spark, recent, wh) === 0)
+    assert(NvdEtl.countCves(spark, wh) === 120)
+
+    // year-partitioned layout → partition pruning at the scan
+    val years = new java.io.File(wh).list().filter(_.startsWith("cve_year="))
+    assert(years.length === 24)  // 2002..2025
+    val y2024 = NvdEtl.warehouse(spark, wh).filter(col("cve_year") === 2024)
+    assert(y2024.count() > 0)
+    assert(y2024.select(NvdEtl.cveId).collect().forall(_.getString(0).startsWith("CVE-2024")))
+  }
+}
