@@ -161,18 +161,13 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** §2.2: hourly event rollup — the batch twin of the §2.5 streaming
-    * windowed aggregation (same bucket boundaries as window("1 hour")).
+  /** §2.2: hourly event rollup — literally the §2.5 streaming transform
+    * ([[graft.streaming.StreamOps.windowedAgg]]) run in batch mode: the
+    * watermark is a no-op and window("1 hour") buckets equal
+    * date_trunc('hour') (the oracle still checks date_trunc semantics).
     */
   def qEventsWindowed(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"),
-        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket_s"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        dsum(col("value"), 4).as("sum_value"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
+    graft.streaming.StreamOps.windowedAgg(Tables.events(spark, dir))
       .orderBy(col("event_type"), col("bucket_s"))
 
   /** §2.2: gap-based sessionization (30-minute inactivity boundary).

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators (SURVEY.md §2.5).
+  *
+  * Both transforms are written against a plain DataFrame so the SAME code
+  * path serves batch and stream: `withWatermark` is a no-op on a batch
+  * frame, and `window("1 hour")` produces exactly the epoch-aligned
+  * buckets `date_trunc('hour', ts)` does — asserted by StreamingSpec's
+  * batch/stream parity test and by q_events_windowed's DuckDB oracle,
+  * which still compares against date_trunc semantics.
+  *
+  * Scale shape: a streaming windowed agg is the incremental form of the
+  * batch rollup — partial aggregation per micro-batch, state keyed by
+  * (event_type, window), watermark bounding state size. At warehouse scale
+  * the same query runs over Kafka/file streams unchanged; state store
+  * partitioning follows spark.sql.shuffle.partitions.
+  */
+object StreamOps {
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** stream_windowed_agg: tumbling 1-hour rollup per event_type. The 2-hour
+    * watermark tolerates late events while bounding state; in batch mode it
+    * is a no-op and the result equals the date_trunc groupBy.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("bucket_s"),
+        col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
+
+  /** stream_dedup: exact dedup by event_id with bounded state —
+    * `dropDuplicatesWithinWatermark` keeps an id only until the watermark
+    * passes it, so state never grows with the full history (the streaming
+    * twin of the warehouse's first-writer-wins load, SURVEY §2.1
+    * q_dedup_load).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** §2.5 gates: stream_windowed_agg (batch/stream parity on the real events
+  * table) and stream_dedup (bounded-state exact dedup by key).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def eventsAsCase(): Seq[Ev] = {
+    import spark.implicits._
+    Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+  }
+
+  test("stream_windowed_agg: streaming result equals the batch transform") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val evs = eventsAsCase()
+    val batch = StreamOps.windowedAgg(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .orderBy(col("event_type"), col("bucket_s"))
+      .collect()
+
+    val stream = MemoryStream[Ev]
+    // feed in two micro-batches to exercise incremental state
+    val (a, b) = evs.splitAt(evs.size / 2)
+    stream.addData(a)
+    val q = StreamOps.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("win_parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("win_parity")
+        .orderBy(col("event_type"), col("bucket_s")).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("stream_dedup: duplicate event_ids within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ev(id: Long, minute: Int): Ev =
+      Ev(id, Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(minute * 60L)), id % 7, "click", id.toDouble)
+
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(stream.toDF())
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, 0), ev(2, 1), ev(1, 2)))       // dup of 1 in-batch
+      q.processAllAvailable()
+      stream.addData(Seq(ev(2, 3), ev(3, 4)))                 // dup of 2 across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").as[Long].collect().sorted
+      assert(ids === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
