@@ -30,7 +30,10 @@ object Bench {
       }
     }
 
+    // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run; unset = full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -266,6 +266,21 @@ object SparkEntry {
          SELECT i, j, jac FROM p WHERE jac >= 0.9
          ORDER BY i, j""",
 
+    // Exhaustive all-pairs 3-shingle Jaccard — NOT the LSH algorithm: the
+    // oracle grades the banding's recall, not just the rerank arithmetic.
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              s AS (SELECT doc_id,
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                    FROM t WHERE len(toks) >= 3),
+              p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT i, j, jac FROM p WHERE jac >= 0.5
+         ORDER BY i, j""",
+
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -21,8 +21,13 @@ object GraftFunctions {
   /** Random-hyperplane LSH bucket signature of a float vector. */
   def rhpSignature(vec: Column, bits: Int = 16, seed: Int = 42): Column =
     GraftColumns.rhpSignature(vec, bits, seed)
+  /** Jaccard of two sorted+distinct string arrays (single merge walk). */
+  def jaccardSorted(a: Column, b: Column): Column = GraftColumns.jaccardSorted(a, b)
   /** 64-bit FNV-1a rolling fingerprint of a string. */
   def fingerprint64(text: Column): Column = GraftColumns.fingerprint64(text)
   /** Deterministic stub feature over a binary payload (§2.4 multimodal). */
   def byteFeature(payload: Column): Column = GraftColumns.byteFeature(payload)
+  /** Per-group bounded top-k of (score, id) — map-side partial, O(k) state. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.GraftAggregates.topKByScore(score, id, k)
 }

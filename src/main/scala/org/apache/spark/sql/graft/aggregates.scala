@@ -1,0 +1,120 @@
+/* Custom aggregate functions. Same packaging rationale as expressions.scala. */
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Bounded max-heap of (score, id): keeps the k best by (score desc,
+  * id asc). The evictable "worst" element sits at the queue head.
+  */
+final class TopKHeap(val k: Int) {
+  // head = worst kept: lowest score, then highest id
+  private val worstFirst: Ordering[(Double, Long)] = (a, b) => {
+    val c = java.lang.Double.compare(b._1, a._1)
+    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  }
+  val q = new mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+
+  def add(score: Double, id: Long): Unit = {
+    if (q.size < k) q.enqueue((score, id))
+    else if (worstFirst.compare((score, id), q.head) < 0) { // better than worst
+      q.dequeue(); q.enqueue((score, id))
+    }
+  }
+
+  /** Best-first (score desc, id asc). */
+  def sorted: Array[(Double, Long)] = q.dequeueAll.reverse.toArray
+}
+
+/** top_k_by_score(score double, id long, k): per-group bounded top-k as
+  * array<struct<c_id,sim>> ordered best-first.
+  *
+  * This is the scale-safe alternative to `row_number().over(partitionBy
+  * (group))` top-k: a window shuffles EVERY scored row to one reducer per
+  * group (with a 100 TB corpus each reducer receives the whole corpus),
+  * while a TypedImperativeAggregate combines map-side — each task sends at
+  * most k (score, id) pairs per group into the exchange, so the shuffle is
+  * O(groups · k), independent of corpus size.
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] with ExpectsInputTypes {
+
+  require(k > 0, s"top-k requires k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("c_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKHeap, other: TopKHeap): TopKHeap = {
+    other.q.foreach { case (s, i) => buf.add(s, i) }
+    buf
+  }
+
+  override def eval(buf: TopKHeap): Any =
+    new GenericArrayData(buf.sorted.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](i, s))
+    })
+
+  override def serialize(buf: TopKHeap): Array[Byte] = {
+    val arr = buf.q.toArray
+    val bb = ByteBuffer.allocate(4 + arr.length * 16)
+    bb.putInt(arr.length)
+    arr.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new TopKHeap(k)
+    var x = 0
+    while (x < n) { h.add(bb.getDouble, bb.getLong); x += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+  override def prettyName: String = "top_k_by_score"
+}
+
+object GraftAggregates {
+  /** Column API: per-group top-k of (score, id), best-first. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKByScore(ExpressionUtils.expression(score),
+        ExpressionUtils.expression(id), k).toAggregateExpression())
+}

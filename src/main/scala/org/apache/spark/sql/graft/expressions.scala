@@ -63,6 +63,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** jaccard_sorted(array<string>, array<string>) → double. Inputs MUST be
+  * sorted and distinct (array_sort ∘ array_distinct) — enforced by the
+  * call sites, not re-checked per pair.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftKernels.jaccardSorted(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftKernels.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** minhash_signature(array<string>, k, seed) → array<int> of k minima. */
 case class MinHashSignature(child: Expression, k: Int, seed: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -145,6 +168,7 @@ object GraftColumns {
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
 
   def cosine(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+  def jaccardSorted(a: Column, b: Column): Column = col(JaccardSorted(ex(a), ex(b)))
   def minhashSignature(tokens: Column, k: Int = 128, seed: Int = 42): Column =
     col(MinHashSignature(ex(tokens), k, seed))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.functions.GraftFunctions
+
+/** Gates for sim_topk_*: the bounded-heap aggregate must reproduce the
+  * window-function top-k exactly, and LSH recall vs exact is measured.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("bounded-heap top-k equals row_number window top-k") {
+    val agg = Similarity.simTopkBruteforce(spark, TestSpark.sfDir).collect()
+
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("c_id"))
+    val win = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("c_id"),
+        round(col("sim_raw"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+      .collect()
+
+    assert(agg.map(_.toSeq).toSeq === win.map(_.toSeq).toSeq)
+    assert(agg.length === 100) // 10 queries × k=10
+  }
+
+  test("top-k tie-break is deterministic: equal scores rank by ascending id") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 0.5), (1L, 3L, 0.5), (1L, 7L, 0.9), (1L, 5L, 0.5))
+      .toDF("q_id", "c_id", "sim_raw")
+    val got = df.groupBy(col("q_id"))
+      .agg(GraftFunctions.topKByScore(col("sim_raw"), col("c_id"), 3).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.c_id")).as[Long].collect()
+    assert(got.toSeq === Seq(7L, 3L, 5L)) // 0.9 first, then 0.5s by id asc
+  }
+
+  test("sim_topk_lsh: high recall vs exact top-k on the test corpus") {
+    def keys(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = keys(Similarity.simTopkBruteforce(spark, TestSpark.sfDir).collect())
+    val lsh = keys(Similarity.simTopkLsh(spark, TestSpark.sfDir).collect())
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // approximate by design; the bucketed candidate path must still find
+    // the bulk of the true neighbors on this corpus
+    assert(recall >= 0.8, s"LSH recall $recall below floor")
+  }
+}
