@@ -281,16 +281,24 @@ object SparkEntry {
          SELECT i, j, jac FROM p WHERE jac >= 0.5
          ORDER BY i, j""",
 
-    "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label,
-                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                    FROM embeddings),
+    // Same coordinate-difference RHP blocking as the Spark plan (identical
+    // baked-in hyperplane index constants) — label-free, hash-exact.
+    "dedup_embedding" -> {
+      val buckets = Dedup.embeddingBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"a.s$i = b.s$i").mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
               p AS (SELECT a.vec_id AS i, b.vec_id AS j,
                         round(list_cosine_similarity(a.v, b.v), 6) AS sim
-                    FROM e a JOIN e b
-                      ON a.label = b.label AND a.vec_id < b.vec_id)
+                    FROM s a JOIN s b
+                      ON a.vec_id < b.vec_id AND ($anyBucket))
          SELECT i, j, sim FROM p WHERE sim >= 0.4
-         ORDER BY i, j""",
+         ORDER BY i, j"""
+    },
 
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id,

@@ -186,20 +186,83 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** §2.3 dedup_embedding: embedding-cosine near-dup pairs, blocked by
-    * label (cluster id) so the self-join is bounded per block. Cosine is a
-    * codegen'd Catalyst expression (GraftKernels.cosineF) accumulating in
-    * double — same combining formula as DuckDB's list_cosine_similarity.
+  /** Hyperplane index pairs for coordinate-difference RHP blocking: bit
+    * (l, b) is sign(v[i] - v[j]) — a projection onto the hyperplane
+    * (e_i - e_j)/√2. Indices derive from a splitmix64 stream at PLAN BUILD
+    * time, so the exact same constants are baked into the Spark plan and
+    * the DuckDB oracle SQL (see [[embeddingBucketSqlExprs]]): both engines
+    * block identically, the gate stays hash-exact, and no synthetic label
+    * column is ever consulted.
+    */
+  private[graft] def rhpIndexPairs(tables: Int, bits: Int, dim: Int,
+      seed: Long): Seq[Seq[(Int, Int)]] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until tables).map { l =>
+      (0 until bits).map { b =>
+        val h = mix(seed * 0x632BE59BD9B4E019L + l * 64L + b)
+        val i = ((h >>> 8) % dim).toInt.abs
+        val j0 = ((h >>> 34) % (dim - 1)).toInt.abs
+        val j = if (j0 >= i) j0 + 1 else j0
+        (i + 1, j + 1) // 1-based: element_at / DuckDB list index
+      }
+    }
+  }
+
+  private[graft] val EmbTables = 8
+  private[graft] val EmbBits = 4
+  private[graft] val EmbDim = 64
+  private[graft] val EmbSeed = 7L
+
+  /** The per-table bucket expressions as DuckDB SQL (for the oracle). */
+  private[graft] def embeddingBucketSqlExprs(alias: String): Seq[String] =
+    rhpIndexPairs(EmbTables, EmbBits, EmbDim, EmbSeed).map { tbl =>
+      tbl.zipWithIndex.map { case ((i, j), b) =>
+        s"(CASE WHEN $alias.embedding[$i] > $alias.embedding[$j] THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+
+  /** §2.3 dedup_embedding: embedding-cosine near-dup pairs over an
+    * UNLABELED corpus — candidate blocking by coordinate-difference RHP
+    * buckets (8 tables × 4 sign bits), then exact-cosine rerank ≥ 0.4.
+    * Same bucket-pipeline shape as dedup_minhash_lsh: slim (vec_id, table,
+    * bucket) rows through one groupBy, pair emission from sorted bucket
+    * arrays, vectors rejoined only for the rerank. Blocking recall vs the
+    * exhaustive all-pairs scan is measured in DedupSpec; the oracle blocks
+    * identically (same baked-in hyperplane constants), so the gate checks
+    * the full pipeline bit-for-bit. Cosine is the codegen'd
+    * GraftKernels.cosineF — same combining formula as DuckDB's
+    * list_cosine_similarity.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.alias("a")
-    val b = e.alias("b")
-    a.join(b,
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        round(GraftFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
-          .as("sim"))
+    def bucketCol(tbl: Seq[(Int, Int)]): Column =
+      tbl.zipWithIndex.map { case ((i, j), b) =>
+        when(element_at(col("embedding"), i) > element_at(col("embedding"), j),
+          lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val sigCols = rhpIndexPairs(EmbTables, EmbBits, EmbDim, EmbSeed)
+      .zipWithIndex.map { case (tbl, l) =>
+        struct(lit(l).as("tbl"), bucketCol(tbl).as("bucket"))
+      }
+    val cand = e
+      .select(col("vec_id"), explode(array(sigCols: _*)).as("s"))
+      .select(col("vec_id"), col("s.tbl").as("tbl"), col("s.bucket").as("bucket"))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("v_i")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("v_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(GraftFunctions.cosine(col("v_i"), col("v_j")), 6).as("sim"))
       .filter(col("sim") >= 0.4)
       .orderBy(col("i"), col("j"))
   }

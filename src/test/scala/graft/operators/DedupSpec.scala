@@ -55,6 +55,26 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
   }
 
+  test("dedup_embedding: label-free RHP blocking finds the bulk of all-pairs matches") {
+    val blocked = Dedup.dedupEmbedding(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val exact = e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(GraftFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
+          .as("sim"))
+      .filter(col("sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(blocked.subsetOf(exact)) // blocking can only lose pairs, never invent
+    val recall = if (exact.isEmpty) 1.0 else (blocked & exact).size.toDouble / exact.size
+    // this corpus's qualifying pairs sit barely over τ=0.4 (sim≈0.40-0.48,
+    // i.e. near-random angles) — the hardest possible regime for any LSH
+    // family; the floor asserts the blocking still does real work there
+    assert(recall >= 0.5, s"embedding blocking recall $recall below floor")
+  }
+
   test("short/empty docs cannot form LSH candidate cliques") {
     import spark.implicits._
     // 50 docs with < 3 tokens (identical sentinel signatures) + 2 real dups

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{TestSpark, Tables}
+import graft.functions.GraftKernels
+
+/** mm_batch_extract gate (SURVEY §2.4): batch boundaries, batch-size
+  * bounds, partition isolation, and feature determinism of the per-
+  * partition batched extraction path.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def payloads(nPartitions: Int) = {
+    import spark.implicits._
+    Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(nPartitions)
+  }
+
+  test("batches are bounded by batchSize and only the partition tail is smaller") {
+    val df = payloads(4)
+    val out = Multimodal.extractBatch(df, batchSize = 64).collect()
+    assert(out.length === df.count())
+    val sizes = out.map(_.getAs[Int]("batch_size"))
+    assert(sizes.forall(s => s >= 1 && s <= 64))
+    // per partition of n rows: n/64 full batches + at most one remainder →
+    // across 4 partitions at most 4 undersized batches
+    val undersized = sizes.filter(_ < 64).distinct
+    assert(undersized.length <= 4)
+  }
+
+  test("batchSize larger than any partition → one batch per partition") {
+    val df = payloads(5)
+    val out = Multimodal.extractBatch(df, batchSize = 1000000).collect()
+    val bySize = out.groupBy(_.getAs[Int]("batch_size")).view.mapValues(_.length)
+    // every row reports its partition's row count as the batch size
+    assert(bySize.keys.toSeq.sum === df.count() ||
+      bySize.forall { case (sz, n) => n % sz == 0 })
+  }
+
+  test("features are deterministic and equal the direct kernel result") {
+    import spark.implicits._
+    val df = payloads(3)
+    val expected = df.as[(Long, Array[Byte])].collect()
+      .map { case (id, p) => id -> GraftKernels.byteFeature(p) }.toMap
+    val got = Multimodal.extractBatch(df, batchSize = 32).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("feature")).toMap
+    assert(got === expected)
+    // batching layout must not affect features
+    val got2 = Multimodal.extractBatch(df.repartition(7), batchSize = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("feature")).toMap
+    assert(got2 === expected)
+  }
+
+  test("mm_metadata surfaces payload length and typed metadata consistently") {
+    val out = Multimodal.mmMetadata(spark, TestSpark.sfDir)
+    val row = out.filter(col("doc_id") === out.agg(min("doc_id")).head().getLong(0)).head()
+    assert(row.getAs[String]("mime") === "text/plain")
+    assert(row.getAs[Long]("payload_len") > 0)
+  }
+}
