@@ -48,7 +48,8 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
-    "sim_topk_lsh" -> (Similarity.simTopkLsh _),
+    "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
+    "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
     // §2.4 text analysis + multimodal
     "text_tokencount" -> (TextAnalysis.textTokencount _),
     "text_quality" -> (TextAnalysis.textQuality _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -100,6 +100,62 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     topK(
       cand.join(broadcast(qVecs), Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw")))
+  }
+
+  /** §2.3 sim_topk_ivf: approximate top-k via an IVF (inverted-file) index —
+    * the classic ANN scale path alongside LSH.
+    *
+    *  - `cells` deterministic centroids (an SF-independent sample: the
+    *    corpus vectors with the `cells` smallest vec_ids) are broadcast;
+    *  - each corpus vector is assigned map-side to its nearest centroid
+    *    (one bounded argmax per row — no shuffle, no state);
+    *  - each query probes its `nprobe` nearest cells; candidates are the
+    *    corpus vectors in those cells — at scale the cell assignment is
+    *    the partition key, so a probe reads `nprobe/cells` of the corpus
+    *    instead of all of it;
+    *  - exact-cosine rerank + bounded-heap top-k, same as the other paths.
+    *
+    * Real IVF trains centroids with k-means; the assignment/probe/rerank
+    * dataflow — the part Spark owns — is identical, and a trained centroid
+    * table drops in by replacing `cents`. Recall vs exact is asserted in
+    * SimilaritySpec.
+    */
+  def simTopkIvf(spark: SparkSession, dir: String): DataFrame =
+    simTopkIvf(spark, dir, cells = 16, nprobe = 6)
+
+  def simTopkIvf(spark: SparkSession, dir: String, cells: Int, nprobe: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // The centroid table is tiny and SF-independent — collecting it at plan
+    // build (like any broadcast build side) lets nearest-cell assignment be
+    // a pure map-side array expression: no shuffle, no grouping, and float
+    // vectors never act as keys.
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    def cellRanks(vec: Column): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(GraftFunctions.cosine(vec, typedlit(cv.toSeq)).as("csim"),
+          lit(cid).as("cent_id"))
+      }
+      // sort asc by (csim, cent_id), reverse → best-first
+      reverse(array_sort(array(scored: _*)))
+    }
+
+    val corpus = e
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .withColumn("cell", element_at(cellRanks(col("c_vec")), 1).getField("cent_id"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(transform(slice(cellRanks(col("embedding")), 1, nprobe),
+          s => s.getField("cent_id"))).as("cell"))
+
+    topK(
+      corpus.join(broadcast(queries.select(col("q_id"), col("q_vec"), col("cell"))),
+          Seq("cell"))
+        .filter(col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"),
           GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw")))
   }

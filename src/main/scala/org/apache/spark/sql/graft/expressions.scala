@@ -32,11 +32,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
-  // Both sides must share one element type — mixed float/double would read
-  // the wrong byte width via the single-kernel dispatch below.
+  // Both sides must share one element type (containsNull may differ) —
+  // mixed float/double would read the wrong byte width via the
+  // single-kernel dispatch below.
+  private def elem(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
   override def checkInputDataTypes(): TypeCheckResult =
     super.checkInputDataTypes() match {
-      case TypeCheckResult.TypeCheckSuccess if left.dataType != right.dataType =>
+      case TypeCheckResult.TypeCheckSuccess if elem(left) != elem(right) =>
         TypeCheckResult.TypeCheckFailure(
           s"cosine requires both arrays to have the same element type, " +
             s"got ${left.dataType.sql} and ${right.dataType.sql}")

@@ -48,6 +48,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === Seq(7L, 3L, 5L)) // 0.9 first, then 0.5s by id asc
   }
 
+  test("sim_topk_ivf: high recall vs exact top-k on the test corpus") {
+    def keys(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = keys(Similarity.simTopkBruteforce(spark, TestSpark.sfDir).collect())
+    val ivf = keys(Similarity.simTopkIvf(spark, TestSpark.sfDir).collect())
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall below floor")
+  }
+
   test("sim_topk_lsh: high recall vs exact top-k on the test corpus") {
     def keys(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
       rows.map(r => (r.getLong(0), r.getLong(2))).toSet
