@@ -55,6 +55,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "text_top_terms" -> (TextAnalysis.textTopTerms _),
+    "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
   )
 
@@ -340,6 +342,42 @@ object SparkEntry {
                (CASE WHEN aw >= 3.0 AND aw <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.4,
                6) AS quality
          FROM s ORDER BY doc_id""",
+
+    "text_top_terms" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         SELECT term, count(*) AS n FROM t
+         GROUP BY term ORDER BY n DESC, term LIMIT 50""",
+
+    "pipeline_corpus_filter" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                        length(text) AS nc
+                    FROM documents),
+              s AS (SELECT doc_id, lang, toks,
+                        CAST(len(toks) AS BIGINT) AS n_tokens,
+                        CAST(nc - len(toks) + 1 AS DOUBLE) / len(toks) AS aw,
+                        least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS ls
+                    FROM t),
+              q AS (SELECT doc_id, lang, toks, n_tokens,
+                        round(ls * 0.6 +
+                          (CASE WHEN aw >= 3.0 AND aw <= 8.0
+                                THEN 1.0 ELSE 0.5 END) * 0.4, 6) AS quality
+                    FROM s),
+              h AS (SELECT doc_id, lang, n_tokens, quality,
+                        len(list_filter(toks, x -> list_contains(
+                          ['the','a','of','and','to','in'], x))) AS en_hits,
+                        len(list_filter(toks, x -> list_contains(
+                          ['el','la','de','y','que','en'], x))) AS es_hits,
+                        len(list_filter(toks, x -> list_contains(
+                          ['der','die','das','und','ist','zu'], x))) AS de_hits
+                    FROM q)
+         SELECT doc_id, lang, n_tokens, quality,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS pred_lang
+         FROM h
+         WHERE quality >= 0.7 AND n_tokens BETWEEN 5 AND 1000
+           AND (CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                     WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END) = lang
+         ORDER BY doc_id""",
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks

@@ -87,4 +87,45 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), GraftFunctions.fingerprint64(col("text")).as("fp64"))
       .orderBy(col("doc_id"))
+
+  /** §2.4 text_top_terms: corpus term frequencies, top 50 — the vocabulary-
+    * statistics shape (explode → map-side-combined count → bounded top-N).
+    * At 100 TB the explode multiplies rows ~500×, but the partial count
+    * collapses them before the single shuffle; the final limit is tiny.
+    */
+  def textTopTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(50)
+
+  /** §2.4 pipeline_corpus_filter: the composed "prepare a training corpus"
+    * selection — quality floor + token-count band + language-ID agreement,
+    * all single-pass map-side column arithmetic over one scan (the
+    * individual operators compose without extra passes or shuffles).
+    */
+  def pipelineCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("bigint")
+    val nChar = length(col("text")).cast("bigint")
+    val avgWord = (nChar - nTok + lit(1L)).cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val wordScore = when(avgWord >= 3.0 && avgWord <= 8.0, 1.0).otherwise(0.5)
+    val quality = round(lenScore * 0.6 + wordScore * 0.4, 6)
+    def hits(stops: Seq[String]): Column = {
+      val litArr = array(stops.map(lit): _*)
+      size(filter(toks, t => array_contains(litArr, t))).cast("bigint")
+    }
+    val predLang =
+      when(hits(enStops) >= hits(esStops) && hits(enStops) >= hits(deStops), "en")
+        .when(hits(esStops) >= hits(deStops), "es")
+        .otherwise("de")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
+        quality.as("quality"), predLang.as("pred_lang"))
+      .filter(col("quality") >= 0.7 && col("n_tokens").between(5, 1000) &&
+        col("pred_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
 }
