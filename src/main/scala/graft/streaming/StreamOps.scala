@@ -41,6 +41,29 @@ object StreamOps {
         unix_timestamp(col("window.start")).as("bucket_s"),
         col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** stream_nvd_ingest: the reference's cron-driven incremental loop
+    * (bq-nvd.py:98-104 download → extract → transform → load) as a
+    * Structured Streaming file source: drop a new feed .json.gz into the
+    * watched directory and its CVEs flow through the same schema-driven
+    * parse + explode as the batch path ([[graft.sources.NvdEtl]]),
+    * deduplicated on CVE ID across ALL feeds ever seen (`dropDuplicates` —
+    * warehouse-lifetime first-writer-wins, exactly the reference's
+    * set-difference semantics with checkpointed state instead of a
+    * re-queried id list).
+    */
+  def nvdFeedStream(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String,
+      schemaPath: String = graft.sources.NvdEtl.DefaultSchemaPath): DataFrame =
+    spark.readStream
+      .schema(graft.sources.NvdEtl.feedSchema(schemaPath))
+      .option("multiLine", value = true)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+      .json(watchDir)
+      .select(explode(col("CVE_Items")).as("item"))
+      .select("item.*")
+      .withColumn("cve_id", graft.sources.NvdEtl.cveId)
+      .dropDuplicates("cve_id")
+
   /** stream_dedup: exact dedup by event_id with bounded state —
     * `dropDuplicatesWithinWatermark` keeps an id only until the watermark
     * passes it, so state never grows with the full history (the streaming

@@ -56,6 +56,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_nvd_ingest: feed files arriving over time dedup to the warehouse set") {
+    val watch = graft.TestSpark.tmpDir("nvd_watch")
+    // first micro-batch sees only the bootstrap feed
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(graft.sources.NvdEtl.FixturePath),
+      java.nio.file.Paths.get(s"$watch/feed-a.json.gz"))
+    val q = StreamOps.nvdFeedStream(spark, watch)
+      .select(col("cve_id"))
+      .writeStream.format("memory").queryName("nvd_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("nvd_stream").count() === 96)
+      // the overlapping "recent" feed arrives later: only the 24 unseen
+      // CVEs pass the id dedup — the reference's incremental semantics
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(graft.sources.NvdEtl.RecentFixturePath),
+        java.nio.file.Paths.get(s"$watch/feed-b.json.gz"))
+      q.processAllAvailable()
+      val ids = spark.table("nvd_stream")
+      assert(ids.count() === 120)
+      assert(ids.distinct().count() === 120)
+    } finally q.stop()
+  }
+
   test("stream_dedup: duplicate event_ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
