@@ -15,9 +15,12 @@ import graft.operators.{Dedup, Multimodal, Nvd, Relational, Similarity, TextAnal
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference README's doubly-nested Linux-CVE EXISTS query
+    * over the ingested NVD feed (its signature capability); driver
+    * smoke-checks rows>0 (29 CVEs match in the fixture).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Nvd.qNvdLinuxExists(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
