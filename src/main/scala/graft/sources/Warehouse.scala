@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-warehouse helpers (SURVEY §4): pre-shuffle a fact table ONCE at
+  * write time so every subsequent equi-join or aggregation on the bucket
+  * key plans with zero exchanges on that side.
+  *
+  * At 100 TB this is the difference between re-shuffling 100 TB per query
+  * and never shuffling it again: `lineitem` bucketed by `l_orderkey` joins
+  * `orders` bucketed by `o_orderkey` with NO Exchange in the plan (asserted
+  * by WarehouseSpec). Spark's native catalog tracks the bucketing; bucket
+  * counts must match across co-joined tables.
+  */
+object Warehouse {
+
+  /** Write `df` as a bucketed, sorted managed table (parquet). */
+  def bucketize(df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Co-bucketed join on `key`: both sides must have been bucketized with
+    * the same bucket count. Plans as a sort-merge join with no exchange.
+    */
+  def cobucketJoin(spark: SparkSession, left: String, right: String,
+      key: (String, String)): DataFrame =
+    spark.table(left).join(spark.table(right),
+      spark.table(left)(key._1) === spark.table(right)(key._2))
+}
