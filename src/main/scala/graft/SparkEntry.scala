@@ -43,6 +43,7 @@ object SparkEntry {
     "q_customer_no_orders" -> (Relational.qCustomerNoOrders _),
     "q_events_windowed" -> (Relational.qEventsWindowed _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
+    "q_events_asof" -> (Relational.qEventsAsof _),
     "q_part_topn_price" -> (Relational.qPartTopnPrice _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -242,6 +243,17 @@ object SparkEntry {
                 MIN(tus) AS start_us, MAX(tus) AS end_us
          FROM t GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+
+    "q_events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                    FROM events),
+              c AS (SELECT * FROM e WHERE event_type = 'click'),
+              v AS (SELECT * FROM e WHERE event_type = 'view')
+         SELECT c.event_id, c.user_id, c.tus,
+                v.tus AS view_tus, c.tus - v.tus AS lag_us
+         FROM c ASOF LEFT JOIN v
+           ON c.user_id = v.user_id AND c.tus >= v.tus
+         ORDER BY c.event_id""",
 
     "q_part_topn_price" ->
       """WITH r AS (SELECT p_brand, p_partkey, p_retailprice,

@@ -190,6 +190,37 @@ object Relational {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** §2.2 q_events_asof: as-of join — each click event picks up the most
+    * recent view at-or-before it for the same user (the
+    * point-in-time-correct feature-join shape). Spark lacks a native ASOF
+    * join; rather than a custom SparkPlan, this composes existing ops: tag
+    * both sides, union, and run a `last(..., ignoreNulls)` window over
+    * (tus, side) per user — views sort before clicks at equal timestamps,
+    * matching ASOF's `>=`. ONE shuffle on user_id, no range explosion, no
+    * per-key driver loop; at 100 TB the union streams and the window state
+    * is one row. The oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  def qEventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.unionAll(c)
+      .withColumn("view_tus",
+        last(when(col("side") === 0, col("tus")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("tus"), col("view_tus"),
+        (col("tus") - col("view_tus")).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** §2.2: top-2 parts by retail price within brand (dense_rank). */
   def qPartTopnPrice(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
