@@ -45,6 +45,9 @@ object SparkEntry {
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_events_asof" -> (Relational.qEventsAsof _),
     "q_part_topn_price" -> (Relational.qPartTopnPrice _),
+    "q_lineitem_rollup" -> (Relational.qLineitemRollup _),
+    "q_events_pivot" -> (Relational.qEventsPivot _),
+    "q_events_quantiles" -> (Relational.qEventsQuantiles _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
@@ -243,6 +246,29 @@ object SparkEntry {
                 MIN(tus) AS start_us, MAX(tus) AS end_us
          FROM t GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+
+    "q_lineitem_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_events_pivot" ->
+      """SELECT user_id,
+             count(*) FILTER (event_type = 'click') AS click,
+             count(*) FILTER (event_type = 'error') AS error,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup') AS signup,
+             count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_events_quantiles" ->
+      """SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.95), 6) AS p95,
+             count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_events_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus

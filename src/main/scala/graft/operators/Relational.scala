@@ -232,6 +232,44 @@ object Relational {
       .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
   }
 
+  /** §2.2 q_lineitem_rollup: hierarchical totals via ROLLUP — the OLAP
+    * subtotal shape. Spark plans rollup as Expand + one hash aggregate
+    * (map-side combined across all grouping sets); decimal-exact sums as
+    * everywhere. NULL grouping levels sort first on both engines.
+    */
+  def qLineitemRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** §2.2 q_events_pivot: per-user event-type counts pivoted to columns.
+    * The pivot values are an explicit closed list, so the plan is a single
+    * groupBy(user) with five conditional counts — one shuffle, no second
+    * pass to discover the domain.
+    */
+  def qEventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** §2.2 q_events_quantiles: exact interpolated quantiles per event_type
+    * (`percentile` — Spark's exact variant, not approx_percentile; both
+    * engines linearly interpolate the sorted values, results rounded 6dp).
+    */
+  def qEventsQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
