@@ -13,11 +13,16 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cpus: Int): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // fresh per-JVM warehouse: managed (e.g. bucketed) tables never leak
+      // files into the repo or collide with a previous run's leftovers
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
 
   def build(cpus: Int): SparkSession = {

@@ -1,0 +1,67 @@
+/* SparkSessionExtensions registration. Same packaging rationale as
+ * expressions.scala. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Injects graft's custom expressions into the SQL function registry, so
+  * every surface of the engine — DataFrame API via
+  * [[graft.functions.GraftFunctions]] AND plain `spark.sql(...)` — reaches
+  * the same codegen'd kernels:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   spark.sql("SELECT graft_cosine(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * [[graft.GraftSession]] applies this to every session it builds.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint64"),
+      info("graft_fingerprint64", "graft_fingerprint64(s) - 64-bit FNV-1a fingerprint"),
+      (c: Seq[Expression]) => Fingerprint64(c(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a token array"),
+      (c: Seq[Expression]) => SimHash64(c(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(tokens, k, seed) - k-minima MinHash signature"),
+      (c: Seq[Expression]) => MinHashSignature(c(0),
+        intLit(c(1), "k"), intLit(c(2), "seed"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_rhp_signature"),
+      info("graft_rhp_signature", "graft_rhp_signature(vec, bits, seed) - random-hyperplane LSH bucket"),
+      (c: Seq[Expression]) => RhpSignature(c(0),
+        intLit(c(1), "bits"), intLit(c(2), "seed"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_jaccard_sorted"),
+      info("graft_jaccard_sorted", "graft_jaccard_sorted(a, b) - Jaccard of sorted distinct string arrays"),
+      (c: Seq[Expression]) => JaccardSorted(c(0), c(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_byte_feature"),
+      info("graft_byte_feature", "graft_byte_feature(bin) - deterministic stub media feature"),
+      (c: Seq[Expression]) => ByteFeature(c(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_top_k"),
+      info("graft_top_k", "graft_top_k(score, id, k) - per-group bounded top-k as array<struct>"),
+      (c: Seq[Expression]) => TopKByScore(c(0), c(1), intLit(c(2), "k"))))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftKernels
+
+/** SQL-surface gate: every graft kernel is reachable from plain
+  * `spark.sql(...)` via GraftExtensions, and agrees with the kernel.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("scalar functions registered and agree with kernels") {
+    val fp = spark.sql("SELECT graft_fingerprint64('hello world') AS fp")
+      .head().getLong(0)
+    assert(fp === GraftKernels.fingerprint64(UTF8String.fromString("hello world")))
+
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0 / math.sqrt(2)) < 1e-12)
+
+    val jac = spark.sql(
+      "SELECT graft_jaccard_sorted(array('a','b','c'), array('b','c','d')) AS j")
+      .head().getDouble(0)
+    assert(math.abs(jac - 0.5) < 1e-15)
+
+    val mh = spark.sql(
+      "SELECT size(graft_minhash(array('x','y'), 32, 42)) AS n").head().getInt(0)
+    assert(mh === 32)
+
+    assert(spark.sql(
+      "SELECT graft_simhash64(cast(array() AS array<string>)) AS s")
+      .head().getLong(0) === 0L)
+  }
+
+  test("graft_top_k aggregate works from SQL") {
+    spark.sql(
+      """SELECT * FROM VALUES (1, 10L, 0.5D), (1, 3L, 0.5D), (1, 7L, 0.9D)
+         AS t(g, id, score)""").createOrReplaceTempView("topk_in")
+    val top = spark.sql(
+      """SELECT g, graft_top_k(score, id, 2) AS top
+         FROM topk_in GROUP BY g""")
+      .selectExpr("g", "top.c_id AS ids").head()
+    assert(top.getSeq[Long](1) === Seq(7L, 3L)) // 0.9 first, tie → lower id
+  }
+
+  test("full SQL query over a real table through the extension functions") {
+    Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("emb")
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM emb a JOIN emb b
+         ON a.vec_id < b.vec_id AND a.vec_id < 5 AND b.vec_id < 5
+         WHERE graft_cosine(a.embedding, b.embedding) > -1.0""")
+      .head().getLong(0)
+    assert(n === 10) // C(5,2) pairs, all with cosine > -1
+  }
+}
