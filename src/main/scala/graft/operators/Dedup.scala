@@ -114,23 +114,21 @@ object Dedup {
     // pipeline once and both sides of the rerank join — without the cache
     // the scan + shingling would run three times (and at warehouse scale
     // this is the relation you'd materialize anyway)
-    // repartition before the kernel pipeline (single-row-group local files
-    // would otherwise serialize it on one core); filter AFTER the persist
-    // so predicate pushdown can't inline the shingle expression into a
-    // second per-row evaluation
+    // ONE persisted relation carries both the shingle set (reused by the
+    // rerank joins) and the 128-minima signature (read by the banding).
+    // The persist is also a PLAN BARRIER — without it CollapseProject
+    // inlines the signature kernel into the 16-way band transform's lambda
+    // (16× recompute) and pushes the size() filter into a second shingle
+    // evaluation. repartition first: single-row-group local files would
+    // otherwise run the whole kernel pipeline in one task.
     val docs = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), array_sort(array_distinct(shingles3(toks))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .filter(size(col("sh")) > 0)
-    // persist is also a PLAN BARRIER: without it CollapseProject inlines
-    // the signature kernel into the 16-way band transform's lambda and the
-    // 128-perm minhash runs 16× per doc instead of once
-    val sigs = docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sh"),
         GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs
+      .filter(size(col("sh")) > 0)
+    val bands = docs
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(15)),
           b => hash(slice(col("sig"), b * 8 + 1, lit(8))))))
