@@ -63,6 +63,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_top_terms" -> (TextAnalysis.textTopTerms _),
+    "text_normalize" -> (TextAnalysis.textNormalize _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
   )
@@ -388,6 +389,25 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          SELECT term, count(*) AS n FROM t
          GROUP BY term ORDER BY n DESC, term LIMIT 50""",
+
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+              FROM documents)
+         SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_norm_chars
+         FROM n ORDER BY doc_id""",
+
+    // feature replicates GraftKernels.byteFeature over the UTF-8 payload —
+    // the corpus is ASCII, so unicode(char) == byte value
+    "mm_metadata" ->
+      """SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS payload_len,
+             source AS origin,
+             'text/plain' AS mime,
+             CAST(list_sum(list_transform(range(length(text)),
+               i -> unicode(text[i+1]) * ((i % 7) + 1))) AS BIGINT) AS feature
+         FROM documents ORDER BY doc_id""",
 
     "pipeline_corpus_filter" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,

@@ -101,6 +101,19 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term"))
       .limit(50)
 
+  /** §2.4 text_normalize: canonical text form for downstream dedup/
+    * tokenization — lowercase, strip non-alphanumerics, collapse runs of
+    * whitespace, trim. Pure codegen'd string ops, scan-bound.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"),
+        length(norm).cast("bigint").as("n_norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.4 pipeline_corpus_filter: the composed "prepare a training corpus"
     * selection — quality floor + token-count band + language-ID agreement,
     * all single-pass map-side column arithmetic over one scan (the
