@@ -41,6 +41,23 @@ object StreamOps {
         unix_timestamp(col("window.start")).as("bucket_s"),
         col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** stream_sessionize: gap-based sessions as a STATEFUL streaming
+    * aggregation — `session_window(ts, gap)` merges events whose gaps are
+    * under 30 minutes into one growing window per user, state bounded by
+    * the watermark. The batch twin of q_events_sessionize's lag+cumsum
+    * formulation: StreamingSpec cross-validates the two independent
+    * implementations (same session count and sizes), and asserts
+    * batch/stream parity of this transform via MemoryStream.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+
   /** stream_nvd_ingest: the reference's cron-driven incremental loop
     * (bq-nvd.py:98-104 download → extract → transform → load) as a
     * Structured Streaming file source: drop a new feed .json.gz into the

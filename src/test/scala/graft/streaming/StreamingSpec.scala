@@ -56,6 +56,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_sessionize: session_window agrees with the lag+cumsum sessionizer and with itself under streaming") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+    // two INDEPENDENT batch implementations of 30-min-gap sessions
+    val viaWindowFn = StreamOps.sessionAgg(input)
+      .orderBy(col("user_id"), col("start_us")).collect()
+    val viaLagCumsum = graft.operators.Relational
+      .qEventsSessionize(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("start_us")).collect()
+    assert(viaWindowFn.map(_.toSeq).toSeq === viaLagCumsum.map(_.toSeq).toSeq)
+
+    // streaming parity of the session_window transform
+    val evs = { import spark.implicits._; input.as[Ev].collect().toSeq }
+    val stream = MemoryStream[Ev]
+    val (a, b) = evs.splitAt(evs.size / 2)
+    stream.addData(a)
+    val q = StreamOps.sessionAgg(stream.toDF())
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .orderBy(col("user_id"), col("start_us")).collect()
+      assert(streamed.map(_.toSeq).toSeq === viaWindowFn.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("stream_nvd_ingest: feed files arriving over time dedup to the warehouse set") {
     val watch = graft.TestSpark.tmpDir("nvd_watch")
     // first micro-batch sees only the bootstrap feed
