@@ -29,6 +29,7 @@ object SparkEntry {
     "q_nvd_linux_exists" -> (Nvd.qNvdLinuxExists _),
     "q_nvd_severity_hist" -> (Nvd.qNvdSeverityHist _),
     "q_nvd_cwe_top" -> (Nvd.qNvdCweTop _),
+    "q_nvd_tag_hist" -> (Nvd.qNvdTagHist _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -44,6 +45,7 @@ object SparkEntry {
     "q_events_windowed" -> (Relational.qEventsWindowed _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_events_asof" -> (Relational.qEventsAsof _),
+    "q_events_moving" -> (Relational.qEventsMoving _),
     "q_part_topn_price" -> (Relational.qPartTopnPrice _),
     "q_lineitem_rollup" -> (Relational.qLineitemRollup _),
     "q_events_pivot" -> (Relational.qEventsPivot _),
@@ -111,6 +113,26 @@ object SparkEntry {
          FROM d WHERE d.lang = 'en'
          GROUP BY cwe
          ORDER BY n_cves DESC, cwe""",
+
+    "q_nvd_tag_hist" ->
+      s"""$nvdFeedCte,
+           t AS (SELECT unnest(flatten(list_transform(
+                   item.cve.references.reference_data,
+                   r -> r.tags))) AS tag FROM f)
+         SELECT tag, count(*) AS n_refs
+         FROM t GROUP BY tag
+         ORDER BY n_refs DESC, tag""",
+
+    "q_events_moving" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+                    FROM events)
+         SELECT event_id, user_id, tus,
+             count(*) OVER w AS mov_n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mov_sum
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "q_count" ->
       "SELECT count(o_orderkey) AS n_orders FROM orders",

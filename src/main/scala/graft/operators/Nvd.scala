@@ -77,4 +77,17 @@ object Nvd {
       .groupBy(col("d.value").as("cwe"))
       .agg(count(lit(1)).as("n_cves"))
       .orderBy(col("n_cves").desc, col("cwe"))
+
+  /** §2.1 q_nvd_tag_hist: histogram over a REPEATED scalar nested inside a
+    * REPEATED record (references.reference_data[].tags[]) — the remaining
+    * repetition shape the other queries don't touch.
+    */
+  def qNvdTagHist(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .select(explode(flatten(transform(
+        col("cve.references.reference_data"),
+        r => r.getField("tags")))).as("tag"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_refs"))
+      .orderBy(col("n_refs").desc, col("tag"))
 }

@@ -221,6 +221,25 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** §2.2 q_events_moving: per-user moving aggregate over the trailing 5
+    * events — the bounded-frame window shape (frame state is O(frame), the
+    * partition sorts once per user shuffle).
+    */
+  def qEventsMoving(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_sum",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("tus"),
+        col("mov_n"), col("mov_sum"))
+      .orderBy(col("event_id"))
+  }
+
   /** §2.2: top-2 parts by retail price within brand (dense_rank). */
   def qPartTopnPrice(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)

@@ -127,4 +127,33 @@ object NvdEtl {
       n
     } finally delta.unpersist()
   }
+
+  /** The reference's whole driver flow (bq-nvd.py:153-163 main):
+    * greenfield/broken warehouse → bootstrap every yearly feed; healthy
+    * warehouse → load only the `recent` feed. Feed discovery is
+    * local-directory listing (the HTTP fetch of download.py is out of
+    * scope in a zero-egress build). Returns (bootstrapped?, CVEs loaded).
+    */
+  def run(spark: SparkSession, feedDir: String, warehouseDir: String,
+      recentFeedName: String = "nvdcve-1.1-recent.json.gz",
+      threshold: Long = 130000L,
+      schemaPath: String = DefaultSchemaPath): (Boolean, Long) = {
+    val dir = new java.io.File(feedDir)
+    require(dir.isDirectory, s"feed dir not found: $feedDir")
+    if (bootstrapNeeded(spark, warehouseDir, threshold)) {
+      // bootstrap: every feed file, yearly feeds first (reference
+      // bq-nvd.py:87-96 iterates 2002..now), recent last
+      val feeds = dir.listFiles().map(_.getName)
+        .filter(_.endsWith(".json.gz")).sorted
+        .sortBy(_ == recentFeedName) // recent last
+      val n = feeds.map(f => loadFeed(spark, s"$feedDir/$f", warehouseDir, schemaPath)).sum
+      (true, n)
+    } else {
+      val recent = new java.io.File(dir, recentFeedName)
+      val n = if (recent.isFile)
+        loadFeed(spark, recent.getPath, warehouseDir, schemaPath)
+      else 0L
+      (false, n)
+    }
+  }
 }

@@ -66,6 +66,18 @@ class NvdEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0)
   }
 
+  test("nvd_run: the reference's whole driver flow (bootstrap vs incremental)") {
+    val wh = TestSpark.tmpDir("nvd_run_wh")
+    // greenfield: bootstrap loads every feed in the dir (union, no dups)
+    val (boot1, n1) = NvdEtl.run(spark, "fixtures/nvd", wh, threshold = 10)
+    assert(boot1 && n1 === 120)
+    // healthy warehouse: incremental path touches only the recent feed,
+    // whose CVEs are all present → 0 loaded
+    val (boot2, n2) = NvdEtl.run(spark, "fixtures/nvd", wh, threshold = 10)
+    assert(!boot2 && n2 === 0)
+    assert(NvdEtl.countCves(spark, wh) === 120)
+  }
+
   test("nvd_load + nvd_bootstrap_detect: round-trip with overlap, no dup IDs") {
     val wh = TestSpark.tmpDir("nvd_wh")
     // greenfield → bootstrap needed at any sane threshold
