@@ -21,6 +21,10 @@ object GraftFunctions {
   /** Random-hyperplane LSH bucket signature of a float vector. */
   def rhpSignature(vec: Column, bits: Int = 16, seed: Int = 42): Column =
     GraftColumns.rhpSignature(vec, bits, seed)
+  /** Generator: stream all unordered (i, j) element pairs of a sorted
+    * array — never materializes the b²/2 pair list of a hot LSH bucket.
+    */
+  def pairs(sortedIds: Column): Column = GraftColumns.pairs(sortedIds)
   /** Jaccard of two sorted+distinct string arrays (single merge walk). */
   def jaccardSorted(a: Column, b: Column): Column = GraftColumns.jaccardSorted(a, b)
   /** 64-bit FNV-1a rolling fingerprint of a string. */

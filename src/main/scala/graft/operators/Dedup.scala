@@ -77,19 +77,13 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** All unordered (i, j) pairs (i < j) from a SORTED id array — emitted
-    * inside codegen; a bucket of b ids yields b·(b-1)/2 pairs, which is the
-    * LSH candidate set by definition (banding keeps b small).
-    *
-    * `ids` MUST be a bare column attribute holding an already-sorted array
-    * (sort inside the upstream agg projection). Passing `array_sort(...)`
-    * here would capture the sort EXPRESSION in the nested lambdas and
-    * re-sort the bucket on every element_at — O(b³ log b) per bucket.
-    */
-  private def pairsOfSorted(ids: Column): Column =
-    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
-      transform(sequence(i + 1, size(ids)), j =>
-        struct(element_at(ids, i).as("i"), element_at(ids, j).as("j")))))
+  // Bucket pair emission uses the custom streaming PairsGenerator
+  // (GraftFunctions.pairs): a bucket of b ids yields its b·(b-1)/2
+  // candidate pairs lazily, never materializing the nested pair array a
+  // flatten∘transform formulation would allocate (a hot bucket at crawl
+  // scale would otherwise build gigabytes in one task before exploding).
+  // Input must be sorted (array_sort inside the upstream agg projection)
+  // so emitted pairs satisfy i < j.
 
   /** §2.3 dedup_minhash_lsh: MinHash(128) + LSH banding (16 bands × 8 rows)
     * over word 3-shingles, then exact-Jaccard rerank of candidates only.
@@ -137,8 +131,7 @@ object Dedup {
       .groupBy(col("band"), col("bhash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOfSorted(col("ids"))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
       .distinct()
     cand
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
@@ -173,9 +166,9 @@ object Dedup {
       .groupBy(col("band"), col("bval"))
       .agg(array_sort(collect_list(col("ds"))).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(pairsOfSorted(col("members"))).as("p"))
-      .select(col("p.i.doc_id").as("i"), col("p.j.doc_id").as("j"),
-        col("p.i.sig").as("sig_i"), col("p.j.sig").as("sig_j"))
+      .select(GraftFunctions.pairs(col("members")).as(Seq("pi", "pj")))
+      .select(col("pi.doc_id").as("i"), col("pj.doc_id").as("j"),
+        col("pi.sig").as("sig_i"), col("pj.sig").as("sig_j"))
       .distinct()
     cand
       .select(col("i"), col("j"),
@@ -253,8 +246,7 @@ object Dedup {
       .groupBy(col("tbl"), col("bucket"))
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOfSorted(col("ids"))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("i"), col("embedding").as("v_i")), Seq("i"))

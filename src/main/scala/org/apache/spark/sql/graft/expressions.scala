@@ -9,9 +9,10 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import graft.functions.GraftKernels
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
@@ -166,6 +167,55 @@ case class ByteFeature(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** pairs(array<T>) → rows (i: T, j: T), every unordered element pair of a
+  * SORTED array with i before j — a custom [[Generator]] that STREAMS the
+  * b·(b-1)/2 pairs of a b-element LSH bucket lazily instead of first
+  * materializing them as a nested array (what flatten∘transform + explode
+  * does). On a hot bucket of 10⁵ ids the array form allocates ~5·10⁹
+  * structs in one task before exploding; this yields them one at a time.
+  * Interpreted eval (generators aren't whole-stage-codegen'd; the hot
+  * arithmetic here is allocation, not expression dispatch).
+  */
+case class PairsGenerator(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pairs() requires an array input, got ${other.sql}")
+  }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("i", elemType, nullable = true),
+    StructField("j", elemType, nullable = true)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) Iterator.empty
+    else {
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = a.numElements()
+      val et = elemType
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = n >= 2 && i < n - 1
+        override def next(): InternalRow = {
+          val row = new GenericInternalRow(Array[Any](a.get(i, et), a.get(j, et)))
+          j += 1
+          if (j >= n) { i += 1; j = i + 1 }
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-API wrappers (re-exported as graft.functions.GraftFunctions). */
 object GraftColumns {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -173,6 +223,7 @@ object GraftColumns {
 
   def cosine(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
   def jaccardSorted(a: Column, b: Column): Column = col(JaccardSorted(ex(a), ex(b)))
+  def pairs(sortedIds: Column): Column = col(PairsGenerator(ex(sortedIds)))
   def minhashSignature(tokens: Column, k: Int = 128, seed: Int = 42): Column =
     col(MinHashSignature(ex(tokens), k, seed))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
