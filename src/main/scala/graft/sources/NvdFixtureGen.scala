@@ -191,11 +191,31 @@ object NvdFixtureGen {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("fixtures/nvd")
-    // Bootstrap feed: 96 CVEs across years 2002..2025.
-    writeGz(s"$dir/nvdcve-1.1-fixture.json.gz", feed(0 until 96))
-    // Recent feed: overlaps the bootstrap tail (k 72..95 → already loaded)
-    // plus 24 genuinely new CVEs (k 96..119) — the incremental-load case.
-    writeGz(s"$dir/nvdcve-1.1-recent.json.gz", feed(72 until 120))
-    println(s"wrote $dir/nvdcve-1.1-fixture.json.gz and $dir/nvdcve-1.1-recent.json.gz")
+    args.drop(1).headOption match {
+      case Some(nStr) =>
+        // scale mode: n CVEs over `shards` feed files (default 1) —
+        // baseline benchmarking; not committed, the tracked fixtures stay
+        // small and deterministic
+        val n = nStr.toInt
+        val shards = args.drop(2).headOption.map(_.toInt).getOrElse(1)
+        if (shards == 1) {
+          writeGz(s"$dir/nvdcve-1.1-big.json.gz", feed(0 until n))
+          println(s"wrote $dir/nvdcve-1.1-big.json.gz ($n CVEs)")
+        } else {
+          val per = n / shards
+          (0 until shards).foreach { s =>
+            writeGz(f"$dir/nvdcve-1.1-shard$s%02d.json.gz",
+              feed(s * per until (s + 1) * per))
+          }
+          println(s"wrote $shards shards x $per CVEs under $dir")
+        }
+      case None =>
+        // Bootstrap feed: 96 CVEs across years 2002..2025.
+        writeGz(s"$dir/nvdcve-1.1-fixture.json.gz", feed(0 until 96))
+        // Recent feed: overlaps the bootstrap tail (k 72..95 → already
+        // loaded) plus 24 new CVEs (k 96..119) — the incremental case.
+        writeGz(s"$dir/nvdcve-1.1-recent.json.gz", feed(72 until 120))
+        println(s"wrote $dir/nvdcve-1.1-fixture.json.gz and $dir/nvdcve-1.1-recent.json.gz")
+    }
   }
 }
