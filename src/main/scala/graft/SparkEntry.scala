@@ -48,10 +48,12 @@ object SparkEntry {
     "q_events_moving" -> (Relational.qEventsMoving _),
     "q_part_topn_price" -> (Relational.qPartTopnPrice _),
     "q_lineitem_rollup" -> (Relational.qLineitemRollup _),
+    "q_events_cube" -> (Relational.qEventsCube _),
     "q_events_pivot" -> (Relational.qEventsPivot _),
     "q_events_quantiles" -> (Relational.qEventsQuantiles _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_editdistance" -> (Dedup.dedupEditdistance _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -285,6 +287,25 @@ object SparkEntry {
              count(*) FILTER (event_type = 'signup') AS signup,
              count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_events_cube" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr
+                    FROM events)
+         SELECT event_type, hr, count(*) AS n
+         FROM e GROUP BY CUBE (event_type, hr)
+         ORDER BY event_type NULLS FIRST, hr NULLS FIRST""",
+
+    "dedup_editdistance" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+                        text
+                    FROM documents),
+              p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+                    FROM t a JOIN t b
+                      ON a.lang = b.lang AND a.bkt = b.bkt
+                     AND a.doc_id < b.doc_id)
+         SELECT i, j, dist FROM p WHERE dist <= 20
+         ORDER BY i, j""",
 
     "q_events_quantiles" ->
       """SELECT event_type,

@@ -177,6 +177,30 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** §2.3 dedup_editdistance: Levenshtein near-dup pairs — the
+    * byte-precise dedup family (catches small in-place edits that shingle
+    * Jaccard smooths over). Same (lang, length-bucket) blocking as
+    * dedup_ngram_jaccard bounds the quadratic term; the DP kernel is
+    * Spark's builtin codegen'd `levenshtein` with an early-exit threshold
+    * (cost capped at O(len·k), not O(len²), for k=20).
+    */
+  def dedupEditdistance(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("bigint").as("bkt"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = t.alias("a")
+    val b = t.alias("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        levenshtein(col("a.text"), col("b.text"), 20).cast("bigint").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 20)
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Hyperplane index pairs for coordinate-difference RHP blocking: bit
     * (l, b) is sign(v[i] - v[j]) — a projection onto the hyperplane
     * (e_i - e_j)/√2. Indices derive from a splitmix64 stream at PLAN BUILD

@@ -276,6 +276,16 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("user_id"))
 
+  /** §2.2 q_events_cube: full CUBE over (event_type, hour-of-day) — all
+    * four grouping sets from one Expand + one map-side-combined aggregate.
+    */
+  def qEventsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("bigint").as("hr"))
+      .cube(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("hr").asc_nulls_first)
+
   /** §2.2 q_events_quantiles: exact interpolated quantiles per event_type
     * (`percentile` — Spark's exact variant, not approx_percentile; both
     * engines linearly interpolate the sorted values, results rounded 6dp).

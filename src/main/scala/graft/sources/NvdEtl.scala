@@ -53,12 +53,20 @@ object NvdEtl {
   /** Extract+transform: gz feed file(s) → one row per CVE, full nested
     * schema (reference etl.py:19-49 + the CVE_Items projection at :77).
     * `multiLine` because a feed is one JSON object, not NDJSON.
+    *
+    * `strict = true` mirrors the reference's fail-on-corrupt behavior
+    * (etl.py raises JSONDecodeError): a malformed feed aborts the load
+    * (FAILFAST). The default is PERMISSIVE — a corrupt feed contributes
+    * zero rows instead of poisoning a thousand-feed batch, the posture a
+    * 100 TB crawl ingest actually wants.
     */
   def ingest(spark: SparkSession, feedPath: String,
-      schemaPath: String = DefaultSchemaPath): DataFrame =
+      schemaPath: String = DefaultSchemaPath,
+      strict: Boolean = false): DataFrame =
     spark.read
       .schema(feedSchema(schemaPath))
       .option("multiLine", value = true)
+      .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
       .json(feedPath)
       .select(explode(col("CVE_Items")).as("item"))

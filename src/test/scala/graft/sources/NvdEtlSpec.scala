@@ -66,6 +66,21 @@ class NvdEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0)
   }
 
+  test("nvd_ingest: corrupt feed → zero rows lenient, throws strict") {
+    val dir = graft.TestSpark.tmpDir("nvd_corrupt")
+    val path = s"$dir/broken.json.gz"
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(path))
+    out.write("""{"CVE_data_type":"CVE","CVE_Items":[{"cve":{"CVE_data_""".getBytes)
+    out.close()
+    // lenient (default): malformed file contributes nothing
+    assert(NvdEtl.ingest(spark, path).count() === 0)
+    // strict: mirrors the reference's raise-on-corrupt
+    intercept[org.apache.spark.SparkException] {
+      NvdEtl.ingest(spark, path, strict = true).count()
+    }
+  }
+
   test("nvd_run: the reference's whole driver flow (bootstrap vs incremental)") {
     val wh = TestSpark.tmpDir("nvd_run_wh")
     // greenfield: bootstrap loads every feed in the dir (union, no dups)
