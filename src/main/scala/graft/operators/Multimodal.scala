@@ -39,6 +39,34 @@ object Multimodal {
   /** Feature record produced by batched extraction. */
   case class MediaFeature(doc_id: Long, batch_size: Int, feature: Long)
 
+  /** One sampled frame of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_len: Int, feature: Long)
+
+  /** §2.4 mm_frame_sample: fixed-stride frame sampling — the video shape
+    * (payload → n frames → per-frame feature rows). Row explosion happens
+    * INSIDE the partition (flatMap), so a 2-hour video becomes thousands
+    * of frame rows without any shuffle; a real decoder replaces the
+    * byte-slice + byteFeature pair and everything else stands.
+    * Frame count is ceil(len / frameLen); the tail frame is short.
+    */
+  def frameSample(df: DataFrame, frameLen: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(frameLen > 0)
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val n = (payload.length + frameLen - 1) / frameLen
+        (0 until n).iterator.map { f =>
+          val from = f * frameLen
+          val until = math.min(from + frameLen, payload.length)
+          val slice = java.util.Arrays.copyOfRange(payload, from, until)
+          Frame(id, f, until - from, GraftKernels.byteFeature(slice))
+        }
+      }
+      .toDF()
+  }
+
   /** §2.4 mm_batch_extract: per-partition batched feature extraction — the
     * shape a real vectorized decoder needs (accumulate a batch of payloads,
     * decode together, emit features). Batches never cross partitions, so

@@ -56,6 +56,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got2 === expected)
   }
 
+  test("mm_frame_sample: frame count/boundaries exact, features match sliced kernel") {
+    import spark.implicits._
+    val df = payloads(3)
+    val frames = Multimodal.frameSample(df, frameLen = 64).collect()
+
+    val raw = df.as[(Long, Array[Byte])].collect().toMap
+    // per-doc frame count = ceil(len/64); tail short; others exactly 64
+    raw.foreach { case (id, p) =>
+      val mine = frames.filter(_.getAs[Long]("doc_id") == id)
+        .sortBy(_.getAs[Int]("frame_idx"))
+      assert(mine.length === (p.length + 63) / 64)
+      mine.init.foreach(f => assert(f.getAs[Int]("frame_len") === 64))
+      assert(mine.last.getAs[Int]("frame_len") === p.length - (mine.length - 1) * 64)
+      // spot-check feature of frame 0 against a direct slice
+      val f0 = java.util.Arrays.copyOfRange(p, 0, math.min(64, p.length))
+      assert(mine.head.getAs[Long]("feature") === GraftKernels.byteFeature(f0))
+    }
+    assert(frames.length === raw.values.map(p => (p.length + 63) / 64).sum)
+  }
+
   test("mm_metadata surfaces payload length and typed metadata consistently") {
     val out = Multimodal.mmMetadata(spark, TestSpark.sfDir)
     val row = out.filter(col("doc_id") === out.agg(min("doc_id")).head().getLong(0)).head()
