@@ -119,5 +119,9 @@ class NvdEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val y2024 = NvdEtl.warehouse(spark, wh).filter(col("cve_year") === 2024)
     assert(y2024.count() > 0)
     assert(y2024.select(NvdEtl.cveId).collect().forall(_.getString(0).startsWith("CVE-2024")))
+    // the year predicate must prune at the scan, not filter post-read
+    val plan = y2024.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cve_year"),
+      s"expected partition pruning on cve_year in:\n$plan")
   }
 }
