@@ -69,6 +69,8 @@ object SparkEntry {
     "text_top_terms" -> (TextAnalysis.textTopTerms _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
+    "pipeline_sample" -> (TextAnalysis.pipelineSample _),
+    "pipeline_split" -> (TextAnalysis.pipelineSplit _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
   )
 
@@ -482,6 +484,24 @@ object SparkEntry {
            AND (CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
                      WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END) = lang
          ORDER BY doc_id""",
+
+    "pipeline_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 < 10
+         ORDER BY doc_id""",
+
+    "pipeline_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 AS bucket
+              FROM documents)
+         SELECT lang,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs
+         FROM b GROUP BY lang, split
+         ORDER BY lang, split""",
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks

@@ -114,6 +114,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Stable per-doc bucket in [0, 100): first 4 hex digits of md5 of the
+    * doc id, mod 100. md5 is bit-identical across engines and immune to
+    * partitioning/row order — the ONLY sane way to sample or split a
+    * corpus reproducibly at 100 TB (rand() changes under retries; row
+    * position changes under repartition).
+    */
+  private def hashBucket: Column =
+    (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("bigint") % 100).as("bucket")
+
+  /** §2.4 pipeline_sample: deterministic 10% corpus sample by content-hash
+    * bucket — reproducible on any cluster layout, no RNG state.
+    */
+  def pipelineSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), hashBucket)
+      .filter(col("bucket") < 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** §2.4 pipeline_split: stable 90/5/5 train/val/test assignment by the
+    * same hash buckets — a doc's split never changes as the corpus grows,
+    * so no train/test leakage across dataset versions.
+    */
+  def pipelineSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), hashBucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
   /** §2.4 pipeline_corpus_filter: the composed "prepare a training corpus"
     * selection — quality floor + token-count band + language-ID agreement,
     * all single-pass map-side column arithmetic over one scan (the
