@@ -390,6 +390,32 @@ object SparkEntry {
          ORDER BY i, j"""
     },
 
+    // Same coordinate-difference RHP blocking as the Spark plan (identical
+    // baked-in hyperplane constants) — candidate generation itself is gated.
+    "sim_topk_lsh" -> {
+      val buckets = graft.operators.Similarity.lshBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"q.s$i = c.s$i").mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
+              q AS (SELECT * FROM s WHERE vec_id < 10),
+              cand AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                           list_cosine_similarity(q.v, c.v) AS sim_raw
+                       FROM q JOIN s c
+                         ON c.vec_id <> q.vec_id AND ($anyBucket)),
+              r AS (SELECT q_id, c_id, sim_raw,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim_raw DESC, c_id) AS rk
+                    FROM cand)
+         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
+                round(sim_raw, 6) AS sim
+         FROM r WHERE rk <= 10
+         ORDER BY q_id, rank"""
+    },
+
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

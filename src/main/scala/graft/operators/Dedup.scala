@@ -201,33 +201,9 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Hyperplane index pairs for coordinate-difference RHP blocking: bit
-    * (l, b) is sign(v[i] - v[j]) — a projection onto the hyperplane
-    * (e_i - e_j)/√2. Indices derive from a splitmix64 stream at PLAN BUILD
-    * time, so the exact same constants are baked into the Spark plan and
-    * the DuckDB oracle SQL (see [[embeddingBucketSqlExprs]]): both engines
-    * block identically, the gate stays hash-exact, and no synthetic label
-    * column is ever consulted.
-    */
-  private[graft] def rhpIndexPairs(tables: Int, bits: Int, dim: Int,
-      seed: Long): Seq[Seq[(Int, Int)]] = {
-    def mix(x: Long): Long = {
-      var z = x + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    (0 until tables).map { l =>
-      (0 until bits).map { b =>
-        val h = mix(seed * 0x632BE59BD9B4E019L + l * 64L + b)
-        val i = ((h >>> 8) % dim).toInt.abs
-        val j0 = ((h >>> 34) % (dim - 1)).toInt.abs
-        val j = if (j0 >= i) j0 + 1 else j0
-        (i + 1, j + 1) // 1-based: element_at / DuckDB list index
-      }
-    }
-  }
-
+  // Coordinate-difference RHP blocking constants — the same baked-in
+  // hyperplanes drive the Spark plan and the DuckDB oracle SQL (see
+  // [[RhpBlocking]]); no synthetic label column is ever consulted.
   private[graft] val EmbTables = 8
   private[graft] val EmbBits = 4
   private[graft] val EmbDim = 64
@@ -235,11 +211,7 @@ object Dedup {
 
   /** The per-table bucket expressions as DuckDB SQL (for the oracle). */
   private[graft] def embeddingBucketSqlExprs(alias: String): Seq[String] =
-    rhpIndexPairs(EmbTables, EmbBits, EmbDim, EmbSeed).map { tbl =>
-      tbl.zipWithIndex.map { case ((i, j), b) =>
-        s"(CASE WHEN $alias.embedding[$i] > $alias.embedding[$j] THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
-    }
+    RhpBlocking.bucketSqlExprs(alias, EmbTables, EmbBits, EmbDim, EmbSeed)
 
   /** §2.3 dedup_embedding: embedding-cosine near-dup pairs over an
     * UNLABELED corpus — candidate blocking by coordinate-difference RHP
@@ -255,14 +227,10 @@ object Dedup {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    def bucketCol(tbl: Seq[(Int, Int)]): Column =
-      tbl.zipWithIndex.map { case ((i, j), b) =>
-        when(element_at(col("embedding"), i) > element_at(col("embedding"), j),
-          lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val sigCols = rhpIndexPairs(EmbTables, EmbBits, EmbDim, EmbSeed)
+    val sigCols = RhpBlocking.indexPairs(EmbTables, EmbBits, EmbDim, EmbSeed)
       .zipWithIndex.map { case (tbl, l) =>
-        struct(lit(l).as("tbl"), bucketCol(tbl).as("bucket"))
+        struct(lit(l).as("tbl"),
+          RhpBlocking.bucketCol(col("embedding"), tbl).as("bucket"))
       }
     val cand = e
       .select(col("vec_id"), explode(array(sigCols: _*)).as("s"))

@@ -58,7 +58,12 @@ object Similarity {
     * serve as grouping keys — then exact-cosine rerank and bounded-heap
     * top-k.
     *
-    * Defaults (5 bits × 24 tables) are tuned for this corpus's weak
+    * Blocking is the shared coordinate-difference RHP family
+    * ([[RhpBlocking]]) with constants baked into the plan AND the DuckDB
+    * oracle — the gate replicates candidate generation exactly, so this
+    * operator is hash-exact-verified end to end, not rows-only.
+    *
+    * Defaults (5 bits × 32 tables) are tuned for this corpus's weak
     * neighbors (top-10 sims ≈ 0.3 ⇒ per-bit collision ≈ 0.6, per-table
     * 0.6^5, union recall ≈ 0.85 — asserted by SimilaritySpec). A corpus
     * with genuinely near duplicates (sim ≥ 0.8) wants MORE bits per table
@@ -66,17 +71,28 @@ object Similarity {
     * concentrates; recall per (bits, tables, sim) is 1-(1-p^bits)^tables
     * with p = 1 - acos(sim)/pi.
     */
+  private[graft] val LshTables = 32
+  private[graft] val LshBits = 5
+  private[graft] val LshDim = 64
+  private[graft] val LshSeed = 11L
+
+  /** The per-table bucket expressions as DuckDB SQL (for the oracle). */
+  private[graft] def lshBucketSqlExprs(alias: String): Seq[String] =
+    RhpBlocking.bucketSqlExprs(alias, LshTables, LshBits, LshDim, LshSeed)
+
   def simTopkLsh(spark: SparkSession, dir: String): DataFrame =
-    simTopkLsh(spark, dir, bits = 5, tables = 24)
+    simTopkLsh(spark, dir, bits = LshBits, tables = LshTables)
 
   def simTopkLsh(spark: SparkSession, dir: String, bits: Int, tables: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
 
     // per-table signature rows: (id, [vec], table, bucket)
     def explodeSigs(df: DataFrame, id: String, keep: Seq[String]): DataFrame = {
-      val sigCols = (0 until tables).map(t =>
-        struct(lit(t).as("table"),
-          GraftFunctions.rhpSignature(col("__vec"), bits, 42 + t).as("bucket")))
+      val sigCols = RhpBlocking.indexPairs(tables, bits, LshDim, LshSeed)
+        .zipWithIndex.map { case (tbl, t) =>
+          struct(lit(t).as("table"),
+            RhpBlocking.bucketCol(col("__vec"), tbl).as("bucket"))
+        }
       df.select((col(id) +: keep.map(col) :+ explode(array(sigCols: _*)).as("s")): _*)
         .select((col(id) +: keep.map(col) :+ col("s.table").as("table")
           :+ col("s.bucket").as("bucket")): _*)
