@@ -433,6 +433,39 @@ object SparkEntry {
          FROM r WHERE rk <= 10
          ORDER BY q_id, rank""",
 
+    // Replicates the whole IVF dataflow: same 16 centroids (vec_id < 16),
+    // same (cosine desc, cent_id desc) assignment tie-break, same 6-cell
+    // probe, same rerank — a corpus vector sits in exactly one cell, so a
+    // (q, c) candidate pair is unique and no dedup is needed on either side.
+    "sim_topk_ivf" ->
+      """WITH e0 AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+              cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 16),
+              scored AS (SELECT x.vec_id, x.v, c.cid,
+                             list_cosine_similarity(x.v, c.cv) AS cs
+                         FROM e0 x CROSS JOIN cents c),
+              ranked AS (SELECT vec_id, v, cid,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cs DESC, cid DESC) AS rn
+                         FROM scored),
+              corpus AS (SELECT vec_id AS c_id, v AS cv2, cid AS cell
+                         FROM ranked WHERE rn = 1),
+              queries AS (SELECT vec_id AS q_id, v AS qv, cid AS cell
+                          FROM ranked WHERE vec_id < 10 AND rn <= 6),
+              cand AS (SELECT q.q_id, c.c_id,
+                           list_cosine_similarity(q.qv, c.cv2) AS sim_raw
+                       FROM queries q JOIN corpus c
+                         ON q.cell = c.cell AND c.c_id <> q.q_id),
+              r AS (SELECT q_id, c_id, sim_raw,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim_raw DESC, c_id) AS rk
+                    FROM cand)
+         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
+                round(sim_raw, 6) AS sim
+         FROM r WHERE rk <= 10
+         ORDER BY q_id, rank""",
+
     "text_tokencount" ->
       """SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
