@@ -53,10 +53,17 @@ object Bench {
 
     def jmap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // escape backslash, quote, and ALL control chars — an exception message
+    // with stray binary must not make the one-line JSON report unparseable
+    def jstr(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def jsmap(m: collection.Map[String, String]): String =
-      m.map { case (k, v) =>
-        s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}\""
-      }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"${jstr(k)}\":\"${jstr(v)}\"" }
+        .mkString("{", ",", "}")
 
     val total = warm.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(warm)},"queries_cold":${jmap(cold)},"errors":${jsmap(errors)},"sf":"$sfDir"}""")

@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   * instead of being mutated as a loader side effect.
   */
 object GraftSession {
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-wh").toString
+
   def builder(cpus: Int): SparkSession.Builder =
     SparkSession.builder()
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
@@ -21,8 +24,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       // fresh per-JVM warehouse: managed (e.g. bucketed) tables never leak
       // files into the repo or collide with a previous run's leftovers
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      // (lazy val: ONE dir per JVM, not one per builder() call)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 
   def build(cpus: Int): SparkSession = {

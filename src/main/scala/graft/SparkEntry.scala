@@ -76,8 +76,8 @@ object SparkEntry {
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
   private val nvdFeedCte =
-    """WITH f AS (SELECT unnest(CVE_Items) AS item
-         FROM read_json('/root/repo/fixtures/nvd/nvdcve-1.1-fixture.json.gz',
+    s"""WITH f AS (SELECT unnest(CVE_Items) AS item
+         FROM read_json('${graft.sources.NvdEtl.FixtureAbsPath}',
                         maximum_object_size=104857600))"""
 
   /** DuckDB-equivalent SQL per query (the driver's correctness oracle). */
@@ -509,8 +509,8 @@ object SparkEntry {
              CAST(length(text) AS BIGINT) AS payload_len,
              source AS origin,
              'text/plain' AS mime,
-             CAST(list_sum(list_transform(range(length(text)),
-               i -> unicode(text[i+1]) * ((i % 7) + 1))) AS BIGINT) AS feature
+             CAST(COALESCE(list_sum(list_transform(range(length(text)),
+               i -> unicode(text[i+1]) * ((i % 7) + 1))), 0) AS BIGINT) AS feature
          FROM documents ORDER BY doc_id""",
 
     "pipeline_corpus_filter" ->

@@ -17,10 +17,8 @@ import graft.sources.NvdEtl
   */
 object Nvd {
 
-  private val Fixture = "/root/repo/fixtures/nvd/nvdcve-1.1-fixture.json.gz"
-
   private def cves(spark: SparkSession): DataFrame =
-    NvdEtl.ingest(spark, Fixture)
+    NvdEtl.ingest(spark, NvdEtl.FixtureAbsPath)
 
   /** §2.1 q_nvd_count: COUNT over the nested ID path — the reference
     * README's counting query (README.md:29-34) and the bootstrap probe

@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt in [0, n): hash of the whole row's columns
-    * — uniform across identical join keys, stable under task retry.
+  /** Per-row salt in [0, n): hash of the row's columns MIXED with the
+    * row's position (monotonically_increasing_id), so fully duplicate rows
+    * of a hot key still spread across all n salts — content-only hashing
+    * would give every identical copy the same salt and defeat the
+    * mitigation exactly in its target scenario (mass-duplicate hot keys).
+    * Join correctness never depends on WHICH salt a row gets (the small
+    * side is replicated across all of them), so positional mixing is safe;
+    * within one execution each row reads one consistent salt.
     */
   private def rowSalt(df: DataFrame, n: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(n))
+    pmod(hash((df.columns.map(col) :+ monotonically_increasing_id()): _*), lit(n))
 
   /** Equi-join `big ⋈ small` on big(key)=small(key), salted n ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,

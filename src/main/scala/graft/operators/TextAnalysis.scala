@@ -165,15 +165,22 @@ object TextAnalysis {
       val litArr = array(stops.map(lit): _*)
       size(filter(toks, t => array_contains(litArr, t))).cast("bigint")
     }
-    val predLang =
-      when(hits(enStops) >= hits(esStops) && hits(enStops) >= hits(deStops), "en")
-        .when(hits(esStops) >= hits(deStops), "es")
-        .otherwise("de")
+    // land the hit counts in attributes FIRST: referencing hits(...) from
+    // several when-branches would re-run the higher-order filter per
+    // branch (CaseWhen branches are not subexpression-eliminated)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
-        quality.as("quality"), predLang.as("pred_lang"))
+        quality.as("quality"),
+        hits(enStops).as("__en"), hits(esStops).as("__es"),
+        hits(deStops).as("__de"))
+      .withColumn("pred_lang",
+        when(col("__en") >= col("__es") && col("__en") >= col("__de"), "en")
+          .when(col("__es") >= col("__de"), "es")
+          .otherwise("de"))
       .filter(col("quality") >= 0.7 && col("n_tokens").between(5, 1000) &&
         col("pred_lang") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+        col("pred_lang"))
       .orderBy(col("doc_id"))
   }
 }

@@ -29,6 +29,12 @@ object NvdEtl {
   val FixturePath = "fixtures/nvd/nvdcve-1.1-fixture.json.gz"
   val RecentFixturePath = "fixtures/nvd/nvdcve-1.1-recent.json.gz"
 
+  /** Absolute form shared by the SparkEntry queries and their oracle SQL —
+    * the driver may run Spark and DuckDB from arbitrary working dirs, so
+    * the contract surface pins the one canonical location.
+    */
+  val FixtureAbsPath = s"/root/repo/$FixturePath"
+
   /** Schema of one CVE item (schema.json → StructType). */
   def itemSchema(schemaPath: String = DefaultSchemaPath): StructType =
     BqJsonSchema.parseFile(schemaPath)

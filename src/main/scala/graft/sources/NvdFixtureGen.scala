@@ -204,10 +204,11 @@ object NvdFixtureGen {
         } else {
           val per = n / shards
           (0 until shards).foreach { s =>
-            writeGz(f"$dir/nvdcve-1.1-shard$s%02d.json.gz",
-              feed(s * per until (s + 1) * per))
+            // last shard absorbs the remainder so exactly n CVEs land
+            val hi = if (s == shards - 1) n else (s + 1) * per
+            writeGz(f"$dir/nvdcve-1.1-shard$s%02d.json.gz", feed(s * per until hi))
           }
-          println(s"wrote $shards shards x $per CVEs under $dir")
+          println(s"wrote $shards shards, $n CVEs total under $dir")
         }
       case None =>
         // Bootstrap feed: 96 CVEs across years 2002..2025.

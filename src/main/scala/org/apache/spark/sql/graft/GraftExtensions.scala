@@ -20,6 +20,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def arity(c: Seq[Expression], n: Int, fn: String): Seq[Expression] = {
+    if (c.size != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${c.size}")
+    c
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -32,36 +39,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
-      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))))
+      (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_cosine"); CosineSimilarity(c(0), c(1)) }))
 
     ext.injectFunction((FunctionIdentifier("graft_fingerprint64"),
       info("graft_fingerprint64", "graft_fingerprint64(s) - 64-bit FNV-1a fingerprint"),
-      (c: Seq[Expression]) => Fingerprint64(c(0))))
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_fingerprint64"); Fingerprint64(c(0)) }))
 
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a token array"),
-      (c: Seq[Expression]) => SimHash64(c(0))))
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_simhash64"); SimHash64(c(0)) }))
 
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(tokens, k, seed) - k-minima MinHash signature"),
-      (c: Seq[Expression]) => MinHashSignature(c(0),
-        intLit(c(1), "k"), intLit(c(2), "seed"))))
+      (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_minhash")
+        MinHashSignature(c(0), intLit(c(1), "k"), intLit(c(2), "seed")) }))
 
     ext.injectFunction((FunctionIdentifier("graft_rhp_signature"),
       info("graft_rhp_signature", "graft_rhp_signature(vec, bits, seed) - random-hyperplane LSH bucket"),
-      (c: Seq[Expression]) => RhpSignature(c(0),
-        intLit(c(1), "bits"), intLit(c(2), "seed"))))
+      (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_rhp_signature")
+        RhpSignature(c(0), intLit(c(1), "bits"), intLit(c(2), "seed")) }))
 
     ext.injectFunction((FunctionIdentifier("graft_jaccard_sorted"),
       info("graft_jaccard_sorted", "graft_jaccard_sorted(a, b) - Jaccard of sorted distinct string arrays"),
-      (c: Seq[Expression]) => JaccardSorted(c(0), c(1))))
+      (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_jaccard_sorted"); JaccardSorted(c(0), c(1)) }))
 
     ext.injectFunction((FunctionIdentifier("graft_byte_feature"),
       info("graft_byte_feature", "graft_byte_feature(bin) - deterministic stub media feature"),
-      (c: Seq[Expression]) => ByteFeature(c(0))))
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_byte_feature"); ByteFeature(c(0)) }))
 
     ext.injectFunction((FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(score, id, k) - per-group bounded top-k as array<struct>"),
-      (c: Seq[Expression]) => TopKByScore(c(0), c(1), intLit(c(2), "k"))))
+      (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_top_k"); TopKByScore(c(0), c(1), intLit(c(2), "k")) }))
   }
 }

@@ -14,9 +14,12 @@ class SkewSpec extends AnyFunSuite {
 
   test("salted join equals plain join on a skewed distribution") {
     import spark.implicits._
-    // 90% of the big side hits one hot key
+    // 90% of the big side hits one hot key, and half of those rows are
+    // FULL duplicates (identical content) — the case content-only salting
+    // would fail to spread
     val big = (0 until 20000)
-      .map(i => (if (i % 10 < 9) 1L else (i % 100).toLong, i.toLong))
+      .map(i => (if (i % 10 < 9) 1L else (i % 100).toLong,
+        if (i % 20 < 9) 777L else i.toLong))
       .toDF("k", "payload").repartition(8)
     val small = (0 until 100).map(i => (i.toLong, s"dim_$i")).toDF("k2", "name")
 
@@ -29,12 +32,13 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("salt spreads a single hot key across n partitions' worth of groups") {
+  test("salt spreads a hot key of FULLY IDENTICAL rows across all n salts") {
     import spark.implicits._
-    val big = (0 until 8000).map(i => (1L, i.toLong)).toDF("k", "payload")
-    // count distinct salts assigned to the one hot key
+    // 8000 bit-identical rows — content hashing alone would yield 1 salt
+    val big = (0 until 8000).map(_ => (1L, 777L)).toDF("k", "payload")
     val salts = big
-      .withColumn("__salt", pmod(hash(col("k"), col("payload")), lit(8)))
+      .withColumn("__salt", pmod(
+        hash(col("k"), col("payload"), monotonically_increasing_id()), lit(8)))
       .select(col("__salt")).distinct().count()
     assert(salts === 8)
   }
