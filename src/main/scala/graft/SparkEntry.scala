@@ -39,6 +39,9 @@ object SparkEntry {
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
     "q5_region_revenue" -> (Relational.q5RegionRevenue _),
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q12_priority_class" -> (Relational.q12PriorityClass _),
+    "q14_promo_share" -> (Relational.q14PromoShare _),
+    "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q_top_customers_per_nation" -> (Relational.qTopCustomersPerNation _),
     "q_order_priority_exists" -> (Relational.qOrderPriorityExists _),
     "q_customer_no_orders" -> (Relational.qCustomerNoOrders _),
@@ -217,6 +220,45 @@ object SparkEntry {
            AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS high_line_count,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
+    "q14_promo_share" ->
+      """SELECT
+             CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS promo_share_pct,
+             COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'""",
+
+    "q19_disjunctive" ->
+      """SELECT
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 30))""",
 
     "q_top_customers_per_nation" ->
       """WITH r AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey,

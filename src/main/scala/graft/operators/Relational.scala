@@ -299,6 +299,64 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** §2.2 q14_promo_share: TPC-H Q14-style conditional-aggregate ratio —
+    * promo revenue share of total, both terms accumulated exact-decimal in
+    * ONE pass (a conditional sum, not two scans), single fp division at
+    * the end. The part join is SF-proportional on both sides → AQE picks
+    * the strategy.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-07-01 00:00:00"))
+    val p = Tables.part(spark, dir)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") * 100.0 /
+          sum(discPrice).cast("double")).as("promo_share_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** §2.2 q19_disjunctive: TPC-H Q19-style OR-of-ANDs predicate join —
+    * three disjoint (brand, size-band, quantity-band) branches. The
+    * disjunction sits in the JOIN condition beside the equi-key, so Spark
+    * plans an equi-join with the residual OR as a post-join filter —
+    * exercising exactly the predicate shape optimizers mishandle.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#7" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#13" &&
+      col("p_size").between(20, 50) && col("l_quantity").between(20, 30)
+    l.join(p, col("l_partkey") === col("p_partkey") &&
+        (branch1 || branch2 || branch3))
+      .agg(sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** §2.2 q12_priority_class: TPC-H Q12-style two-class conditional counts
+    * — urgent/high vs other order priorities per returnflag, one shuffle,
+    * conditional aggregation instead of two passes.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    val o = Tables.orders(spark, dir)
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
