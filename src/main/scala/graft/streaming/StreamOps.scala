@@ -58,6 +58,25 @@ object StreamOps {
         max(unix_micros(col("ts"))).as("end_us"))
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
 
+  /** stream_interval_join: stream-stream inner join — each click pairs
+    * with the same user's views from the preceding 30 minutes. Watermarks
+    * bound both sides' state (a view older than watermark+30min can never
+    * match a future click and is evicted); the time-range condition is
+    * what makes the state finite. The SAME transform runs in batch
+    * (watermarks no-op, the range condition becomes a plain ϴ-join) —
+    * parity asserted in StreamingSpec.
+    */
+  def intervalJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "1 hour").alias("c")
+      .join(
+        views.withWatermark("ts", "1 hour").alias("v"),
+        expr("""c.user_id = v.user_id AND
+                v.ts >= c.ts - INTERVAL 30 MINUTES AND v.ts <= c.ts"""))
+      .select(col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
+        col("c.user_id").as("user_id"),
+        unix_micros(col("c.ts")).as("click_us"),
+        unix_micros(col("v.ts")).as("view_us"))
+
   /** stream_nvd_ingest: the reference's cron-driven incremental loop
     * (bq-nvd.py:98-104 download → extract → transform → load) as a
     * Structured Streaming file source: drop a new feed .json.gz into the

@@ -116,6 +116,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_interval_join: stream-stream result equals the batch theta-join") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val batch = StreamOps.intervalJoin(
+        all.filter(col("event_type") === "click"),
+        all.filter(col("event_type") === "view"))
+      .orderBy(col("click_id"), col("view_id")).collect()
+    assert(batch.nonEmpty)
+
+    val evs = all.as[Ev].collect().toSeq
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val q = StreamOps.intervalJoin(
+        clicks.toDF().filter(col("event_type") === "click"),
+        views.toDF().filter(col("event_type") === "view"))
+      .writeStream.format("memory").queryName("ij_parity")
+      .outputMode("append").start()
+    try {
+      // both sides in two micro-batches each, interleaved
+      val (a, b) = evs.splitAt(evs.size / 2)
+      clicks.addData(a); views.addData(a)
+      q.processAllAvailable()
+      clicks.addData(b); views.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("ij_parity")
+        .orderBy(col("click_id"), col("view_id")).collect()
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("stream_dedup: duplicate event_ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
