@@ -54,6 +54,8 @@ object SparkEntry {
     "q_events_cube" -> (Relational.qEventsCube _),
     "q_events_pivot" -> (Relational.qEventsPivot _),
     "q_events_quantiles" -> (Relational.qEventsQuantiles _),
+    "q_events_json_props" -> (Relational.qEventsJsonProps _),
+    "q22_above_avg_idle" -> (Relational.q22AboveAvgIdle _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -357,6 +359,24 @@ object SparkEntry {
              round(quantile_cont(value, 0.95), 6) AS p95,
              count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_events_json_props" ->
+      """WITH e AS (SELECT event_type,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+         SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k
+         FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "q22_above_avg_idle" ->
+      """SELECT c_custkey, c_name, c_acctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                        AS DOUBLE) / COUNT(*) FROM customer)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+         ORDER BY c_custkey""",
 
     "q_events_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus

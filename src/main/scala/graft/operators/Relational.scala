@@ -357,6 +357,47 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** §2.2 q_events_json_props: schema-declared JSON parsing of the props
+    * column (`from_json`, not inference — the 100 TB posture: one declared
+    * schema, no sampling pass) + aggregation on the extracted field.
+    */
+  def qEventsJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 q22_above_avg_idle: TPC-H Q22-style scalar-subquery filter —
+    * customers above the GLOBAL average balance with no recent orders.
+    * The average is a broadcast scalar (one tiny agg feeding a cross
+    * predicate), the idleness test a left-anti join; at warehouse scale
+    * the scalar side never shuffles the fact.
+    */
+  def q22AboveAvgIdle(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    // exact-decimal global average surfaced as one scalar row
+    val avgBal = c.agg(
+      (sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= ts("1997-06-01 00:00:00"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
