@@ -28,9 +28,16 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 
+  private lazy val checkpointDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
   def build(cpus: Int): SparkSession = {
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint target for materialization barriers
+    // (NvdEtl.loadFeed); on a cluster this would be a durable FS path
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(checkpointDir)
     s
   }
 

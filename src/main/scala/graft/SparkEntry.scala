@@ -225,10 +225,10 @@ object SparkEntry {
 
     "q12_priority_class" ->
       """SELECT l_returnflag,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS high_line_count,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                      THEN 0 ELSE 1 END) AS low_line_count
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -364,7 +364,8 @@ object SparkEntry {
       """WITH e AS (SELECT event_type,
                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
               FROM events)
-         SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k,
+         SELECT event_type, count(k) AS n_with_k,
+                CAST(sum(k) AS BIGINT) AS sum_k,
                 min(k) AS min_k, max(k) AS max_k
          FROM e GROUP BY event_type ORDER BY event_type""",
 

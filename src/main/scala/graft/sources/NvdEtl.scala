@@ -73,7 +73,9 @@ object NvdEtl {
       .schema(feedSchema(schemaPath))
       .option("multiLine", value = true)
       .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+      // real NVD 1.1 feeds publish minute-precision timestamps
+      // ("2019-04-09T20:15Z") — seconds and millis must both be optional
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm[:ss][.SSS]XXX")
       .json(feedPath)
       .select(explode(col("CVE_Items")).as("item"))
       .select("item.*")
@@ -133,13 +135,17 @@ object NvdEtl {
   def loadFeed(spark: SparkSession, feedPath: String, warehouseDir: String,
       schemaPath: String = DefaultSchemaPath): Long = {
     val feed = ingest(spark, feedPath, schemaPath)
+    // checkpoint(): a REAL materialization barrier, not a cache hint.
+    // The append below writes into the same directory the delta's
+    // anti-join lazily reads; persist() could silently drop partitions and
+    // recompute the delta WHILE the warehouse is being appended to. An
+    // eager reliable checkpoint truncates the lineage first, so the append
+    // can never re-read its own output.
     val delta = newCves(feed, warehouse(spark, warehouseDir, schemaPath))
-      .persist()
-    try {
-      val n = delta.count()
-      if (n > 0) append(delta, warehouseDir)
-      n
-    } finally delta.unpersist()
+      .checkpoint()
+    val n = delta.count()
+    if (n > 0) append(delta, warehouseDir)
+    n
   }
 
   /** The reference's whole driver flow (bq-nvd.py:153-163 main):

@@ -93,7 +93,7 @@ object StreamOps {
     spark.readStream
       .schema(graft.sources.NvdEtl.feedSchema(schemaPath))
       .option("multiLine", value = true)
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm[:ss][.SSS]XXX")
       .json(watchDir)
       .select(explode(col("CVE_Items")).as("item"))
       .select("item.*")

@@ -32,8 +32,13 @@ final class TopKHeap(val k: Int) {
     }
   }
 
-  /** Best-first (score desc, id asc). */
-  def sorted: Array[(Double, Long)] = q.dequeueAll.reverse.toArray
+  /** Best-first (score desc, id asc). Non-destructive: window-frame
+    * execution may eval() the same aggregation buffer once per row, so
+    * draining the queue here would corrupt every evaluation after the
+    * first (under `worstFirst`, the best element is the ordering's
+    * minimum, so an ascending sort is already best-first).
+    */
+  def sorted: Array[(Double, Long)] = q.toArray.sorted(worstFirst)
 }
 
 /** top_k_by_score(score double, id long, k): per-group bounded top-k as
