@@ -56,6 +56,13 @@ object SparkEntry {
     "q_events_quantiles" -> (Relational.qEventsQuantiles _),
     "q_events_json_props" -> (Relational.qEventsJsonProps _),
     "q22_above_avg_idle" -> (Relational.q22AboveAvgIdle _),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q13_order_count_dist" -> (Relational.q13OrderCountDist _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "q21_late_sole_supplier" -> (Relational.q21LateSoleSupplier _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -76,6 +83,8 @@ object SparkEntry {
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
     "pipeline_split" -> (TextAnalysis.pipelineSplit _),
+    "text_gopher_quality" -> (TextAnalysis.textGopherQuality _),
+    "text_contamination" -> (TextAnalysis.textContamination _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
   )
 
@@ -640,5 +649,151 @@ object SparkEntry {
              CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
                   WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS pred_lang
          FROM h ORDER BY doc_id""",
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+
+    "q13_order_count_dist" ->
+      """WITH cc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                     FROM customer
+                     LEFT JOIN orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+                     GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM cc GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                   AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+              GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q17_small_qty_revenue" ->
+      """WITH flt AS (SELECT l_partkey, l_quantity, l_extendedprice
+                      FROM lineitem JOIN part ON l_partkey = p_partkey
+                      WHERE p_brand = 'Brand#4'),
+              a AS (SELECT l_partkey,
+                        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*) AS avg_qty
+                    FROM flt GROUP BY l_partkey)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / 7.0 AS avg_yearly,
+                COUNT(*) AS n_items
+         FROM flt JOIN a USING (l_partkey)
+         WHERE l_quantity < avg_qty * 0.2""",
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum_qty > 300.0)
+         SELECT c_custkey, c_name, o_orderkey,
+                CAST(o_orderdate AS DATE) AS orderdate, o_totalprice, sum_qty
+         FROM big
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
+
+    "q21_late_sole_supplier" ->
+      """WITH pairs AS (SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY l_orderkey, l_suppkey)
+         SELECT s_name, count(*) AS numwait
+         FROM pairs p1 JOIN supplier ON p1.l_suppkey = s_suppkey
+         WHERE p1.late = 1
+           AND EXISTS (SELECT 1 FROM pairs p2
+                       WHERE p2.l_orderkey = p1.l_orderkey
+                         AND p2.l_suppkey <> p1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM pairs p3
+                           WHERE p3.l_orderkey = p1.l_orderkey
+                             AND p3.l_suppkey <> p1.l_suppkey
+                             AND p3.late = 1)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 10""",
+
+    "text_gopher_quality" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+              f AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+              m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                        CAST(count(*) AS BIGINT) AS n_unique,
+                        CAST(max(c) AS BIGINT) AS mx
+                    FROM f GROUP BY doc_id),
+              d AS (SELECT doc_id, length(text) AS nc FROM documents)
+         SELECT m.doc_id, n_words, n_unique,
+             round(1.0 - CAST(n_unique AS DOUBLE) / n_words, 6)
+               AS dup_word_ratio,
+             round(CAST(mx AS DOUBLE) / n_words, 6) AS top_word_frac,
+             round(CAST(nc - n_words + 1 AS DOUBLE) / n_words, 6)
+               AS mean_word_len,
+             CAST(n_words >= 20
+                  AND CAST(mx AS DOUBLE) / n_words <= 0.125
+                  AND 1.0 - CAST(n_unique AS DOUBLE) / n_words <= 0.6
+                  AS INTEGER) AS keep
+         FROM m JOIN d USING (doc_id)
+         ORDER BY doc_id""",
+
+    "text_contamination" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 AS bucket
+              FROM documents),
+              g AS (SELECT doc_id, bucket,
+                        unnest(list_distinct(list_transform(
+                          range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' ')))) AS gram
+                    FROM b),
+              train AS (SELECT DISTINCT gram FROM g WHERE bucket < 90),
+              test AS (SELECT doc_id, gram FROM g WHERE bucket >= 95)
+         SELECT t.doc_id, count(*) AS n_grams, count(tr.gram) AS n_shared,
+                round(CAST(count(tr.gram) AS DOUBLE) / count(*), 6)
+                  AS contamination
+         FROM test t LEFT JOIN train tr USING (gram)
+         GROUP BY t.doc_id
+         ORDER BY t.doc_id""",
   )
 }

@@ -398,6 +398,163 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** §2.2 q7_volume_shipping: TPC-H Q7-style bilateral trade volume — the
+    * dual-role dimension shape (nation joined twice under different roles).
+    * Both nation sides are filtered to the two trading partners BEFORE the
+    * broadcast joins (25-row dim → 2 rows), the cross-pair residual runs
+    * after; facts shuffle once on orderkey.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val partners = Seq("NATION_3", "NATION_7")
+    val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(partners: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(partners: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** §2.2 q10_returned_items: TPC-H Q10-style returned-item revenue ranking
+    * — top 20 customers by lost revenue in a quarter. Fact-fact join
+    * shuffles once on orderkey; customer join is AQE-planned; nation is a
+    * broadcast dim; bounded top-N with unique tie-break.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-04-01 00:00:00"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** §2.2 q13_order_count_dist: TPC-H Q13-style customer order-count
+    * distribution — the outer-join + double-aggregation shape (customers
+    * with zero orders must survive into the histogram). Two inherent
+    * shuffles: custkey, then the tiny count-of-counts.
+    */
+  def q13OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** §2.2 q15_top_supplier: TPC-H Q15-style argmax-over-aggregate — the
+    * supplier(s) whose quarterly revenue equals the global maximum. The
+    * per-supplier aggregate computes once; its 1-row max broadcasts back as
+    * an equality filter (exact: both sides surface the identical
+    * decimal-summed double). No window over the full aggregate, no rescan.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** §2.2 q17_small_qty_revenue: TPC-H Q17-style correlated per-group
+    * average — revenue from orders below 20% of the part's average
+    * quantity. The brand filter shrinks the part side first (AQE
+    * broadcasts it at any SF where it fits); the per-part average joins
+    * back on partkey — both passes shuffle on the same key, so AQE reuses
+    * co-partitioning. The average is the exact-decimal-sum/count form, so
+    * the 0.2× threshold is bit-identical across engines.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+    val flt = Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgq = flt.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    flt.join(avgq, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** §2.2 q18_large_orders: TPC-H Q18-style having-filtered IN-subquery —
+    * orders whose total quantity exceeds a threshold, with their customers.
+    * The groupBy(orderkey) aggregate IS the subquery (no second lineitem
+    * scan); the surviving ~0.1% of orders join orders/customer AQE-planned.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"), col("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** §2.2 q21_late_sole_supplier: TPC-H Q21-style stacked EXISTS / NOT
+    * EXISTS — suppliers who were the ONLY late shipper on a multi-supplier
+    * order (late = shipped >60 days after order date; the testdata carries
+    * no receipt/commit dates). Lineitems collapse to one row per
+    * (order, supplier) FIRST — the exists/not-exists self-joins then run on
+    * the collapsed relation, all shuffling on the same orderkey, never on
+    * raw lineitems.
+    */
+  def q21LateSoleSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+        .as("late"))
+    val others = pairs.select(col("l_orderkey").as("o2"),
+      col("l_suppkey").as("s2"), col("late").as("late2"))
+    pairs.filter(col("late") === 1)
+      .join(others,
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(others.filter(col("late2") === 1),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_anti")
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */

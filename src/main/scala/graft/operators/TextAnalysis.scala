@@ -149,6 +149,79 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
 
+  /** §2.4 text_gopher_quality: Gopher-style repetition/shape quality rules
+    * — word count, duplicate-word ratio, most-frequent-word fraction, mean
+    * word length, and a composed keep/drop flag. Single scan, zero shuffle.
+    *
+    * The max word frequency is a ONE-pass fold over the sorted token array
+    * (run-length max), not a nested per-distinct-word rescan — the lambda
+    * touches only its accumulator and element, so no outer expression is
+    * re-evaluated per element (the recompute trap documented in
+    * Dedup.scala).
+    */
+  def textGopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val maxRun =
+      """aggregate(
+           array_sort(split(text, ' ')),
+           named_struct('cur', 0L, 'best', 0L, 'prev', CAST(NULL AS STRING)),
+           (a, x) -> named_struct(
+             'cur',  IF(x <=> a.prev, a.cur + 1L, 1L),
+             'best', GREATEST(a.best, IF(x <=> a.prev, a.cur + 1L, 1L)),
+             'prev', x),
+           a -> a.best)"""
+    val nTok = size(toks).cast("bigint")
+    val nChar = length(col("text")).cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_words"),
+        size(array_distinct(toks)).cast("bigint").as("n_unique"),
+        expr(maxRun).as("max_word_count"),
+        ((nChar - nTok + lit(1L)).cast("double") / nTok).as("mwl"))
+      .select(col("doc_id"), col("n_words"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_words"), 6)
+          .as("dup_word_ratio"),
+        round(col("max_word_count").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(col("mwl"), 6).as("mean_word_len"),
+        (col("n_words") >= 20 &&
+          col("max_word_count").cast("double") / col("n_words") <= 0.125 &&
+          lit(1.0) - col("n_unique").cast("double") / col("n_words") <= 0.6)
+          .cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 text_contamination: train/test leakage detection — for every
+    * test-split document, the fraction of its distinct word 3-grams that
+    * also appear anywhere in the train split (the n-gram-overlap
+    * decontamination check every eval pipeline needs). Splits reuse the
+    * [[hashBucket]] assignment of pipeline_split, so the check is stable as
+    * the corpus grows.
+    *
+    * Scale shape: 3-grams dedup per-doc map-side (array_distinct before
+    * explode), the train side collapses to DISTINCT grams before the join,
+    * and the single shuffle key is the gram itself. At 100 TB the train
+    * gram set is the big relation — the test side is ~5% and joins against
+    * it hash-partitioned; a bloom filter on test grams would pre-prune the
+    * train scan, and hot grams are bounded by the per-doc distinct.
+    */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams3 =
+      """IF(size(w) < 3, array(),
+           transform(sequence(1, size(w) - 2),
+             i -> array_join(slice(w, i, 3), ' ')))"""
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"), hashBucket)
+      .select(col("doc_id"), col("bucket"),
+        explode(array_distinct(expr(grams3))).as("gram"))
+    val train = grams.filter(col("bucket") < 90).select(col("gram")).distinct()
+    val test = grams.filter(col("bucket") >= 95)
+    test.join(train.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_shared"))
+      .withColumn("contamination",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.4 pipeline_corpus_filter: the composed "prepare a training corpus"
     * selection — quality floor + token-count band + language-ID agreement,
     * all single-pass map-side column arithmetic over one scan (the
