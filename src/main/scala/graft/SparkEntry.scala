@@ -57,6 +57,7 @@ object SparkEntry {
     "q_events_json_props" -> (Relational.qEventsJsonProps _),
     "q22_above_avg_idle" -> (Relational.q22AboveAvgIdle _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q13_order_count_dist" -> (Relational.q13OrderCountDist _),
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
@@ -667,6 +668,44 @@ object SparkEntry {
            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY supp_nation, cust_nation, l_year
          ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+             CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS mkt_share,
+             COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region   ON n2.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         WHERE r_name = 'EUROPE'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY o_year
+         ORDER BY o_year""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+             CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                       THEN h - 18446744073709551616::HUGEINT
+                       ELSE h END AS BIGINT) AS fp64
+         FROM (SELECT doc_id, list_reduce(
+                 list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(text, ''),
+                     c -> CAST(unicode(c) AS HUGEINT))),
+                 (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
+                                ::HUGEINT * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT) AS h
+               FROM documents)
+         ORDER BY doc_id""",
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -425,6 +425,37 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** §2.2 q8_market_share: TPC-H Q8-style market-share-within-group ratio —
+    * one supplier nation's share of a region's revenue per order year. Both
+    * revenue terms accumulate exact-decimal in ONE conditional pass (no
+    * second scan); the region-restricted customer-nation list and the
+    * 25-row supplier-nation dim broadcast.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val euroNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1998-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(euroNations), col("c_nationkey") === col("c_nkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", discPrice)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+          sum(discPrice).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_year"))
+  }
+
   /** §2.2 q10_returned_items: TPC-H Q10-style returned-item revenue ranking
     * — top 20 customers by lost revenue in a quarter. Fact-fact join
     * shuffles once on orderkey; customer join is AQE-planned; nation is a

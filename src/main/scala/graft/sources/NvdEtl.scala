@@ -80,6 +80,16 @@ object NvdEtl {
       .select(explode(col("CVE_Items")).as("item"))
       .select("item.*")
 
+  /** The reference transform's staging artifact (etl.py:94-116): scrubbed
+    * CVE rows as newline-delimited JSON for a bulk loader. Our warehouse
+    * loads parquet directly, but the NDJSON form remains part of the
+    * reference surface — and Spark's json sink IS newline-delimited JSON,
+    * written in parallel per partition (the reference serializes one CVE
+    * at a time on the driver).
+    */
+  def toNdjson(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").json(outDir)
+
   /** Incremental set-difference (reference etl.py:80-92): keep only feed
     * CVEs whose ID is not already in the warehouse — a distributed
     * left-anti join replacing the reference's driver-side Python set.

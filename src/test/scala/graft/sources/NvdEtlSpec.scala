@@ -81,6 +81,34 @@ class NvdEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nvd_ndjson: transform emits NDJSON that round-trips the nested schema") {
+    val out = TestSpark.tmpDir("nvd_ndjson")
+    NvdEtl.toNdjson(NvdEtl.ingest(spark, fixture), out)
+    // the artifact is genuine newline-delimited JSON: one object per line
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+    assert(part.nonEmpty)
+    val lines = part.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.length === 96)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // round-trip: schema-driven read recovers every CVE and nested fields
+    val back = spark.read.schema(NvdEtl.itemSchema()).json(out)
+    assert(back.count() === 96)
+    assert(back.select(NvdEtl.cveId).distinct().count() === 96)
+    val row = back.filter(NvdEtl.cveId === "CVE-2005-1003")
+      .select(
+        col("configurations.nodes").getItem(0).getField("cpe_match")
+          .getItem(1).getField("cpe23Uri").as("uri2"),
+        unix_timestamp(col("publishedDate")).as("pub_s"))
+      .head()
+    assert(row.getAs[String]("uri2").contains("linux_kernel"))
+    val orig = NvdEtl.ingest(spark, fixture)
+      .filter(NvdEtl.cveId === "CVE-2005-1003")
+      .select(unix_timestamp(col("publishedDate"))).head().getLong(0)
+    assert(row.getAs[Long]("pub_s") === orig)
+  }
+
   test("nvd_run: the reference's whole driver flow (bootstrap vs incremental)") {
     val wh = TestSpark.tmpDir("nvd_run_wh")
     // greenfield: bootstrap loads every feed in the dir (union, no dups)
