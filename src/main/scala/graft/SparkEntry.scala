@@ -64,6 +64,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q21_late_sole_supplier" -> (Relational.q21LateSoleSupplier _),
+    "q_events_funnel" -> (Relational.qEventsFunnel _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -86,6 +87,8 @@ object SparkEntry {
     "pipeline_split" -> (TextAnalysis.pipelineSplit _),
     "text_gopher_quality" -> (TextAnalysis.textGopherQuality _),
     "text_contamination" -> (TextAnalysis.textContamination _),
+    "pipeline_pack" -> (TextAnalysis.pipelinePack _),
+    "text_tfidf" -> (TextAnalysis.textTfidf _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
   )
 
@@ -815,6 +818,64 @@ object SparkEntry {
                   AS INTEGER) AS keep
          FROM m JOIN d USING (doc_id)
          ORDER BY doc_id""",
+
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+              v AS (SELECT user_id, min(tus) AS v_ts FROM e
+                    WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, min(tus) AS c_ts
+                    FROM e JOIN v USING (user_id)
+                    WHERE event_type = 'click' AND tus > v_ts
+                    GROUP BY e.user_id),
+              p AS (SELECT e.user_id, min(tus) AS p_ts
+                    FROM e JOIN c USING (user_id)
+                    WHERE event_type = 'purchase' AND tus > c_ts
+                    GROUP BY e.user_id)
+         SELECT user_id, v_ts, c_ts, p_ts,
+                CAST(1 + (CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS stage
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
+
+    "pipeline_pack" ->
+      """WITH b AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                md5(CAST(doc_id AS VARCHAR)) AS ord,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 AS bucket
+              FROM documents),
+              s AS (SELECT doc_id, bucket, n_tokens,
+                        COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY bucket ORDER BY ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS start_tok
+                    FROM b)
+         SELECT doc_id, bucket, n_tokens, start_tok,
+                start_tok // 256 AS pack_id,
+                start_tok % 256 AS pack_offset
+         FROM s ORDER BY doc_id""",
+
+    "text_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM w GROUP BY doc_id, term),
+              dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY term),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              sc AS (SELECT doc_id, term,
+                         CAST(tf AS DOUBLE) * n_docs / df AS score
+                     FROM tf JOIN dfq USING (term) CROSS JOIN n),
+              rk AS (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS rn,
+                         count(*) OVER (PARTITION BY doc_id) AS n_terms
+                     FROM sc)
+         SELECT doc_id, n_terms, term AS top_term,
+                round(score, 6) AS top_score
+         FROM rk WHERE rn = 1 ORDER BY doc_id""",
 
     "text_contamination" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,

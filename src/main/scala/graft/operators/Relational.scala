@@ -586,6 +586,34 @@ object Relational {
       .limit(10)
   }
 
+  /** §2.2 q_events_funnel: sequential-stage funnel — per user, the first
+    * view, the first click AFTER that view, and the first purchase AFTER
+    * that click (strict event-order semantics, not mere presence). Three
+    * conditional-min aggregations all shuffling on user_id — AQE reuses
+    * the co-partitioning; stage joins are left-outer so every viewing
+    * user appears with the stage it reached.
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tus") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tus") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+        (lit(1L) + when(col("c_ts").isNotNull, 1L).otherwise(0L) +
+          when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */

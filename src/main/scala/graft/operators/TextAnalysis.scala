@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -219,6 +220,67 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_shared"))
       .withColumn("contamination",
         round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 pipeline_pack: sequence packing for training — documents are
+    * concatenated in a stable pseudo-random order and chunked into
+    * fixed-budget (256-token) packs; each doc reports the pack its first
+    * token lands in and its offset there (concat-then-chunk, the common
+    * LLM pretraining packing).
+    *
+    * Scale shape: a single global running sum would serialize on one
+    * reducer, so packing is SHARDED — 32 hash buckets, each packed
+    * independently by a bounded window (partitionBy bucket). Pack identity
+    * is (bucket, pack_id): deterministic under any cluster layout, and
+    * shards scale with the corpus (raise the bucket count, not the
+    * reducer size).
+    */
+  def pipelinePack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("ord"), hashBucket)
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div ${budget}L").as("pack_id"),
+        (col("start_tok") % budget).as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 text_tfidf: per-document top term by inverse document frequency
+    * weighting. The weight is the RATIONAL idf variant score = tf·N/df
+    * (exact integer ratio in one fp division) rather than tf·ln(N/df):
+    * within a fixed tf the two rank identically (ln is monotone), and the
+    * rational form is bit-identical across engines — no libm in the
+    * comparison path, so the per-doc argmax is deterministic.
+    *
+    * Scale shape: two map-side-combined aggregations (doc×term tf, then
+    * term df) + a broadcast of the 1-row corpus count; the argmax is a
+    * `min(struct(-score, term))` aggregate — combiner-friendly, never a
+    * per-doc window over the corpus.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        min(struct((col("score") * -1.0).as("neg"), col("term").as("t")))
+          .as("best"))
+      .select(col("doc_id"), col("n_terms"), col("best.t").as("top_term"),
+        round(col("best.neg") * -1.0, 6).as("top_score"))
       .orderBy(col("doc_id"))
   }
 

@@ -34,4 +34,32 @@ class SketchSpec extends AnyFunSuite {
     val (a, x) = (global.getLong(0).toDouble, global.getLong(1).toDouble)
     assert(math.abs(a - x) / x <= 0.06, s"global: $a vs $x")
   }
+
+  test("approx_percentile within rank tolerance of exact quantiles") {
+    // sketch_quantiles: the constant-memory quantile path — an exact
+    // percentile sorts every group; approx_percentile keeps a bounded
+    // summary with a RANK error guarantee (±1/accuracy of the position,
+    // not of the value), so the assertion checks rank displacement.
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val accuracy = 1000 // rank error <= n/accuracy
+    val rows = e.groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, array(0.5, 0.95), $accuracy)").as("ap"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val Seq(p50a, p95a) = r.getSeq[Double](1).toSeq
+      val n = r.getAs[Long]("n")
+      // rank of the approximate answer in the exact sorted data
+      def rankOf(v: Double): Long =
+        e.filter(col("event_type") === et && col("value") <= v).count()
+      val tol = math.max(2L * n / accuracy, 2L)
+      assert(math.abs(rankOf(p50a) - (n * 0.50).toLong) <= tol,
+        s"$et p50 rank off by more than $tol of $n")
+      assert(math.abs(rankOf(p95a) - (n * 0.95).toLong) <= tol,
+        s"$et p95 rank off by more than $tol of $n")
+    }
+  }
 }
