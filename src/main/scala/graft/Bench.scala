@@ -51,11 +51,12 @@ object Bench {
       }
     }
 
-    def r3(v: Double): String =
-      new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
+    def rd(v: Double, dp: Int): String =
+      new java.math.BigDecimal(v).setScale(dp, java.math.RoundingMode.HALF_UP)
         .toPlainString
-    def jmap(m: collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    def r3(v: Double): String = rd(v, 3)
+    def jmap(m: collection.Map[String, Double], dp: Int = 3): String =
+      m.map { case (k, v) => s"\"$k\":${rd(v, dp)}" }.mkString("{", ",", "}")
     // escape backslash, quote, and ALL control chars — an exception message
     // with stray binary must not make the one-line JSON report unparseable
     def jstr(s: String): String = s.flatMap {
@@ -76,7 +77,11 @@ object Bench {
     // line (cold pass + untruncated errors) is printed FIRST, for humans.
     println(s"""{"metric":"total_detail","value":${r3(total)},"unit":"sec","queries_cold":${jmap(cold)},"errors":${jsmap(errors)},"sf":"$sfDir"}""")
     val errBrief = errors.map { case (k, v) => (k, v.take(40)) }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(warm)},"errors":${jsmap(errBrief)},"sf":"$sfDir"}""")
+    def finalLine(dp: Int): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(warm, dp)},"errors":${jsmap(errBrief)},"sf":"$sfDir"}"""
+    // stay comfortably inside a ~2 KB stdout-tail capture window
+    val line3 = finalLine(3)
+    println(if (line3.length <= 1700) line3 else finalLine(1))
     spark.stop()
   }
 }
