@@ -65,6 +65,7 @@ object SparkEntry {
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q21_late_sole_supplier" -> (Relational.q21LateSoleSupplier _),
     "q_events_funnel" -> (Relational.qEventsFunnel _),
+    "q_events_retention" -> (Relational.qEventsRetention _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -838,6 +839,19 @@ object SparkEntry {
                   AS BIGINT) AS stage
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+
+    "q_events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events),
+              c AS (SELECT user_id, min(day) AS cohort_day
+                    FROM a GROUP BY user_id)
+         SELECT cohort_day,
+                CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+                count(*) AS n_users
+         FROM a JOIN c USING (user_id)
+         WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 7
+         GROUP BY cohort_day, day_offset
+         ORDER BY cohort_day, day_offset""",
 
     "pipeline_pack" ->
       """WITH b AS (SELECT doc_id,

@@ -614,6 +614,28 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_events_retention: cohort retention — users grouped by their
+    * first-activity day, counted again on each of the next 7 days they
+    * return (the growth-analytics triangle). Two aggregations on user_id
+    * (first day, then distinct activity) co-partition; the final
+    * (cohort, offset) rollup is tiny. No per-day rescan of the events
+    * table.
+    */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohort, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("bigint"))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */

@@ -141,6 +141,79 @@ object Similarity {
   def simTopkIvf(spark: SparkSession, dir: String): DataFrame =
     simTopkIvf(spark, dir, cells = 16, nprobe = 6)
 
+  /** sim_ivf_train: distributed Lloyd iterations producing the trained
+    * centroid table a production IVF index uses (the sampled-id centroids
+    * of [[simTopkIvf]] are the drop-in untrained stand-in).
+    *
+    * Spark-first shape per iteration: assignment is a map-side argmax
+    * against the BROADCAST centroids (no shuffle, no state), and the
+    * update is ONE shuffle of (cell, dim) partial sums — explode by
+    * dimension keeps the aggregation map-side combinable, and the k·dim
+    * result is driver-tiny by construction (k centroids, not data).
+    * Deterministic: init = the `k` smallest vec_ids, mean computed
+    * per-dimension from exact counts.
+    */
+  def kmeansTrain(spark: SparkSession, dir: String, k: Int, iters: Int)
+      : Array[(Long, Array[Float])] = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    var cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    for (_ <- 0 until iters) {
+      val scored = cents.map { case (cid, cv) =>
+        struct(GraftFunctions.cosine(col("embedding"), typedlit(cv.toSeq))
+          .as("csim"), lit(cid).as("cent_id"))
+      }
+      val assigned = e.withColumn("cell",
+        element_at(reverse(array_sort(array(scored: _*))), 1)
+          .getField("cent_id"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val dim = rows.map(_.getInt(1)).max + 1
+          val v = new Array[Float](dim)
+          rows.foreach(r => v(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+          (cell, v)
+        }
+      // empty cells keep their previous centroid (deterministic)
+      cents = cents.map { case (cid, cv) => (cid, updated.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
+  /** IVF probe over an explicit (trained) centroid table — identical
+    * dataflow to [[simTopkIvf]], centroids swapped in.
+    */
+  def simTopkIvfWith(spark: SparkSession, dir: String,
+      cents: Array[(Long, Array[Float])], nprobe: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    def cellRanks(vec: Column): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(GraftFunctions.cosine(vec, typedlit(cv.toSeq)).as("csim"),
+          lit(cid).as("cent_id"))
+      }
+      reverse(array_sort(array(scored: _*)))
+    }
+    val corpus = e
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .withColumn("cell", element_at(cellRanks(col("c_vec")), 1).getField("cent_id"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(transform(slice(cellRanks(col("embedding")), 1, nprobe),
+          s => s.getField("cent_id"))).as("cell"))
+    topK(
+      corpus.join(broadcast(queries.select(col("q_id"), col("q_vec"), col("cell"))),
+          Seq("cell"))
+        .filter(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw")))
+  }
+
   def simTopkIvf(spark: SparkSession, dir: String, cells: Int, nprobe: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // The centroid table is tiny and SF-independent — collecting it at plan

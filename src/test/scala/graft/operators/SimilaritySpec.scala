@@ -57,6 +57,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall below floor")
   }
 
+  test("sim_ivf_train: Lloyd iterations improve the IVF objective, deterministically") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    def objective(cents: Array[(Long, Array[Float])]): Double = {
+      // mean best-centroid cosine over the corpus — higher is tighter cells
+      val scored = cents.map { case (_, cv) =>
+        GraftFunctions.cosine(col("embedding"),
+          typedlit(cv.toSeq)) }
+      e.select(array_max(array(scored: _*)).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    }
+    val init = e.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val trained = Similarity.kmeansTrain(spark, TestSpark.sfDir, k = 8, iters = 3)
+    assert(trained.length === 8)
+    assert(objective(trained) > objective(init),
+      "training must tighten cells vs the sampled-id init")
+    // deterministic: same data, same init → identical centroids
+    val again = Similarity.kmeansTrain(spark, TestSpark.sfDir, k = 8, iters = 3)
+    assert(trained.map(_._1).toSeq === again.map(_._1).toSeq)
+    trained.zip(again).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5f) }
+    }
+    // the trained table drops into the probe dataflow and still finds
+    // real neighbors
+    def keys(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = keys(Similarity.simTopkBruteforce(spark, TestSpark.sfDir).collect())
+    val probed = keys(
+      Similarity.simTopkIvfWith(spark, TestSpark.sfDir, trained, nprobe = 4).collect())
+    val recall = (exact & probed).size.toDouble / exact.size
+    assert(recall >= 0.5, s"trained-IVF recall $recall below floor")
+  }
+
   test("sim_topk_lsh: high recall vs exact top-k on the test corpus") {
     def keys(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
       rows.map(r => (r.getLong(0), r.getLong(2))).toSet
