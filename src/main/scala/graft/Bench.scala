@@ -81,7 +81,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(warm, dp)},"errors":${jsmap(errBrief)},"sf":"$sfDir"}"""
     // stay comfortably inside a ~2 KB stdout-tail capture window
     val line3 = finalLine(3)
-    println(if (line3.length <= 1700) line3 else finalLine(1))
+    println(if (line3.length <= 1800) line3 else finalLine(2))
     spark.stop()
   }
 }
