@@ -66,6 +66,9 @@ object SparkEntry {
     "q21_late_sole_supplier" -> (Relational.q21LateSoleSupplier _),
     "q_events_funnel" -> (Relational.qEventsFunnel _),
     "q_events_retention" -> (Relational.qEventsRetention _),
+    "q_events_deciles" -> (Relational.qEventsDeciles _),
+    "q_dq_audit" -> (Relational.qDqAudit _),
+    "q_snapshot_diff" -> (Relational.qSnapshotDiff _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -839,6 +842,51 @@ object SparkEntry {
                   AS BIGINT) AS stage
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+
+    "q_events_deciles" ->
+      """WITH d AS (SELECT event_type, event_id, value,
+                CAST(ntile(10) OVER (PARTITION BY event_type
+                     ORDER BY value, event_id) AS BIGINT) AS decile
+              FROM events)
+         SELECT event_type, decile, count(*) AS n,
+                min(value) AS min_v, max(value) AS max_v
+         FROM d GROUP BY event_type, decile
+         ORDER BY event_type, decile""",
+
+    "q_dq_audit" ->
+      """SELECT * FROM (
+           SELECT 'customer_null_name' AS check_name, count(*) AS n_bad
+           FROM customer WHERE c_name IS NULL
+           UNION ALL
+           SELECT 'lineitem_discount_range', count(*)
+           FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0
+           UNION ALL
+           SELECT 'lineitem_orphan_order', count(*)
+           FROM lineitem WHERE NOT EXISTS
+             (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+           UNION ALL
+           SELECT 'orders_nonpositive_total', count(*)
+           FROM orders WHERE o_totalprice <= 0.0
+           UNION ALL
+           SELECT 'orders_orphan_customer', count(*)
+           FROM orders WHERE NOT EXISTS
+             (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+         ORDER BY check_name""",
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT event_id AS k_old, value AS v_old FROM events
+                    WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+              n AS (SELECT event_id AS k_new,
+                        value + CAST(event_id % 2 AS DOUBLE) AS v_new
+                    FROM events
+                    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00')
+         SELECT CASE WHEN k_old IS NULL THEN 'added'
+                     WHEN k_new IS NULL THEN 'removed'
+                     WHEN v_old <> v_new THEN 'changed'
+                     ELSE 'same' END AS status,
+                count(*) AS n
+         FROM o FULL OUTER JOIN n ON k_old = k_new
+         GROUP BY status ORDER BY status""",
 
     "q_events_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -636,6 +636,79 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** §2.2 q_events_deciles: equal-frequency decile banding per event type
+    * (`ntile` — the remaining ranking-window family member). The order
+    * inside each partition carries a unique tie-break so bucket boundaries
+    * are deterministic; one shuffle on event_type, then a tiny rollup.
+    */
+  def qEventsDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("decile", ntile(10).over(w).cast("bigint"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  /** §2.2 q_dq_audit: declarative data-quality audit — referential
+    * integrity (orphan anti-joins), domain ranges, and null checks as ONE
+    * result relation of (check, n_bad). Each check is an independent
+    * pushed-filter scan or anti-join; a healthy warehouse returns all
+    * zeros, and the union is five 1-row aggregates, so the audit costs a
+    * handful of pruned scans regardless of warehouse size.
+    */
+  def qDqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def check(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_bad"))
+        .select(lit(name).as("check_name"), col("n_bad"))
+    check("customer_null_name", c.filter(col("c_name").isNull))
+      .unionAll(check("lineitem_discount_range",
+        l.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0)))
+      .unionAll(check("lineitem_orphan_order",
+        l.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionAll(check("orders_nonpositive_total",
+        o.filter(col("o_totalprice") <= 0.0)))
+      .unionAll(check("orders_orphan_customer",
+        o.select(col("o_custkey"))
+          .join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+      .orderBy(col("check_name"))
+  }
+
+  /** §2.2 q_snapshot_diff: CDC-style snapshot reconciliation — the
+    * full-outer-join diff classifying every key as added / removed /
+    * changed / same between two snapshot windows (the "what moved between
+    * loads" audit every incremental warehouse needs). One co-partitioned
+    * full-outer join on the key, then a tiny status rollup. The "new"
+    * snapshot carries a deterministic synthetic mutation on odd keys so
+    * every status class is exercised.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+    val old = e.filter(col("ts") < ts("2024-01-15 00:00:00"))
+      .select(col("event_id").as("k_old"), col("value").as("v_old"))
+    val neu = e.filter(col("ts") >= ts("2024-01-10 00:00:00"))
+      .select(col("event_id").as("k_new"),
+        (col("value") + (col("event_id") % 2).cast("double")).as("v_new"))
+    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+      .select(when(col("k_old").isNull, "added")
+        .when(col("k_new").isNull, "removed")
+        .when(col("v_old") =!= col("v_new"), "changed")
+        .otherwise("same").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
