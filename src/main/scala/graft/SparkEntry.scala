@@ -92,6 +92,7 @@ object SparkEntry {
     "text_gopher_quality" -> (TextAnalysis.textGopherQuality _),
     "text_contamination" -> (TextAnalysis.textContamination _),
     "pipeline_pack" -> (TextAnalysis.pipelinePack _),
+    "pipeline_mixture" -> (TextAnalysis.pipelineMixture _),
     "text_tfidf" -> (TextAnalysis.textTfidf _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
   )
@@ -918,6 +919,23 @@ object SparkEntry {
                 start_tok // 256 AS pack_id,
                 start_tok % 256 AS pack_offset
          FROM s ORDER BY doc_id""",
+
+    "pipeline_mixture" ->
+      """WITH b AS (SELECT doc_id, source,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 AS bucket,
+                CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                            WHEN 'src2' THEN 25 WHEN 'src3' THEN 10
+                            WHEN 'src4' THEN 5 ELSE 20 END AS rate_pct
+              FROM documents)
+         SELECT source, CAST(rate_pct AS BIGINT) AS rate_pct,
+                count(*) AS n_docs,
+                CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                round(CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) AS kept_frac
+         FROM b GROUP BY source, rate_pct
+         ORDER BY source""",
 
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

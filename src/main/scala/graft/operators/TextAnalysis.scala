@@ -284,6 +284,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 pipeline_mixture: corpus mixing — each source is downsampled at
+    * its own target rate (the "data mixture weights" step of assembling a
+    * training set). Keep/drop is the same content-hash bucket as
+    * pipeline_sample, so a doc's fate is stable under growth, retries, and
+    * any partitioning; the audit output reports per-source kept counts and
+    * realized fractions in ONE conditional-aggregation pass (no
+    * second scan of the kept subset).
+    */
+  def pipelineMixture(spark: SparkSession, dir: String): DataFrame = {
+    // target keep-rate percent per source (a literal mixing policy;
+    // sources outside the policy default to 20%)
+    val ratePct: Column = coalesce(
+      element_at(
+        map(lit("src0"), lit(100L), lit("src1"), lit(50L), lit("src2"), lit(25L),
+          lit("src3"), lit(10L), lit("src4"), lit(5L)),
+        col("source")),
+      lit(20L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), hashBucket, ratePct.as("rate_pct"))
+      .groupBy(col("source"), col("rate_pct"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
   /** §2.4 pipeline_corpus_filter: the composed "prepare a training corpus"
     * selection — quality floor + token-count band + language-ID agreement,
     * all single-pass map-side column arithmetic over one scan (the
