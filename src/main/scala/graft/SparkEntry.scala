@@ -69,6 +69,7 @@ object SparkEntry {
     "q_events_deciles" -> (Relational.qEventsDeciles _),
     "q_dq_audit" -> (Relational.qDqAudit _),
     "q_snapshot_diff" -> (Relational.qSnapshotDiff _),
+    "q_events_anomaly" -> (Relational.qEventsAnomaly _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -888,6 +889,26 @@ object SparkEntry {
                 count(*) AS n
          FROM o FULL OUTER JOIN n ON k_old = k_new
          GROUP BY status ORDER BY status""",
+
+    "q_events_anomaly" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+                sum(CAST(value AS DECIMAL(18,4))) AS s1,
+                sum(CAST(value AS DECIMAL(18,4))
+                    * CAST(value AS DECIMAL(18,4))) AS s2
+              FROM events GROUP BY event_type),
+              m AS (SELECT event_type, n,
+                        CAST(s1 AS DOUBLE) / n AS mean,
+                        sqrt(CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n)
+                               * (CAST(s1 AS DOUBLE) / n)) AS std
+                    FROM s)
+         SELECT e.event_type, n, round(mean, 6) AS mean,
+                round(std, 6) AS std,
+                CAST(sum(CASE WHEN abs(value - mean) > std * 2.0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM events e JOIN m ON e.event_type = m.event_type
+         GROUP BY e.event_type, n, mean, std
+         ORDER BY e.event_type""",
 
     "q_events_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

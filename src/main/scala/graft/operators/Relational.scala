@@ -709,6 +709,36 @@ object Relational {
       .orderBy(col("status"))
   }
 
+  /** §2.2 q_events_anomaly: z-score outlier counts per event type. The
+    * moments accumulate in exact DECIMAL (sum and sum-of-squares — the
+    * 4dp values and their 8dp squares are exactly representable), so
+    * mean/std derive from identical doubles on both engines (IEEE sqrt is
+    * correctly rounded — deterministic); the per-row |v−μ| > 2σ test then
+    * compares bit-identical quantities. One stats pass + one broadcast-
+    * stats scan — never a self-join on the fact.
+    */
+  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val vdec = col("value").cast(DecimalType(18, 4))
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(vdec).as("s1"),
+        sum(vdec * vdec).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt((col("s2").cast("double") / col("n")) -
+          (col("s1").cast("double") / col("n")) *
+          (col("s1").cast("double") / col("n"))).as("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("mean"), col("std"))
+      .agg(sum(when(abs(col("value") - col("mean")) > col("std") * 2.0, 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), round(col("mean"), 6).as("mean"),
+        round(col("std"), 6).as("std"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */

@@ -166,7 +166,7 @@ object Similarity {
           .as("csim"), lit(cid).as("cent_id"))
       }
       val assigned = e.withColumn("cell",
-        element_at(reverse(array_sort(array(scored: _*))), 1)
+        element_at(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1)
           .getField("cent_id"))
       val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -197,7 +197,7 @@ object Similarity {
         struct(GraftFunctions.cosine(vec, typedlit(cv.toSeq)).as("csim"),
           lit(cid).as("cent_id"))
       }
-      reverse(array_sort(array(scored: _*)))
+      reverse(array_sort(array(scored.toIndexedSeq: _*)))
     }
     val corpus = e
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
@@ -230,7 +230,7 @@ object Similarity {
           lit(cid).as("cent_id"))
       }
       // sort asc by (csim, cent_id), reverse → best-first
-      reverse(array_sort(array(scored: _*)))
+      reverse(array_sort(array(scored.toIndexedSeq: _*)))
     }
 
     val corpus = e

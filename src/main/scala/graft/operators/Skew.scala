@@ -29,7 +29,7 @@ object Skew {
     * within one execution each row reads one consistent salt.
     */
   private def rowSalt(df: DataFrame, n: Int): Column =
-    pmod(hash((df.columns.map(col) :+ monotonically_increasing_id()): _*), lit(n))
+    pmod(hash((df.columns.map(col).toIndexedSeq :+ monotonically_increasing_id()): _*), lit(n))
 
   /** Equi-join `big ⋈ small` on big(key)=small(key), salted n ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
