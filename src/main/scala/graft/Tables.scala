@@ -25,6 +25,18 @@ object Tables {
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
 
+  /** Register every table as a temp view so the full surface is reachable
+    * from plain `spark.sql(...)` — together with the GraftExtensions
+    * function registry (graft_cosine, graft_minhash, ...), a SQL-only
+    * client gets the same engine the DataFrame API exposes.
+    */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    names.foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -47,6 +47,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(top.getSeq[Long](1) === Seq(7L, 3L)) // 0.9 first, tie → lower id
   }
 
+  test("registerAll: the whole star schema is reachable from plain SQL") {
+    Tables.registerAll(spark, TestSpark.sfDir)
+    // a multi-table SQL join over the registered views, no DataFrame API
+    val top = spark.sql(
+      """SELECT n_name, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 1""").head()
+    assert(top.getLong(1) > 0)
+    // events view carries the ns→µs-truncated timestamp, usable in SQL
+    val d = spark.sql(
+      "SELECT count(DISTINCT CAST(ts AS DATE)) AS days FROM events")
+      .head().getLong(0)
+    assert(d > 0)
+    // graft functions compose with the views in one SQL statement
+    val fp = spark.sql(
+      """SELECT count(DISTINCT graft_fingerprint64(text)) AS n
+         FROM documents""").head().getLong(0)
+    assert(fp > 0)
+  }
+
   test("full SQL query over a real table through the extension functions") {
     Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("emb")
     val n = spark.sql(
