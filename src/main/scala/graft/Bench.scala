@@ -79,9 +79,11 @@ object Bench {
     val errBrief = errors.map { case (k, v) => (k, v.take(40)) }
     def finalLine(dp: Int): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(warm, dp)},"errors":${jsmap(errBrief)},"sf":"$sfDir"}"""
-    // stay comfortably inside a ~2 KB stdout-tail capture window
-    val line3 = finalLine(3)
-    println(if (line3.length <= 1800) line3 else finalLine(2))
+    // stay comfortably inside a ~2 KB stdout-tail capture window (the
+    // build tool prints a trailer line after us): first precision that fits
+    val line = Seq(3, 2, 1).map(finalLine).find(_.length <= 1700)
+      .getOrElse(finalLine(0))
+    println(line)
     spark.stop()
   }
 }
