@@ -825,6 +825,64 @@ object SparkEntry {
          FROM m JOIN d USING (doc_id)
          ORDER BY doc_id""",
 
+    // SimHash per-token hash = fmix64(FNV-1a64): the FNV fold is the same
+    // HUGEINT list_reduce as text_fingerprint; the fmix64 finalizer's two
+    // 64×64-bit modular multiplies are limb-split (a = a1·2^32 + a0) so
+    // the products stay inside INT128. Banding recall is exactly 1 for
+    // hamming ≤ 3 (pigeonhole over 4×16-bit bands), so the oracle is the
+    // semantically-equal all-pairs form.
+    "dedup_simhash" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+          tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
+                 GROUP BY doc_id, tok),
+          f AS (SELECT doc_id, cnt, list_reduce(
+                  list_prepend(14695981039346656037::HUGEINT,
+                    list_transform(split(tok, ''),
+                      c -> CAST(unicode(c) AS HUGEINT))),
+                  (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
+                                 ::HUGEINT * 1099511628211::HUGEINT)
+                               % 18446744073709551616::HUGEINT) AS h0
+                FROM tc),
+          x1 AS (SELECT doc_id, cnt,
+                     xor(h0::UBIGINT, h0::UBIGINT >> 33)::HUGEINT AS a1
+                 FROM f),
+          m1 AS (SELECT doc_id, cnt,
+                     (((a1 % 4294967296::HUGEINT)
+                         * 18397679294719823053::HUGEINT
+                       + (((a1 // 4294967296::HUGEINT)
+                            * 18397679294719823053::HUGEINT)
+                          % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                      % 18446744073709551616::HUGEINT) AS b1
+                 FROM x1),
+          x2 AS (SELECT doc_id, cnt,
+                     xor(b1::UBIGINT, b1::UBIGINT >> 33)::HUGEINT AS a2
+                 FROM m1),
+          m2 AS (SELECT doc_id, cnt,
+                     (((a2 % 4294967296::HUGEINT)
+                         * 14181476777654086739::HUGEINT
+                       + (((a2 // 4294967296::HUGEINT)
+                            * 14181476777654086739::HUGEINT)
+                          % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                      % 18446744073709551616::HUGEINT) AS b2
+                 FROM x2),
+          x3 AS (SELECT doc_id, cnt,
+                     xor(b2::UBIGINT, b2::UBIGINT >> 33) AS h FROM m2),
+          bits AS (SELECT doc_id, b,
+                 sum(cnt * (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))
+                   AS vote
+               FROM x3 CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bl
+               GROUP BY doc_id, b),
+          sig AS (SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT
+                          ELSE 0::HUGEINT END)::UBIGINT AS su
+               FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS i, b.doc_id AS j,
+                CAST(bit_count(xor(a.su, b.su)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.su, b.su)) <= 3
+         ORDER BY i, j""",
+
     "q_events_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                 CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),

@@ -110,6 +110,18 @@ object GraftKernels {
   /** 64-bit SimHash: per-token 64-bit hash (two murmur32 streams), bit votes
     * accumulated over all tokens (duplicates count — frequency-weighted).
     */
+  /** 64-bit finalizer (the murmur3 fmix64 avalanche): full-entropy bits
+    * from the FNV base hash, and — unlike a raw murmur over bytes —
+    * exactly replicable in portable SQL (xor/shift/limb-split modular
+    * multiply), which is what lets dedup_simhash carry a DuckDB oracle.
+    */
+  private def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
   def simHash64(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
@@ -117,11 +129,7 @@ object GraftKernels {
     while (t < n) {
       val s = tokens.getUTF8String(t)
       if (s != null) {
-        val lo = Murmur3_x86_32.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x1b873593)
-        val hi = Murmur3_x86_32.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x85ebca6b)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+        val h = fmix64(fingerprint64(s))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
