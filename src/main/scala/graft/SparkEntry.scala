@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_cluster" -> (Dedup.dedupCluster _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
@@ -437,6 +438,29 @@ object SparkEntry {
                       ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
          SELECT i, j, jac FROM p WHERE jac >= 0.9
          ORDER BY i, j""",
+
+    // True transitive connected components via recursive CTE — the oracle
+    // proves the distributed min-label fixpoint equals the exact
+    // component labeling, not an approximation of it.
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+          t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+                    list_distinct(string_split(text, ' ')) AS tset
+                FROM documents),
+          p AS (SELECT a.doc_id AS i, b.doc_id AS j
+                FROM t a JOIN t b
+                  ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.tset, b.tset))), 6)
+                      >= 0.9),
+          e AS (SELECT i AS src, j AS dst FROM p
+                UNION ALL SELECT j, i FROM p),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS lab FROM documents
+            UNION
+            SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id)
+         SELECT id AS doc_id, min(lab) AS canonical_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
 
     // Exhaustive all-pairs 3-shingle Jaccard — NOT the LSH algorithm: the
     // oracle grades the banding's recall, not just the rerank arithmetic.

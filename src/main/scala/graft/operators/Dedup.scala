@@ -53,10 +53,10 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
-  /** §2.3 dedup_ngram_jaccard: token-set Jaccard near-dup pairs, blocked by
-    * (lang, 100-char length bucket) so the self-join is bounded per block.
+  /** Unsorted near-dup pair relation (i < j, rounded jac ≥ 0.9) — shared
+    * by the pair query and the clustering operator.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     // repartition: the testdata ships single-row-group parquet, so without
     // it the whole tokenize+sort pipeline runs in ONE task; persist: the
     // self-join reads t twice
@@ -74,7 +74,72 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         round(jaccard(col("a.tset"), col("b.tset")), 6).as("jac"))
       .filter(col("jac") >= 0.9)
-      .orderBy(col("i"), col("j"))
+  }
+
+  /** §2.3 dedup_ngram_jaccard: token-set Jaccard near-dup pairs, blocked by
+    * (lang, 100-char length bucket) so the self-join is bounded per block.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramPairs(spark, dir).orderBy(col("i"), col("j"))
+
+  /** §2.3 dedup_cluster: near-dup pairs → connected components → one
+    * canonical doc per duplicate cluster (the step a pipeline actually
+    * applies before training: keep the canonical, drop the rest).
+    *
+    * Distributed min-label propagation: per iteration, ONE neighbor-min
+    * shuffle on the edge destination + one co-partitioned label join;
+    * labels persist per round (plan barrier AND lineage bound), and
+    * convergence is detected by counting changed labels — at fixpoint the
+    * label of every doc is the minimum doc_id of its connected component.
+    * Iterations needed = component diameter (near-dup clusters are
+    * shallow; the cap is a safety net). The DuckDB oracle computes TRUE
+    * transitive components via a recursive CTE, so the gate proves the
+    * fixpoint is the exact component labeling, not an approximation.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = ngramPairs(spark, dir).select(col("i"), col("j"))
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("doc_id").as("lab"))
+    var changed = 1L
+    var iter = 0
+    // Iteration state is materialized with EAGER localCheckpoint, not
+    // persist: checkpointing truncates the logical plan per round, so (a)
+    // lineage stays O(1) instead of nesting every prior round, and (b) no
+    // downstream plan ever references an unpersisted parent cache — the
+    // persist/unpersist version silently lost cache matching at the final
+    // write and recomputed the whole loop 2^rounds times.
+    while (changed > 0 && iter < 20) {
+      // neighbor-min step: the best label one edge away
+      val nbr = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
+      val stepped = labels.select(col("id"), col("lab").as("old"))
+        .join(nbr, col("id") === col("dst"), "left_outer")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nl"), col("old"))).as("lab1"),
+          col("old"))
+        .localCheckpoint() // barrier: the jump reads stepped twice
+      // pointer-jump step: labels ARE doc ids, so the current label OF my
+      // label is also a valid (no larger) label for me — following it
+      // halves chain depth per round, so rounds = O(log diameter) instead
+      // of O(diameter)
+      val jump = stepped.select(col("id").as("jid"), col("lab1").as("jlab"))
+      val next = stepped
+        .join(jump, col("lab1") === col("jid"), "left_outer")
+        .select(col("id"),
+          least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab"),
+          col("old"))
+        .localCheckpoint()
+      changed = next.filter(col("lab") =!= col("old")).count()
+      labels = next.select(col("id"), col("lab"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lab").as("canonical_id"))
+      .orderBy(col("doc_id"))
   }
 
   // Bucket pair emission uses the custom streaming PairsGenerator
