@@ -81,7 +81,9 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(warm, dp)},"errors":${jsmap(errBrief)},"sf":"$sfDir"}"""
     // stay comfortably inside a ~2 KB stdout-tail capture window (the
     // build tool prints a trailer line after us): first precision that fits
-    val line = Seq(3, 2, 1).map(finalLine).find(_.length <= 1700)
+    // budget: line + "\n" + the build tool's ~80-char success trailer must
+    // land inside the 2000-char capture, so the line start stays visible
+    val line = Seq(3, 2, 1).map(finalLine).find(_.length <= 1880)
       .getOrElse(finalLine(0))
     println(line)
     spark.stop()
