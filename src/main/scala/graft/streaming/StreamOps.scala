@@ -77,6 +77,60 @@ object StreamOps {
         unix_micros(col("c.ts")).as("click_us"),
         unix_micros(col("v.ts")).as("view_us"))
 
+  /** Keyed funnel state: the first view, the first click after it, and the
+    * first purchase after that (epoch micros; None = stage not reached).
+    */
+  case class FunnelState(vTs: Option[Long], cTs: Option[Long], pTs: Option[Long])
+
+  /** One emitted stage advancement for a user. */
+  case class FunnelAdvance(user_id: Long, stage: Int, at_us: Long)
+
+  /** stream_funnel: the sequential funnel (q_events_funnel) as CUSTOM
+    * streaming state — `flatMapGroupsWithState` keeps one tiny
+    * [[FunnelState]] per user across micro-batches and emits a record the
+    * moment a user advances a stage. This is the state shape the built-in
+    * operators can't express: the transition condition depends on the
+    * ORDER of prior events (a click only counts after the first view),
+    * not on a window or a key equality.
+    *
+    * Events are processed in (time, type) order within each batch; the
+    * strict `>` transitions make the result identical to the batch
+    * funnel's min-after-min semantics when batches arrive in time order —
+    * asserted by StreamingSpec against q_events_funnel. State is O(1) per
+    * user (three optional longs); in batch mode the same code runs with
+    * empty initial state and one group invocation per user.
+    */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, et, t) =>
+            if (et == "view" && s.vTs.isEmpty) {
+              s = s.copy(vTs = Some(t)); out += FunnelAdvance(uid, 1, t)
+            } else if (et == "click" && s.cTs.isEmpty &&
+              s.vTs.exists(t > _)) {
+              s = s.copy(cTs = Some(t)); out += FunnelAdvance(uid, 2, t)
+            } else if (et == "purchase" && s.pTs.isEmpty &&
+              s.cTs.exists(t > _)) {
+              s = s.copy(pTs = Some(t)); out += FunnelAdvance(uid, 3, t)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** stream_nvd_ingest: the reference's cron-driven incremental loop
     * (bq-nvd.py:98-104 download → extract → transform → load) as a
     * Structured Streaming file source: drop a new feed .json.gz into the

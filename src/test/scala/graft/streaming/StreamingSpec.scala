@@ -150,6 +150,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_funnel: flatMapGroupsWithState stages equal the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // expected advances from the batch funnel query: (user, stage, at_us)
+    val expected = graft.operators.Relational
+      .qEventsFunnel(spark, TestSpark.sfDir).collect().flatMap { r =>
+        val uid = r.getLong(0)
+        Seq((uid, 1, r.getLong(1))) ++
+          (if (!r.isNullAt(2)) Seq((uid, 2, r.getLong(2))) else Nil) ++
+          (if (!r.isNullAt(3)) Seq((uid, 3, r.getLong(3))) else Nil)
+      }.toSet
+
+    // feed time-ordered events in two micro-batches so click/purchase
+    // transitions must cross batch boundaries through the keyed state
+    val evs = eventsAsCase().sortBy(_.ts.getTime)
+    val (a, b) = evs.splitAt(evs.size / 2)
+    val stream = MemoryStream[Ev]
+    stream.addData(a)
+    val q = StreamOps.funnelStages(stream.toDF())
+      .writeStream.format("memory").queryName("funnel_stages")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val got = spark.table("funnel_stages")
+        .select(col("user_id"), col("stage"), col("at_us"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === expected)
+    } finally q.stop()
+
+    // the same code path runs in batch (empty initial state, one group call)
+    val batchRun = StreamOps.funnelStages(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batchRun === expected)
+  }
+
   test("stream_dedup: duplicate event_ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
