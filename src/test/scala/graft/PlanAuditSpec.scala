@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable plan-shape gates: the SURVEY §4 scale claims (pushdown,
+  * pruning, map-side partial aggregation, bounded shuffle counts) as
+  * assertions over the physical plan, so a regression that silently
+  * changes a plan shape fails the suite, not just an eyeball audit.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q6: filters reach the parquet scan and unused columns are pruned") {
+    val p = plan("q6_forecast_revenue")
+    // (the toString elides long filter lists, so match a stable prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // the scan must not read columns q6 never touches
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q1: single aggregation shuffle, map-side partial aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    assert(countOf(p, "HashAggregate") >= 2, p) // partial + final
+  }
+
+  test("q5: fixed dims broadcast; the fact scan is column-pruned") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastExchange"), p)
+    val lineitemScan = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("l_extendedprice"))
+      .mkString
+    assert(!lineitemScan.contains("l_quantity"), lineitemScan)
+  }
+
+  test("sim_topk_bruteforce: bounded-heap partial top-k BEFORE the exchange") {
+    val p = plan("sim_topk_bruteforce")
+    assert(p.contains("partial_top_k_by_score") ||
+      p.contains("partial top_k_by_score"), p)
+    // never a corpus-wide ranking window
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("pipeline_pack: exactly one data shuffle (the bucket shard)") {
+    val p = plan("pipeline_pack")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("dedup_exact: one shuffle, combiner-backed aggregation") {
+    val p = plan("dedup_exact")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    assert(countOf(p, "HashAggregate") >= 2, p)
+  }
+}
