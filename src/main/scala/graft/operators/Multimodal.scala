@@ -67,6 +67,21 @@ object Multimodal {
       .toDF()
   }
 
+  /** §2.4 mm_embed: payload → fixed-dim stub embedding — the bridge from
+    * the multimodal columns into the §2.3 similarity stack. Each dimension
+    * is the scaled stub feature of one payload stripe, computed entirely
+    * in codegen'd expressions (the custom byte-feature expression under a
+    * higher-order transform — no UDF, no shuffle); a real encoder replaces
+    * the stripe+feature lambda and the downstream ANN path (cosine top-k,
+    * RHP blocking, IVF) consumes the column unchanged.
+    */
+  def mmEmbed(df: DataFrame, dims: Int = 16, stripe: Int = 32): DataFrame =
+    df.select(col("doc_id"),
+      expr(s"""transform(sequence(0, ${dims - 1}),
+                 d -> cast(cast(pmod(graft_byte_feature(
+                          substr(payload, d * $stripe + 1, $stripe)), 1000)
+                        AS DOUBLE) / 1000.0 AS FLOAT))""").as("embedding"))
+
   /** §2.4 mm_batch_extract: per-partition batched feature extraction — the
     * shape a real vectorized decoder needs (accumulate a batch of payloads,
     * decode together, emit features). Batches never cross partitions, so

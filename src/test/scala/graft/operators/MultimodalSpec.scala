@@ -82,4 +82,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[String]("mime") === "text/plain")
     assert(row.getAs[Long]("payload_len") > 0)
   }
+
+  test("mm_embed: payloads become fixed-dim vectors the similarity stack consumes") {
+    import graft.functions.GraftFunctions
+    val payloads = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val emb = Multimodal.mmEmbed(payloads)
+    // fixed dimension, deterministic across runs
+    assert(emb.filter(size(col("embedding")) =!= 16).count() === 0)
+    val a = emb.orderBy(col("doc_id")).limit(5).collect().map(_.toSeq.toList)
+    val b = Multimodal.mmEmbed(payloads).orderBy(col("doc_id")).limit(5)
+      .collect().map(_.toSeq.toList)
+    assert(a.toSeq === b.toSeq)
+    // identical payloads embed identically → cosine 1; the ANN stack sees
+    // a duplicate pair exactly as it would from a real encoder
+    val copies = emb.select((col("doc_id") + 1000000L).as("c_id"),
+      col("embedding").as("c_vec")).filter(col("c_id") < 1000005L)
+    val sims = emb.filter(col("doc_id") < 5)
+      .join(copies, col("doc_id") + 1000000L === col("c_id"))
+      .select(GraftFunctions.cosine(col("embedding"), col("c_vec")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims.length === 5 && sims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
 }
