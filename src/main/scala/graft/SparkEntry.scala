@@ -70,6 +70,8 @@ object SparkEntry {
     "q_dq_audit" -> (Relational.qDqAudit _),
     "q_snapshot_diff" -> (Relational.qSnapshotDiff _),
     "q_events_anomaly" -> (Relational.qEventsAnomaly _),
+    "q_events_groupsets" -> (Relational.qEventsGroupsets _),
+    "q11_revenue_share" -> (Relational.q11RevenueShare _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -971,6 +973,28 @@ object SparkEntry {
                 count(*) AS n
          FROM o FULL OUTER JOIN n ON k_old = k_new
          GROUP BY status ORDER BY status""",
+
+    "q_events_groupsets" ->
+      """SELECT event_type, hour(ts) AS hr,
+             CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS BIGINT)
+               AS gid,
+             count(*) AS n
+         FROM events
+         GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+         ORDER BY gid, event_type, hr""",
+
+    "q11_revenue_share" ->
+      """WITH ps AS (SELECT l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS rev_dec
+              FROM lineitem GROUP BY l_suppkey),
+              t AS (SELECT SUM(rev_dec) AS total_dec, COUNT(*) AS n_supp
+                    FROM ps)
+         SELECT l_suppkey, CAST(rev_dec AS DOUBLE) AS supp_revenue
+         FROM ps, t
+         WHERE CAST(rev_dec AS DOUBLE)
+               > CAST(total_dec AS DOUBLE) / n_supp * 1.02
+         ORDER BY supp_revenue DESC, l_suppkey""",
 
     "q_events_anomaly" ->
       """WITH s AS (SELECT event_type, count(*) AS n,

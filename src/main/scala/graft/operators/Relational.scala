@@ -743,6 +743,48 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 q_events_groupsets: explicit GROUPING SETS with grouping_id —
+    * the custom-subtotal-combination shape rollup/cube can't express
+    * ((type), (hour), ()) without the unwanted (type, hour) set. Declared
+    * through the SQL surface over [[graft.Tables.registerAll]] views (one
+    * Expand + one aggregate, same plan family as rollup/cube).
+    */
+  def qEventsGroupsets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS BIGINT)
+               AS gid,
+             count(*) AS n
+         FROM events
+         GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+         ORDER BY gid, event_type, hr""")
+  }
+
+  /** §2.2 q11_revenue_share: TPC-H Q11-style HAVING against a global
+    * scalar — suppliers whose revenue exceeds a fixed fraction of TOTAL
+    * revenue. The per-supplier aggregate computes once; the 1-row global
+    * total re-aggregates the SAME relation and broadcasts back as the
+    * HAVING bound (never a second lineitem scan).
+    */
+  def q11RevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    // both sums stay DECIMAL until the final compare: a double total over
+    // per-supplier doubles would be summation-order-dependent
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("rev_dec"))
+    val total = perSupp.agg(sum(col("rev_dec")).as("total_dec"),
+      count(lit(1)).as("n_supp"))
+    // bound = 1.02× the MEAN supplier revenue: selects a stable fraction
+    // of suppliers at ANY scale factor (a fixed share-of-total bound
+    // degenerates to zero rows as the supplier count grows)
+    perSupp.crossJoin(broadcast(total))
+      .filter(col("rev_dec").cast("double") >
+        col("total_dec").cast("double") / col("n_supp") * 1.02)
+      .select(col("l_suppkey"), col("rev_dec").cast("double").as("supp_revenue"))
+      .orderBy(col("supp_revenue").desc, col("l_suppkey"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
