@@ -77,6 +77,23 @@ object StreamOps {
         unix_micros(col("c.ts")).as("click_us"),
         unix_micros(col("v.ts")).as("view_us"))
 
+  /** stream_topk: per-(type, hour-window) top-3 events by value — the
+    * custom bounded-heap aggregate ([[graft.functions.GraftFunctions
+    * .topKByScore]]) running INSIDE a streaming aggregation: its
+    * serialize/deserialize path carries the heap through the state store
+    * between micro-batches, and its merge path combines batch-partial
+    * heaps with restored state. Same transform in batch (watermark
+    * no-ops) — parity asserted in StreamingSpec.
+    */
+  def windowedTopK(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(col("value"), col("event_id"), k).as("top"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("bucket_s"), col("top"))
+
   /** Keyed funnel state: the first view, the first click after it, and the
     * first purchase after that (epoch micros; None = stage not reached).
     */

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.operators.TextAnalysis
+
+/** Cross-operator consistency: the training-corpus pipeline stages
+  * (quality filter → dedup clustering → packing) compose over the same
+  * corpus without contradiction — the operators are not just individually
+  * correct but mutually coherent, which is what a user chaining them
+  * actually relies on.
+  */
+class PipelineIntegrationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def dir = TestSpark.sfDir
+
+  test("dedup clustering is a fixpoint labeling that covers the corpus") {
+    val clusters = Dedup.dedupCluster(spark, dir)
+    val n = Tables.documents(spark, dir).count()
+    assert(clusters.count() === n)
+    // a canonical id never exceeds its member (min-label semantics)
+    assert(clusters.filter(col("canonical_id") > col("doc_id")).count() === 0)
+    // closure: the canonical of a canonical is itself
+    val c2 = clusters.select(col("doc_id").as("d2"), col("canonical_id").as("cc"))
+    val broken = clusters.join(c2, col("canonical_id") === col("d2"))
+      .filter(col("cc") =!= col("canonical_id")).count()
+    assert(broken === 0)
+  }
+
+  test("packing covers every doc exactly once with token-exact offsets") {
+    val pack = TextAnalysis.pipelinePack(spark, dir)
+    val tokens = TextAnalysis.textTokencount(spark, dir)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    assert(pack.count() === Tables.documents(spark, dir).count())
+    // the packed token count is the tokenizer's count — stages agree
+    assert(pack.join(tokens, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("n_ws_tokens")).count() === 0)
+    // offset arithmetic is internally consistent
+    assert(pack.filter(col("pack_offset") < 0 ||
+      col("pack_offset") >= 256).count() === 0)
+    assert(pack.filter(col("start_tok") =!=
+      col("pack_id") * 256 + col("pack_offset")).count() === 0)
+  }
+
+  test("filter → keep-canonicals-only composes to a coherent training corpus") {
+    val filt = TextAnalysis.pipelineCorpusFilter(spark, dir)
+      .select(col("doc_id"))
+    val clusters = Dedup.dedupCluster(spark, dir)
+    val corpus = filt.join(clusters, Seq("doc_id"))
+      .filter(col("doc_id") === col("canonical_id"))
+    val nFilt = filt.count()
+    val nCorpus = corpus.count()
+    assert(nCorpus > 0 && nCorpus <= nFilt)
+    // nothing in the final corpus is a non-canonical duplicate
+    assert(corpus.filter(col("doc_id") =!= col("canonical_id")).count() === 0)
+  }
+}

@@ -191,6 +191,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRun === expected)
   }
 
+  test("stream_topk: custom bounded-heap aggregate carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val evs = eventsAsCase()
+    val batch = StreamOps.windowedTopK(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .orderBy(col("event_type"), col("bucket_s"))
+      .collect()
+
+    val stream = MemoryStream[Ev]
+    // interleave so most windows receive rows in BOTH batches: the heap
+    // must serialize into the state store and merge with the next batch
+    val (a, b) = evs.zipWithIndex.partition(_._2 % 2 == 0)
+    stream.addData(a.map(_._1))
+    val q = StreamOps.windowedTopK(stream.toDF())
+      .writeStream.format("memory").queryName("topk_parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b.map(_._1))
+      q.processAllAvailable()
+      val streamed = spark.table("topk_parity")
+        .orderBy(col("event_type"), col("bucket_s")).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("stream_dedup: duplicate event_ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
