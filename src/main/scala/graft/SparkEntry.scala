@@ -30,6 +30,7 @@ object SparkEntry {
     "q_nvd_severity_hist" -> (Nvd.qNvdSeverityHist _),
     "q_nvd_cwe_top" -> (Nvd.qNvdCweTop _),
     "q_nvd_tag_hist" -> (Nvd.qNvdTagHist _),
+    "q_nvd_v3_vector" -> (Nvd.qNvdV3Vector _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -153,6 +154,18 @@ object SparkEntry {
          SELECT tag, count(*) AS n_refs
          FROM t GROUP BY tag
          ORDER BY n_refs DESC, tag""",
+
+    "q_nvd_v3_vector" ->
+      s"""$nvdFeedCte
+         SELECT item.impact.baseMetricV3.cvssV3.attackVector AS av,
+                count(*) AS n_cves,
+                CAST(sum(CAST(item.impact.baseMetricV3.cvssV3.baseScore
+                              AS DECIMAL(18,1))) AS DOUBLE) AS sum_v3_score,
+                count(item.impact.baseMetricV3.exploitabilityScore)
+                  AS n_with_expl
+         FROM f
+         GROUP BY av
+         ORDER BY av NULLS FIRST""",
 
     "q_events_moving" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value

@@ -61,6 +61,21 @@ object Nvd {
         count(col("impact.baseMetricV3.cvssV3.baseScore")).as("n_with_v3"))
       .orderBy(col("severity_v2").asc_nulls_first)
 
+  /** §2.1 q_nvd_v3_vector: CVSSv3 attack-vector histogram — the v3 twin of
+    * the severity histogram, reaching one level deeper (cvssV3 record
+    * grouped field + a sibling metric OUTSIDE the cvssV3 record,
+    * exploitabilityScore, counted per group). Scores are 1dp → exact
+    * decimal sums.
+    */
+  def qNvdV3Vector(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .groupBy(col("impact.baseMetricV3.cvssV3.attackVector").as("av"))
+      .agg(count(lit(1)).as("n_cves"),
+        sum(col("impact.baseMetricV3.cvssV3.baseScore").cast(DecimalType(18, 1)))
+          .cast("double").as("sum_v3_score"),
+        count(col("impact.baseMetricV3.exploitabilityScore")).as("n_with_expl"))
+      .orderBy(col("av").asc_nulls_first)
+
   /** §2.1 q_nvd_cwe_top: flatten the doubly-repeated problemtype path
     * (problemtype_data[].description[]) and count CVEs per English CWE tag.
     * `flatten ∘ transform` keeps the nesting collapse inside codegen; the
