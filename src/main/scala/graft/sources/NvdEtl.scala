@@ -90,12 +90,20 @@ object NvdEtl {
   def toNdjson(df: DataFrame, outDir: String): Unit =
     df.write.mode("overwrite").json(outDir)
 
+  /** The warehouse's CVE-ID relation (reference bq.py:144-169
+    * get_cve_ids) — kept DISTRIBUTED: the reference collects the ids into
+    * a Python set on the driver; here they stay a DataFrame that joins,
+    * never a driver-side collection.
+    */
+  def cveIds(warehouse: DataFrame): DataFrame =
+    warehouse.select(cveId.as("cve_id"))
+
   /** Incremental set-difference (reference etl.py:80-92): keep only feed
     * CVEs whose ID is not already in the warehouse — a distributed
     * left-anti join replacing the reference's driver-side Python set.
     */
   def newCves(feed: DataFrame, warehouse: DataFrame): DataFrame =
-    feed.join(warehouse.select(cveId.as("__existing_id")),
+    feed.join(cveIds(warehouse).withColumnRenamed("cve_id", "__existing_id"),
       cveId === col("__existing_id"), "left_anti")
 
   /** CVE year from the ID itself ("CVE-2024-1234" → 2024) — the stable

@@ -14,6 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Warehouse {
 
+  /** Idempotent dataset (namespace) creation — the reference's
+    * make_dataset (bq.py:84-110: create the BQ dataset, tolerate
+    * already-exists). Returns true when the namespace was newly created.
+    * Catalog namespaces are the Spark twin of BQ datasets: tables created
+    * as `name.table` live under them, and a second call is a no-op.
+    */
+  def makeDataset(spark: SparkSession, name: String): Boolean = {
+    val existed = spark.catalog.databaseExists(name)
+    if (!existed) spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+    !existed
+  }
+
   /** Write `df` as a bucketed, sorted managed table (parquet). */
   def bucketize(df: DataFrame, table: String, key: String,
       numBuckets: Int): Unit =

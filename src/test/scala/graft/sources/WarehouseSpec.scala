@@ -38,6 +38,15 @@ class WarehouseSpec extends AnyFunSuite {
       s"expected zero exchanges in bucketed join, got:\n$exec")
   }
 
+  test("makeDataset: idempotent namespace creation, tables live under it") {
+    assert(Warehouse.makeDataset(spark, "graft_ds_spec"))
+    assert(!Warehouse.makeDataset(spark, "graft_ds_spec")) // second call no-op
+    assert(spark.catalog.databaseExists("graft_ds_spec"))
+    spark.range(3).write.mode("overwrite")
+      .saveAsTable("graft_ds_spec.probe")
+    assert(spark.table("graft_ds_spec.probe").count() === 3)
+  }
+
   test("aggregation on the bucket key also skips the shuffle") {
     val agg = spark.table("li_bkt").groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("q"))
