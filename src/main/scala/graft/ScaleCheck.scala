@@ -55,6 +55,15 @@ object ScaleCheck {
       .filter(col("sim") >= 0.4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rec = if (allp.isEmpty) 1.0 else (blocked & allp).size.toDouble / allp.size
     println(f"SCALECHECK emb subset=${blocked.subsetOf(allp)} recall=$rec%.3f (${blocked.size}/${allp.size})")
+
+    // 4) connected-components converged at this SF: the labeling must be a
+    // FIXPOINT (canonical of canonical = canonical) — if the iteration cap
+    // were ever hit before convergence, this is the check that catches it
+    val cl = Dedup.dedupCluster(spark, dir)
+    val c2 = cl.select(col("doc_id").as("d2"), col("canonical_id").as("cc"))
+    val unconverged = cl.join(c2, col("canonical_id") === col("d2"))
+      .filter(col("cc") =!= col("canonical_id")).count()
+    println(s"SCALECHECK cluster n=${cl.count()} unconverged=$unconverged")
     spark.stop()
   }
 }

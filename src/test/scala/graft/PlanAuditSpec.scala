@@ -60,4 +60,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") === 1, p)
     assert(countOf(p, "HashAggregate") >= 2, p)
   }
+
+  test("custom expressions run inside WholeStageCodegen spans") {
+    // the fingerprint kernel is a custom Catalyst expression with
+    // doGenCode — its Project must carry the codegen marker (*), proving
+    // the custom op doesn't break the fused stage. AQE only shows codegen
+    // markers on the FINAL plan, so execute first.
+    val df = SparkEntry.queries("text_fingerprint")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fpLine = p.linesIterator
+      .find(l => l.contains("fingerprint") && l.contains("Project"))
+    assert(fpLine.exists(_.trim.split("\\s+").exists(_.startsWith("*("))),
+      s"fingerprint Project not codegen'd:\n$p")
+    // and nothing anywhere falls back to interpreted Python/eval paths
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapInPandas"), p)
+  }
 }
