@@ -73,6 +73,7 @@ object SparkEntry {
     "q_events_anomaly" -> (Relational.qEventsAnomaly _),
     "q_events_groupsets" -> (Relational.qEventsGroupsets _),
     "q11_revenue_share" -> (Relational.q11RevenueShare _),
+    "q_customer_first_last" -> (Relational.qCustomerFirstLast _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -986,6 +987,26 @@ object SparkEntry {
                 count(*) AS n
          FROM o FULL OUTER JOIN n ON k_old = k_new
          GROUP BY status ORDER BY status""",
+
+    "q_customer_first_last" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn_a,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+              FROM orders),
+              f AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS first_date,
+                        o_totalprice AS first_price
+                    FROM o WHERE rn_a = 1),
+              l AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS last_date,
+                        o_totalprice AS last_price
+                    FROM o WHERE rn_d = 1),
+              c AS (SELECT o_custkey, count(*) AS n_orders
+                    FROM o GROUP BY o_custkey)
+         SELECT o_custkey, n_orders, first_date, first_price,
+                last_date, last_price
+         FROM f JOIN l USING (o_custkey) JOIN c USING (o_custkey)
+         ORDER BY o_custkey""",
 
     "q_events_groupsets" ->
       """SELECT event_type, hour(ts) AS hr,

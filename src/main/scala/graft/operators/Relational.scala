@@ -785,6 +785,40 @@ object Relational {
       .orderBy(col("supp_revenue").desc, col("l_suppkey"))
   }
 
+  /** §2.2 q_customer_first_last: first/last-record extraction — each
+    * customer's earliest and latest order with their prices (the
+    * attribute-of-the-extremum shape min/max can't give you). One shuffle
+    * on custkey; both row_number directions share the single sorted
+    * partition, and the rollup is map-free on the already-partitioned
+    * rows.
+    */
+  def qCustomerFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byDateDesc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("rn_a", row_number().over(byDate))
+      .withColumn("rn_d", row_number().over(byDateDesc))
+    val first = o.filter(col("rn_a") === 1)
+      .select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("first_date"),
+        col("o_totalprice").as("first_price"))
+    val last = o.filter(col("rn_d") === 1)
+      .select(col("o_custkey").as("ck2"),
+        to_date(col("o_orderdate")).as("last_date"),
+        col("o_totalprice").as("last_price"))
+    val counts = o.groupBy(col("o_custkey").as("ck3"))
+      .agg(count(lit(1)).as("n_orders"))
+    first.join(last, col("o_custkey") === col("ck2"))
+      .join(counts, col("o_custkey") === col("ck3"))
+      .select(col("o_custkey"), col("n_orders"), col("first_date"),
+        col("first_price"), col("last_date"), col("last_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
