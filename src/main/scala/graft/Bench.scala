@@ -77,8 +77,12 @@ object Bench {
     // line (cold pass + untruncated errors) is printed FIRST, for humans.
     println(s"""{"metric":"total_detail","value":${r3(total)},"unit":"sec","queries_cold":${jmap(cold)},"errors":${jsmap(errors)},"sf":"$sfDir"}""")
     val errBrief = errors.map { case (k, v) => (k, v.take(40)) }
+    // empty errors are omitted from the final line — every byte counts
+    // against the capture window, and absence-of-field reads as success
+    val errPart =
+      if (errBrief.isEmpty) "" else s""","errors":${jsmap(errBrief)}"""
     def finalLine(dp: Int): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(warm, dp)},"errors":${jsmap(errBrief)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(warm, dp)}$errPart,"sf":"$sfDir"}"""
     // stay comfortably inside a ~2 KB stdout-tail capture window (the
     // build tool prints a trailer line after us): first precision that fits
     // budget: line + "\n" + the build tool's ~80-char success trailer must

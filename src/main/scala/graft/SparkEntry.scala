@@ -74,6 +74,7 @@ object SparkEntry {
     "q_events_groupsets" -> (Relational.qEventsGroupsets _),
     "q11_revenue_share" -> (Relational.q11RevenueShare _),
     "q_customer_first_last" -> (Relational.qCustomerFirstLast _),
+    "q_user_setops" -> (Relational.qUserSetops _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -987,6 +988,24 @@ object SparkEntry {
                 count(*) AS n
          FROM o FULL OUTER JOIN n ON k_old = k_new
          GROUP BY status ORDER BY status""",
+
+    "q_user_setops" ->
+      """SELECT * FROM (
+           SELECT 'click_and_purchase' AS relation, count(*) AS n_users
+           FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT user_id FROM events WHERE event_type = 'purchase')
+           UNION ALL
+           SELECT 'click_not_purchase', count(*)
+           FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                 EXCEPT
+                 SELECT user_id FROM events WHERE event_type = 'purchase')
+           UNION ALL
+           SELECT 'purchase_not_click', count(*)
+           FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+                 EXCEPT
+                 SELECT user_id FROM events WHERE event_type = 'click'))
+         ORDER BY relation""",
 
     "q_customer_first_last" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

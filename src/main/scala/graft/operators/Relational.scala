@@ -819,6 +819,26 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** §2.2 q_user_setops: INTERSECT / EXCEPT over user sets — the set-
+    * operator family (Catalyst plans them as semi/anti joins over
+    * distincts). Counts users who both clicked and purchased, clicked but
+    * never purchased, and purchased without clicking.
+    */
+  def qUserSetops(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def users(t: String) =
+      e.filter(col("event_type") === t).select(col("user_id"))
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("relation"), col("n_users"))
+    one("click_and_purchase", users("click").intersect(users("purchase")))
+      .unionAll(one("click_not_purchase",
+        users("click").except(users("purchase"))))
+      .unionAll(one("purchase_not_click",
+        users("purchase").except(users("click"))))
+      .orderBy(col("relation"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
