@@ -75,6 +75,7 @@ object SparkEntry {
     "q11_revenue_share" -> (Relational.q11RevenueShare _),
     "q_customer_first_last" -> (Relational.qCustomerFirstLast _),
     "q_user_setops" -> (Relational.qUserSetops _),
+    "q_events_twap" -> (Relational.qEventsTwap _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -988,6 +989,23 @@ object SparkEntry {
                 count(*) AS n
          FROM o FULL OUTER JOIN n ON k_old = k_new
          GROUP BY status ORDER BY status""",
+
+    "q_events_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                CAST(value AS DECIMAL(18,4)) AS v
+              FROM events),
+              d AS (SELECT user_id, tus, v,
+                        lead(tus) OVER (PARTITION BY user_id
+                          ORDER BY tus, event_id) - tus AS dt
+                    FROM e),
+              g AS (SELECT user_id, count(*) AS n_events,
+                        sum(v * dt) AS wsum,
+                        min(tus) AS t0, max(tus) AS t1
+                    FROM d GROUP BY user_id)
+         SELECT user_id, n_events,
+                round(CAST(wsum AS DOUBLE) / (t1 - t0), 6) AS twap
+         FROM g WHERE n_events >= 2
+         ORDER BY user_id""",
 
     "q_user_setops" ->
       """SELECT * FROM (

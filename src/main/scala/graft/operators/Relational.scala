@@ -839,6 +839,31 @@ object Relational {
       .orderBy(col("relation"))
   }
 
+  /** §2.2 q_events_twap: time-weighted average per user — each value is
+    * weighted by how long it was "current" (until the next event), the
+    * standard irregular-time-series mean. Weights are exact integers
+    * (micros), values exact 4dp decimals, so the weighted sum is exact
+    * and the single final division deterministic; one shuffle on user_id
+    * (lead window + rollup share the partition).
+    */
+  def qEventsTwap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .withColumn("dt", lead(col("tus"), 1).over(w) - col("tus"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v") * col("dt")).as("wsum"),
+        min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+      .filter(col("n_events") >= 2)
+      .select(col("user_id"), col("n_events"),
+        round(col("wsum").cast("double") / (col("t1") - col("t0")), 6)
+          .as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
