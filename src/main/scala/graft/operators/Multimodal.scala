@@ -82,6 +82,37 @@ object Multimodal {
                           substr(payload, d * $stripe + 1, $stripe)), 1000)
                         AS DOUBLE) / 1000.0 AS FLOAT))""").as("embedding"))
 
+  /** One resized payload row. */
+  case class Resized(doc_id: Long, orig_len: Int, payload: Array[Byte],
+      feature: Long)
+
+  /** §2.4 mm_resize: payload resampling to a fixed target size — the
+    * image-resize shape (decode → scale → re-encode) with the codec
+    * stubbed as deterministic nearest-neighbor byte sampling. Pure
+    * partition-local map (no shuffle, bounded memory per row); a real
+    * image library replaces the sampling loop and the schema, batching,
+    * and downstream feature path stand unchanged.
+    */
+  def resize(df: DataFrame, targetLen: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(targetLen > 0)
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val out = new Array[Byte](targetLen)
+        val n = payload.length
+        var i = 0
+        while (i < targetLen) {
+          // nearest-neighbor sample position (empty payloads resize to 0s)
+          out(i) = if (n == 0) 0 else payload(((i.toLong * n) / targetLen).toInt)
+          i += 1
+        }
+        Resized(id, n, out, GraftKernels.byteFeature(out))
+      }
+      .toDF()
+  }
+
   /** §2.4 mm_batch_extract: per-partition batched feature extraction — the
     * shape a real vectorized decoder needs (accumulate a batch of payloads,
     * decode together, emit features). Batches never cross partitions, so

@@ -83,6 +83,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("payload_len") > 0)
   }
 
+  test("mm_resize: exact target length, deterministic sampling, feature matches kernel") {
+    import graft.functions.GraftKernels
+    val payloads = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.resize(payloads, targetLen = 48)
+    assert(out.count() === payloads.count())
+    assert(out.filter(length(col("payload")) =!= 48).count() === 0)
+    // spot-check: resample matches an independent reimplementation
+    val row = out.orderBy(col("doc_id")).head()
+    val orig = payloads.orderBy(col("doc_id")).head().getAs[Array[Byte]]("payload")
+    val expect = Array.tabulate(48)(i => orig(((i.toLong * orig.length) / 48).toInt))
+    assert(row.getAs[Array[Byte]]("payload").toSeq === expect.toSeq)
+    assert(row.getAs[Long]("feature") === GraftKernels.byteFeature(expect))
+  }
+
   test("mm_embed: payloads become fixed-dim vectors the similarity stack consumes") {
     import graft.functions.GraftFunctions
     val payloads = graft.Tables.documents(spark, TestSpark.sfDir)
