@@ -76,6 +76,7 @@ object SparkEntry {
     "q_customer_first_last" -> (Relational.qCustomerFirstLast _),
     "q_user_setops" -> (Relational.qUserSetops _),
     "q_events_twap" -> (Relational.qEventsTwap _),
+    "q_events_unpivot" -> (Relational.qEventsUnpivot _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -371,6 +372,22 @@ object SparkEntry {
              count(*) FILTER (event_type = 'signup') AS signup,
              count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_events_unpivot" ->
+      """WITH p AS (SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+              FROM events GROUP BY user_id)
+         SELECT user_id, event_type, n FROM (
+           SELECT user_id, 'click' AS event_type, click AS n FROM p
+           UNION ALL SELECT user_id, 'error', error FROM p
+           UNION ALL SELECT user_id, 'purchase', purchase FROM p
+           UNION ALL SELECT user_id, 'signup', signup FROM p
+           UNION ALL SELECT user_id, 'view', view FROM p)
+         ORDER BY user_id, event_type""",
 
     "q_events_cube" ->
       """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr

@@ -864,6 +864,18 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_events_unpivot: wide → long melt (the inverse of
+    * q_events_pivot) via the `stack` generator — one Generate over the
+    * pivoted relation, no join, row count = users × domain. The
+    * pivot/unpivot pair round-trips the reshaping family.
+    */
+  def qEventsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qEventsPivot(spark, dir)
+      .selectExpr("user_id",
+        """stack(5, 'click', click, 'error', error, 'purchase', purchase,
+                 'signup', signup, 'view', view) AS (event_type, n)""")
+      .orderBy(col("user_id"), col("event_type"))
+
   /** §2.1 q_count: the reference README's counting query
     * (reference README.md:29-34) — COUNT over a non-null key.
     */
