@@ -1043,24 +1043,16 @@ object SparkEntry {
          ORDER BY relation""",
 
     "q_customer_first_last" ->
-      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-                row_number() OVER (PARTITION BY o_custkey
-                  ORDER BY o_orderdate, o_orderkey) AS rn_a,
-                row_number() OVER (PARTITION BY o_custkey
-                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
-              FROM orders),
-              f AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS first_date,
-                        o_totalprice AS first_price
-                    FROM o WHERE rn_a = 1),
-              l AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS last_date,
-                        o_totalprice AS last_price
-                    FROM o WHERE rn_d = 1),
-              c AS (SELECT o_custkey, count(*) AS n_orders
-                    FROM o GROUP BY o_custkey)
-         SELECT o_custkey, n_orders, first_date, first_price,
-                last_date, last_price
-         FROM f JOIN l USING (o_custkey) JOIN c USING (o_custkey)
-         ORDER BY o_custkey""",
+      """WITH g AS (SELECT o_custkey, count(*) AS n_orders,
+                min(ROW(o_orderdate, o_orderkey, o_totalprice)) AS f,
+                max(ROW(o_orderdate, o_orderkey, o_totalprice)) AS l
+              FROM orders GROUP BY o_custkey)
+         SELECT o_custkey, n_orders,
+                CAST(f[1] AS DATE) AS first_date,
+                f[3] AS first_price,
+                CAST(l[1] AS DATE) AS last_date,
+                l[3] AS last_price
+         FROM g ORDER BY o_custkey""",
 
     "q_events_groupsets" ->
       """SELECT event_type, hour(ts) AS hr,

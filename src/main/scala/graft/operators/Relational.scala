@@ -787,37 +787,27 @@ object Relational {
 
   /** §2.2 q_customer_first_last: first/last-record extraction — each
     * customer's earliest and latest order with their prices (the
-    * attribute-of-the-extremum shape min/max can't give you). One shuffle
-    * on custkey; both row_number directions share the single sorted
-    * partition, and the rollup is map-free on the already-partitioned
-    * rows.
+    * attribute-of-the-extremum shape plain min/max can't give you).
+    * ONE scan, ONE map-side-combined aggregation: min/max over a
+    * lexicographically ordered (date, key, price) struct carry the whole
+    * extremum row through the shuffle — no windows, no self-joins, no
+    * re-scan per direction (the window formulation costs three scans of
+    * orders; struct-extremum aggregation is the 100 TB form).
     */
-  def qCustomerFirstLast(spark: SparkSession, dir: String): DataFrame = {
-    val byDate = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val byDateDesc = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val o = Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        col("o_totalprice"))
-      .withColumn("rn_a", row_number().over(byDate))
-      .withColumn("rn_d", row_number().over(byDateDesc))
-    val first = o.filter(col("rn_a") === 1)
-      .select(col("o_custkey"),
-        to_date(col("o_orderdate")).as("first_date"),
-        col("o_totalprice").as("first_price"))
-    val last = o.filter(col("rn_d") === 1)
-      .select(col("o_custkey").as("ck2"),
-        to_date(col("o_orderdate")).as("last_date"),
-        col("o_totalprice").as("last_price"))
-    val counts = o.groupBy(col("o_custkey").as("ck3"))
-      .agg(count(lit(1)).as("n_orders"))
-    first.join(last, col("o_custkey") === col("ck2"))
-      .join(counts, col("o_custkey") === col("ck3"))
-      .select(col("o_custkey"), col("n_orders"), col("first_date"),
-        col("first_price"), col("last_date"), col("last_price"))
+  def qCustomerFirstLast(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+          .as("f"),
+        max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+          .as("l"))
+      .select(col("o_custkey"), col("n_orders"),
+        to_date(col("f.o_orderdate")).as("first_date"),
+        col("f.o_totalprice").as("first_price"),
+        to_date(col("l.o_orderdate")).as("last_date"),
+        col("l.o_totalprice").as("last_price"))
       .orderBy(col("o_custkey"))
-  }
 
   /** §2.2 q_user_setops: INTERSECT / EXCEPT over user sets — the set-
     * operator family (Catalyst plans them as semi/anti joins over
