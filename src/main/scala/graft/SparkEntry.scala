@@ -112,6 +112,30 @@ object SparkEntry {
          FROM read_json('${graft.sources.NvdEtl.FixtureAbsPath}',
                         maximum_object_size=104857600))"""
 
+  /** DuckDB fragment: FNV-1a64 fold over the UTF-8 BYTES of `col`.
+    * `split(col,'')` yields characters, so a plain `unicode(c)` fold would
+    * hash code points while `GraftKernels.fingerprint64` hashes UTF-8
+    * bytes — identical on ASCII, divergent on any multibyte text. The CASE
+    * expands each code point to its UTF-8 byte sequence arithmetically so
+    * the oracle folds the exact same byte stream as the kernel. */
+  private def fnv1aUtf8(col: String): String =
+    s"""list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            list_transform(flatten(list_transform(split($col, ''), c ->
+              CASE WHEN unicode(c) < 0 THEN CAST([] AS INTEGER[])
+                   WHEN unicode(c) < 128 THEN [unicode(c)]
+                   WHEN unicode(c) < 2048
+                     THEN [192 + unicode(c)//64, 128 + unicode(c)%64]
+                   WHEN unicode(c) < 65536
+                     THEN [224 + unicode(c)//4096, 128 + (unicode(c)//64)%64,
+                           128 + unicode(c)%64]
+                   ELSE [240 + unicode(c)//262144, 128 + (unicode(c)//4096)%64,
+                         128 + (unicode(c)//64)%64, 128 + unicode(c)%64]
+              END)), b -> CAST(b AS HUGEINT))),
+          (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
+                         ::HUGEINT * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT)"""
+
   /** DuckDB-equivalent SQL per query (the driver's correctness oracle). */
   def oracleSql: Map[String, String] = Map(
     "q_nvd_count" ->
@@ -761,17 +785,11 @@ object SparkEntry {
          ORDER BY o_year""",
 
     "text_fingerprint" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
              CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
                        THEN h - 18446744073709551616::HUGEINT
                        ELSE h END AS BIGINT) AS fp64
-         FROM (SELECT doc_id, list_reduce(
-                 list_prepend(14695981039346656037::HUGEINT,
-                   list_transform(split(text, ''),
-                     c -> CAST(unicode(c) AS HUGEINT))),
-                 (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
-                                ::HUGEINT * 1099511628211::HUGEINT)
-                              % 18446744073709551616::HUGEINT) AS h
+         FROM (SELECT doc_id, ${fnv1aUtf8("text")} AS h
                FROM documents)
          ORDER BY doc_id""",
 
@@ -891,17 +909,11 @@ object SparkEntry {
     // hamming ≤ 3 (pigeonhole over 4×16-bit bands), so the oracle is the
     // semantically-equal all-pairs form.
     "dedup_simhash" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
           tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
           tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
                  GROUP BY doc_id, tok),
-          f AS (SELECT doc_id, cnt, list_reduce(
-                  list_prepend(14695981039346656037::HUGEINT,
-                    list_transform(split(tok, ''),
-                      c -> CAST(unicode(c) AS HUGEINT))),
-                  (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
-                                 ::HUGEINT * 1099511628211::HUGEINT)
-                               % 18446744073709551616::HUGEINT) AS h0
+          f AS (SELECT doc_id, cnt, ${fnv1aUtf8("tok")} AS h0
                 FROM tc),
           x1 AS (SELECT doc_id, cnt,
                      xor(h0::UBIGINT, h0::UBIGINT >> 33)::HUGEINT AS a1
@@ -1117,10 +1129,10 @@ object SparkEntry {
                   % 100 AS bucket
               FROM documents),
               s AS (SELECT doc_id, bucket, n_tokens,
-                        COALESCE(SUM(n_tokens) OVER (
+                        CAST(COALESCE(SUM(n_tokens) OVER (
                           PARTITION BY bucket ORDER BY ord, doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                          0) AS start_tok
+                          0) AS BIGINT) AS start_tok
                     FROM b)
          SELECT doc_id, bucket, n_tokens, start_tok,
                 start_tok // 256 AS pack_id,

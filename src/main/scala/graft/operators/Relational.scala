@@ -564,16 +564,19 @@ object Relational {
     * raw lineitems.
     */
   def q21LateSoleSupplier(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the collapsed relation feeds three consumers (late
-    // candidates, the EXISTS side, the NOT-EXISTS side); without a barrier
-    // the lineitem⋈orders aggregate would compute three times
+    // eager localCheckpoint: the collapsed relation feeds three consumers
+    // (late candidates, the EXISTS side, the NOT-EXISTS side); without a
+    // barrier the lineitem⋈orders aggregate would compute three times.
+    // Checkpoint, not persist: blocks are released when the plan is GC'd,
+    // whereas a persist here would linger in the CacheManager for the whole
+    // session (Verify/Bench run all queries in one session).
     val pairs = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
         .as("late"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val others = pairs.select(col("l_orderkey").as("o2"),
       col("l_suppkey").as("s2"), col("late").as("late2"))
     pairs.filter(col("late") === 1)
