@@ -57,6 +57,11 @@ object SparkEntry {
     "q_events_quantiles" -> (Relational.qEventsQuantiles _),
     "q_events_json_props" -> (Relational.qEventsJsonProps _),
     "q22_above_avg_idle" -> (Relational.q22AboveAvgIdle _),
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q4_priority_check" -> (Relational.q4PriorityCheck _),
+    "q9_profit_by_nation_year" -> (Relational.q9ProfitByNationYear _),
+    "q16_supplier_cnt" -> (Relational.q16SupplierCnt _),
+    "q20_dominant_supplier" -> (Relational.q20DominantSupplier _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q8_market_share" -> (Relational.q8MarketShare _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -817,6 +822,82 @@ object SparkEntry {
          SELECT c_count, count(*) AS custdist
          FROM cc GROUP BY c_count
          ORDER BY custdist DESC, c_count DESC""",
+
+    "q2_min_cost_supplier" ->
+      """WITH pk AS (SELECT p_partkey, p_name FROM part
+                     WHERE p_size < 15 AND p_type = 'PROMO'),
+              pairs AS (SELECT l_partkey, l_suppkey,
+                            min(l_extendedprice) AS cost
+                        FROM lineitem JOIN pk ON l_partkey = p_partkey
+                        GROUP BY l_partkey, l_suppkey),
+              m AS (SELECT *, min(cost) OVER (PARTITION BY l_partkey)
+                             AS mincost
+                    FROM pairs)
+         SELECT l_partkey AS p_partkey, p_name, s_suppkey, s_name,
+                s_acctbal, n_name, cost
+         FROM m JOIN pk ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+         WHERE cost = mincost
+         ORDER BY p_partkey, s_suppkey""",
+
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
+    "q9_profit_by_nation_year" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                      - CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(4,0))
+                        * CAST(0.10 AS DECIMAL(3,2))) AS DOUBLE)
+               AS sum_profit
+         FROM lineitem
+         JOIN part     ON p_partkey = l_partkey
+         JOIN orders   ON o_orderkey = l_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation   ON n_nationkey = s_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY n_name, o_year
+         ORDER BY n_name, o_year""",
+
+    "q16_supplier_cnt" ->
+      """WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM bridge JOIN part ON p_partkey = l_partkey
+         WHERE p_type <> 'PROMO'
+           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q20_dominant_supplier" ->
+      """WITH f AS (SELECT l_partkey, l_suppkey,
+                      sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                    FROM lineitem JOIN part ON p_partkey = l_partkey
+                    WHERE p_name LIKE '%bolt%'
+                      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                    GROUP BY l_partkey, l_suppkey),
+              m AS (SELECT *, sum(qty) OVER (PARTITION BY l_partkey)
+                             AS total
+                    FROM f),
+              dom AS (SELECT DISTINCT l_suppkey FROM m
+                      WHERE qty * 2 > total)
+         SELECT s_suppkey, s_name, n_name
+         FROM dom JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+         ORDER BY s_suppkey""",
 
     "q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,

@@ -899,6 +899,145 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** §2.2 q2_min_cost_supplier: TPC-H Q2-style min-cost supplier per part.
+    * The testdata has no partsupp, so the (part, supplier) catalog is
+    * derived from lineitem: cost = cheapest observed extended price per
+    * pair. The part filter broadcasts FIRST so the fact scan only
+    * aggregates pairs for parts of interest (Q2's correlated subquery is
+    * likewise per-part); the per-part minimum is a window over the
+    * already-aggregated pair relation — the window partition reuses the
+    * groupBy's hash partitioning prefix, so the argmin adds no extra
+    * fact-table pass and no self-join (compare q15's join-back form).
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") < 15 && col("p_type") === "PROMO")
+    val pairs = Tables.lineitem(spark, dir)
+      .join(broadcast(p.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    pairs
+      .withColumn("mincost",
+        min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost") === col("mincost"))
+      .join(broadcast(p.select(col("p_partkey").as("pk"), col("p_name"))),
+        col("l_partkey") === col("pk"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"),
+        col("cost"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** §2.2 q4_priority_check: TPC-H Q4-style order-priority checking —
+    * orders in a quarter with at least one line shipped >30 days after
+    * the order date (the testdata carries no commit/receipt dates),
+    * counted per priority. The EXISTS is a left-semi join with the
+    * date comparison as a residual condition — one shuffle on orderkey,
+    * each order emitted at most once regardless of matching lines.
+    */
+  def q4PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-04-01 00:00:00"))
+    o.join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** §2.2 q9_profit_by_nation_year: TPC-H Q9-style product-line profit per
+    * (supplier nation, order year). Without partsupp, supply cost is
+    * proxied as 10% of retail price × quantity; profit stays entirely in
+    * exact decimal (2dp × 2dp × integral quantity — both engines compute
+    * the identical decimal sum regardless of partitioning). Name-filtered
+    * part and the supplier→nation chain broadcast; the fact shuffles once
+    * for the orders join (for the year) and once for the aggregation.
+    */
+  def q9ProfitByNationYear(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val profit = discPrice -
+      col("p_retailprice").cast(DecimalType(18, 2)) *
+        col("l_quantity").cast(DecimalType(4, 0)) *
+        lit(0.10).cast(DecimalType(3, 2))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** §2.2 q16_supplier_cnt: TPC-H Q16-style supplier-count-per-part-class.
+    * The distinct (part, supplier) bridge comes from lineitem; suppliers
+    * in deficit (negative balance — the schema has no comment column to
+    * scan for complaints) are excluded with a broadcast anti-join BEFORE
+    * the part join, so excluded rows never reach the wider relation. One
+    * distinct shuffle on the pair key + one count-distinct aggregation.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** §2.2 q20_dominant_supplier: TPC-H Q20-style excess-stock probe — here
+    * suppliers who shipped a MAJORITY (>50%) of some name-filtered part's
+    * 1997 volume (the schema has no availqty, so dominance substitutes for
+    * excess). Quantities aggregate in exact decimal; the majority test is
+    * the integer-free form qty·2 > total so neither engine divides. The
+    * per-part total is a window over the aggregated pair relation — same
+    * single-pass argmax shape as q2.
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.part(spark, dir).filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"))
+    val f = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+    f.withColumn("total",
+        sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty") * 2 > col("total"))
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** §2.1 q_dedup_load: first-writer-wins load semantics — keep the first
     * record per natural key, as the reference's load effectively does by
     * only appending unseen CVE IDs.
