@@ -90,9 +90,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
+    "sim_range_search" -> (Similarity.simRangeSearch _),
     // §2.4 text analysis + multimodal
     "text_tokencount" -> (TextAnalysis.textTokencount _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -100,6 +102,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_top_terms" -> (TextAnalysis.textTopTerms _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
+    "text_pii_redact" -> (TextAnalysis.textPiiRedact _),
+    "pipeline_length_hist" -> (TextAnalysis.pipelineLengthHist _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
     "pipeline_split" -> (TextAnalysis.pipelineSplit _),
@@ -788,6 +792,65 @@ object SparkEntry {
            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY o_year
          ORDER BY o_year""",
+
+    "dedup_incremental" ->
+      s"""WITH fp AS (SELECT doc_id,
+                 CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                           THEN h - 18446744073709551616::HUGEINT
+                           ELSE h END AS BIGINT) AS fp64
+               FROM (SELECT doc_id, ${fnv1aUtf8("text")} AS h
+                     FROM documents))
+         SELECT doc_id, fp64 FROM fp
+         WHERE doc_id >= 250
+           AND fp64 NOT IN (SELECT fp64 FROM fp WHERE doc_id < 250)
+         ORDER BY doc_id""",
+
+    "sim_range_search" ->
+      """WITH q AS (SELECT vec_id AS q_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id AS c_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                    FROM embeddings),
+              s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS sim_raw
+                    FROM c CROSS JOIN q WHERE c_id <> q_id)
+         SELECT q_id, c_id, round(sim_raw, 6) AS sim
+         FROM s WHERE sim_raw >= 0.28
+         ORDER BY q_id, c_id""",
+
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+                text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                     || '@example.com call +1-'
+                     || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+              FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(pii,
+                     '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(pii,
+                     '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(
+                      regexp_replace(pii, '[a-z0-9.]+@[a-z0-9.]+',
+                                     '[EMAIL]', 'g'),
+                      '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'))
+                  AS redacted_md5
+         FROM p ORDER BY doc_id""",
+
+    "pipeline_length_hist" ->
+      """WITH d AS (SELECT lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents)
+         SELECT lang,
+                CASE WHEN n < 16 THEN 'a_lt16'
+                     WHEN n < 64 THEN 'b_16_63'
+                     WHEN n < 256 THEN 'c_64_255'
+                     WHEN n < 1024 THEN 'd_256_1023'
+                     ELSE 'e_ge1024' END AS len_bucket,
+                count(*) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS sum_tokens
+         FROM d GROUP BY lang, len_bucket
+         ORDER BY lang, len_bucket""",
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -313,4 +313,22 @@ object Dedup {
       .filter(col("sim") >= 0.4)
       .orderBy(col("i"), col("j"))
   }
+
+  /** §2.3 dedup_incremental: cross-load content dedup — the reference's
+    * incremental-update shape (new CVEs vs warehouse IDs, reference
+    * etl.py:80-92) applied to CONTENT: a feed document is dropped iff its
+    * 64-bit fingerprint already exists in the warehouse corpus. The
+    * warehouse side shrinks to bare fingerprints before the anti-join, so
+    * at 100 TB only 8-byte keys shuffle (or broadcast, when the fingerprint
+    * set of the standing corpus fits); text never crosses the wire.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), GraftFunctions.fingerprint64(col("text")).as("fp64"))
+    val warehouse = fp.filter(col("doc_id") < 250).select(col("fp64"))
+    fp.filter(col("doc_id") >= 250)
+      .join(warehouse, Seq("fp64"), "left_anti")
+      .select(col("doc_id"), col("fp64"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -248,4 +248,27 @@ object Similarity {
         .select(col("q_id"), col("c_id"),
           GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw")))
   }
+
+  /** §2.3 sim_range_search: ALL corpus neighbors within cosine ≥ τ of each
+    * query — the radius-query complement to top-k (retrieval wants "the 10
+    * best", contamination / near-dup audits want "everything this close").
+    * Queries broadcast, cosine + threshold evaluate map-side inside the
+    * scan — unlike top-k there is no heap and NO shuffle at all beyond the
+    * output sort: the filter is the aggregation. The testdata's nearest
+    * sim to τ sits 1.7e-4 away, so the raw-double comparison cannot flip
+    * between engines.
+    */
+  def simRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw"))
+      .filter(col("sim_raw") >= 0.28)
+      .select(col("q_id"), col("c_id"), round(col("sim_raw"), 6).as("sim"))
+      .orderBy(col("q_id"), col("c_id"))
+  }
 }

@@ -346,4 +346,50 @@ object TextAnalysis {
         col("pred_lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2.4 text_pii_redact: PII scrubbing — count and redact email / phone
+    * patterns. The testdata carries no PII, so a deterministic rider
+    * (derived from doc_id — identically on the oracle side) is appended
+    * first; the md5 of the redacted text is emitted so the gate verifies
+    * the REPLACEMENT byte-for-byte, not just the counts. Both patterns
+    * stay inside the Java-regex ∩ RE2 common subset (character classes +
+    * bounded repeats — no lookaround, no backrefs), so Spark and DuckDB
+    * match identical spans. Map-side only; scan-bound at any scale.
+    */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+    val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+    val pii = concat(col("text"), lit(" contact doc"),
+      col("doc_id").cast("string"), lit("@example.com call +1-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pii.as("pii"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii"), lit(emailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("pii"), lit(phoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("pii"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 pipeline_length_hist: sequence-length distribution per language —
+    * the pre-training report that decides packing length and truncation
+    * budget. Buckets are closed-form integer CASE bands (no log2 — fp
+    * rounding at exact powers of two would let engines disagree); one
+    * map-side-combined aggregation, then a tiny sort.
+    */
+  def pipelineLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("bigint")
+    val bucket = when(n < 16, "a_lt16").when(n < 64, "b_16_63")
+      .when(n < 256, "c_64_255").when(n < 1024, "d_256_1023")
+      .otherwise("e_ge1024")
+    Tables.documents(spark, dir)
+      .select(col("lang"), n.as("n"), bucket.as("len_bucket"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
 }
