@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness captures a short stdout tail and parses the
+// last JSON line: forked-process output must reach stdout RAW (no
+// "[info] " logger prefix), and sbt's "[success] Total time" trailer
+// must not displace the report as the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
