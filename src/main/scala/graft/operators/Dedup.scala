@@ -116,12 +116,17 @@ object Dedup {
       // neighbor-min step: the best label one edge away
       val nbr = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
+      // NOT checkpointed: the jump self-join reads `stepped` twice, but
+      // both reads are the identical subtree shuffled on compatible keys,
+      // so ReuseExchange computes it once — one materialization job per
+      // round instead of two (same wall-clock at sf0.1 where per-job
+      // overhead is tiny; at cluster scale each saved job is a real
+      // scheduling + shuffle-write round trip)
       val stepped = labels.select(col("id"), col("lab").as("old"))
         .join(nbr, col("id") === col("dst"), "left_outer")
         .select(col("id"),
           least(col("old"), coalesce(col("nl"), col("old"))).as("lab1"),
           col("old"))
-        .localCheckpoint() // barrier: the jump reads stepped twice
       // pointer-jump step: labels ARE doc ids, so the current label OF my
       // label is also a valid (no larger) label for me — following it
       // halves chain depth per round, so rounds = O(log diameter) instead
@@ -132,7 +137,7 @@ object Dedup {
         .select(col("id"),
           least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab"),
           col("old"))
-        .localCheckpoint()
+        .localCheckpoint() // the round barrier: O(1) lineage across rounds
       changed = next.filter(col("lab") =!= col("old")).count()
       labels = next.select(col("id"), col("lab"))
       iter += 1
