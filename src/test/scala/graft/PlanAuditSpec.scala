@@ -61,6 +61,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "HashAggregate") >= 2, p)
   }
 
+  test("q2: part filter broadcast ahead of the fact agg; argmin adds no second fact pass") {
+    val p = plan("q2_min_cost_supplier")
+    // lineitem appears exactly once — the windowed argmin must not re-scan
+    assert(countOf(p, "lineitem.parquet") === 1, p)
+    // pair agg is map-side combined before its shuffle
+    assert(countOf(p, "HashAggregate") >= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q20: windowed majority test reuses the aggregated relation, single fact scan") {
+    val p = plan("q20_dominant_supplier")
+    assert(countOf(p, "lineitem.parquet") === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("text_pii_redact / pipeline_length_hist: map-side only (no join, no window)") {
+    for (q <- Seq("text_pii_redact", "pipeline_length_hist")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+      // redaction is pure projection: the only exchanges are agg/sort ones
+      assert(countOf(p, "Exchange hashpartitioning") <= 1, s"$q:\n$p")
+    }
+  }
+
+  test("sim_range_search: threshold filters map-side — no shuffle before the output sort") {
+    val p = plan("sim_range_search")
+    // queries broadcast; corpus never hash-shuffles (only the final sort
+    // range-partitions)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(countOf(p, "Exchange hashpartitioning") === 0, p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("dedup_incremental: warehouse side prunes to the bare fingerprint before the anti-join") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("LeftAnti"), p)
+    // the anti-join build side must not carry text (8-byte keys only)
+    val buildSide = p.linesIterator.filter(_.contains("BroadcastExchange"))
+      .mkString
+    assert(!buildSide.contains("text"), p)
+  }
+
   test("custom expressions run inside WholeStageCodegen spans") {
     // the fingerprint kernel is a custom Catalyst expression with
     // doGenCode — its Project must carry the codegen marker (*), proving
