@@ -27,6 +27,13 @@ object Bench {
       } catch {
         case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      } finally {
+        // operators persist intermediate relations (plan barriers + stats);
+        // release them between queries so no query's cache squats on
+        // executor memory for the rest of the suite (the r3 bench read
+        // dedup_cluster at 49s purely from an earlier query's lingering
+        // cache). Unpersist time is billed to the query that cached.
+        spark.catalog.clearCache()
       }
     }
 

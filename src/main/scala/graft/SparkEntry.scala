@@ -62,6 +62,7 @@ object SparkEntry {
     "q9_profit_by_nation_year" -> (Relational.q9ProfitByNationYear _),
     "q16_supplier_cnt" -> (Relational.q16SupplierCnt _),
     "q20_dominant_supplier" -> (Relational.q20DominantSupplier _),
+    "q_events_markov" -> (Relational.qEventsMarkov _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q8_market_share" -> (Relational.q8MarketShare _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
+    "dedup_containment" -> (Dedup.dedupContainment _),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
@@ -104,6 +106,7 @@ object SparkEntry {
     "text_normalize" -> (TextAnalysis.textNormalize _),
     "text_pii_redact" -> (TextAnalysis.textPiiRedact _),
     "pipeline_length_hist" -> (TextAnalysis.pipelineLengthHist _),
+    "text_window_chunk" -> (TextAnalysis.textWindowChunk _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
     "pipeline_split" -> (TextAnalysis.pipelineSplit _),
@@ -804,6 +807,60 @@ object SparkEntry {
          WHERE doc_id >= 250
            AND fp64 NOT IN (SELECT fp64 FROM fp WHERE doc_id < 250)
          ORDER BY doc_id""",
+
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+              d AS (SELECT doc_id,
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                          AS sh
+                    FROM t WHERE len(toks) >= 3),
+              post AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+              rare AS (SELECT shingle FROM post GROUP BY shingle
+                       HAVING count(*) BETWEEN 2 AND 20),
+              cand AS (SELECT a.doc_id AS i, b.doc_id AS j
+                       FROM post a, post b, rare r
+                       WHERE a.shingle = r.shingle AND b.shingle = r.shingle
+                         AND a.doc_id <> b.doc_id
+                       GROUP BY a.doc_id, b.doc_id
+                       HAVING count(*) >= 4),
+              rr AS (SELECT i, j,
+                         round(CAST(len(list_intersect(di.sh, dj.sh))
+                               AS DOUBLE) / len(di.sh), 6) AS containment
+                     FROM cand JOIN d di ON di.doc_id = i
+                               JOIN d dj ON dj.doc_id = j)
+         SELECT i, j, containment FROM rr
+         WHERE containment >= 0.8
+         ORDER BY i, j""",
+
+    "text_window_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents),
+              s AS (SELECT doc_id, tk,
+                        unnest(range(1, len(tk) + 1, 96)) AS start_tok
+                    FROM t)
+         SELECT doc_id,
+                CAST((start_tok - 1) // 96 AS BIGINT) AS chunk_idx,
+                CAST(start_tok AS BIGINT) AS start_tok,
+                CAST(len(tk[start_tok : start_tok + 127]) AS BIGINT)
+                  AS n_chunk_tokens,
+                md5(array_to_string(tk[start_tok : start_tok + 127], ' '))
+                  AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_idx""",
+
+    "q_events_markov" ->
+      """WITH e AS (SELECT user_id, event_type AS cur,
+                        CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+                    FROM events),
+              l AS (SELECT user_id, cur,
+                        lag(cur) OVER (PARTITION BY user_id
+                                       ORDER BY tus, event_id) AS prev
+                    FROM e)
+         SELECT prev, cur, count(*) AS n_transitions
+         FROM l WHERE prev IS NOT NULL
+         GROUP BY prev, cur
+         ORDER BY prev, cur""",
 
     "sim_range_search" ->
       """WITH q AS (SELECT vec_id AS q_id,

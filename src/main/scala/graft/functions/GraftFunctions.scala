@@ -27,6 +27,8 @@ object GraftFunctions {
   def pairs(sortedIds: Column): Column = GraftColumns.pairs(sortedIds)
   /** Jaccard of two sorted+distinct string arrays (single merge walk). */
   def jaccardSorted(a: Column, b: Column): Column = GraftColumns.jaccardSorted(a, b)
+  def containmentSorted(a: Column, b: Column): Column =
+    GraftColumns.containmentSorted(a, b)
   /** 64-bit FNV-1a rolling fingerprint of a string. */
   def fingerprint64(text: Column): Column = GraftColumns.fingerprint64(text)
   /** Deterministic stub feature over a binary payload (§2.4 multimodal). */

@@ -167,6 +167,23 @@ object GraftKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** One-sided containment |a ∩ b| / |a| over sorted+distinct string sets —
+    * same single merge walk as jaccardSorted (O(n+m), no per-pair hash set).
+    */
+  def containmentSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / na
+  }
+
   /** FNV-1a-style 64-bit rolling fingerprint over the UTF-8 bytes. */
   def fingerprint64(s: UTF8String): Long = {
     val bytes = s.getBytes

@@ -564,19 +564,21 @@ object Relational {
     * raw lineitems.
     */
   def q21LateSoleSupplier(spark: SparkSession, dir: String): DataFrame = {
-    // eager localCheckpoint: the collapsed relation feeds three consumers
-    // (late candidates, the EXISTS side, the NOT-EXISTS side); without a
-    // barrier the lineitem⋈orders aggregate would compute three times.
-    // Checkpoint, not persist: blocks are released when the plan is GC'd,
-    // whereas a persist here would linger in the CacheManager for the whole
-    // session (Verify/Bench run all queries in one session).
+    // persist: the collapsed relation feeds three consumers (late
+    // candidates, the EXISTS side, the NOT-EXISTS side); without a barrier
+    // the lineitem⋈orders aggregate would compute three times. persist,
+    // not localCheckpoint — the cached InMemoryRelation keeps stats for
+    // the downstream join sizing, and the harness clears the cache
+    // between queries so nothing lingers across the session (the r3
+    // bench's 49s dedup_cluster reading was THIS relation squatting in
+    // the CacheManager for the remaining 50+ queries).
     val pairs = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
         .as("late"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val others = pairs.select(col("l_orderkey").as("o2"),
       col("l_suppkey").as("s2"), col("late").as("late2"))
     pairs.filter(col("late") === 1)
@@ -1036,6 +1038,28 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy(col("s_suppkey"))
+  }
+
+  /** §2.2 q_events_markov: event-type transition matrix — counts of
+    * consecutive (prev → cur) event pairs per user timeline, the
+    * session-flow model behind next-action prediction and funnel design.
+    * One lag window and the final count share nothing: the window
+    * shuffles on user_id once, the transition count is map-side combined
+    * into a |event_types|² relation. Ordering ties break on event_id so
+    * the transition sequence is total and both engines see identical
+    * neighbors.
+    */
+  def qEventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("cur"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev"), col("cur"))
   }
 
   /** §2.1 q_dedup_load: first-writer-wins load semantics — keep the first

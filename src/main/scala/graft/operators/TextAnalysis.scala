@@ -392,4 +392,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
       .orderBy(col("lang"), col("len_bucket"))
   }
+
+  /** §2.4 text_window_chunk: sliding-window chunking — 128-token windows
+    * every 96 tokens (32-token overlap), the long-document shape for
+    * context-bounded training and retrieval indexing. Chunk identity
+    * (doc_id, chunk_idx) is a pure function of the document, stable under
+    * any partitioning; the gate hashes each chunk's md5, so window
+    * boundaries are verified byte-for-byte. Generate explodes
+    * partition-locally — no shuffle beyond the output sort, and a doc
+    * contributes ~n/96 rows, never a quadratic blowup.
+    */
+  def textWindowChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(1), size(col("tk")), lit(96))))
+      .select(col("doc_id"), col("pos").cast("bigint").as("chunk_idx"),
+        col("col").cast("bigint").as("start_tok"),
+        slice(col("tk"), col("col"), lit(128)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("bigint").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
 }

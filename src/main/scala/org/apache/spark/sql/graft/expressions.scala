@@ -91,6 +91,28 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** containment_sorted(array<string>, array<string>) → double: |a∩b|/|a|.
+  * Inputs MUST be sorted and distinct, like [[JaccardSorted]].
+  */
+case class ContainmentSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftKernels.containmentSorted(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftKernels.containmentSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** minhash_signature(array<string>, k, seed) → array<int> of k minima. */
 case class MinHashSignature(child: Expression, k: Int, seed: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -223,6 +245,8 @@ object GraftColumns {
 
   def cosine(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
   def jaccardSorted(a: Column, b: Column): Column = col(JaccardSorted(ex(a), ex(b)))
+  def containmentSorted(a: Column, b: Column): Column =
+    col(ContainmentSorted(ex(a), ex(b)))
   def pairs(sortedIds: Column): Column = col(PairsGenerator(ex(sortedIds)))
   def minhashSignature(tokens: Column, k: Int = 128, seed: Int = 42): Column =
     col(MinHashSignature(ex(tokens), k, seed))

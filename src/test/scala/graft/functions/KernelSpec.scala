@@ -110,6 +110,28 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentSorted: matches set-arithmetic; asymmetric; empty-left is 0") {
+    def naive(a: Seq[String], b: Seq[String]): Double = {
+      val sa = a.toSet
+      if (sa.isEmpty) 0.0 else (sa & b.toSet).size.toDouble / sa.size
+    }
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "b"), Seq("a", "b", "c", "d", "e")),
+      ((0 until 80).map(i => f"t$i%03d"), (0 until 100).map(i => f"t$i%03d")))
+    cases.foreach { case (a, b) =>
+      val got = GraftKernels.containmentSorted(sArr(a.sorted), sArr(b.sorted))
+      assert(math.abs(got - naive(a, b)) < 1e-15, s"on $a vs $b")
+      // asymmetry: a fully inside b gives 1.0 left-to-right only
+    }
+    assert(GraftKernels.containmentSorted(
+      sArr(Seq("a", "b")), sArr(Seq("a", "b", "c"))) === 1.0)
+    assert(GraftKernels.containmentSorted(
+      sArr(Seq("a", "b", "c")), sArr(Seq("a", "b"))) < 1.0)
+  }
+
   test("rhpSignature: deterministic, within bit range, input-sensitive") {
     val v1 = fArr(vec(1)); val v2 = fArr(vec(2))
     val s1 = GraftKernels.rhpSignature(v1, 8, 42)
