@@ -30,6 +30,7 @@ object SparkEntry {
     "q_nvd_severity_hist" -> (Nvd.qNvdSeverityHist _),
     "q_nvd_cwe_top" -> (Nvd.qNvdCweTop _),
     "q_nvd_tag_hist" -> (Nvd.qNvdTagHist _),
+    "q_nvd_product_top" -> (Nvd.qNvdProductTop _),
     "q_nvd_v3_vector" -> (Nvd.qNvdV3Vector _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
@@ -194,6 +195,17 @@ object SparkEntry {
          SELECT tag, count(*) AS n_refs
          FROM t GROUP BY tag
          ORDER BY n_refs DESC, tag""",
+
+    "q_nvd_product_top" ->
+      s"""$nvdFeedCte,
+           m AS (SELECT unnest(flatten(list_filter(list_transform(
+                   item.configurations.nodes, n -> n.cpe_match),
+                   x -> x IS NOT NULL))) AS m FROM f)
+         SELECT string_split(m.cpe23Uri, ':')[4] || ':' ||
+                string_split(m.cpe23Uri, ':')[5] AS vendor_product,
+                count(*) AS n_matches
+         FROM m GROUP BY vendor_product
+         ORDER BY n_matches DESC, vendor_product""",
 
     "q_nvd_v3_vector" ->
       s"""$nvdFeedCte

@@ -91,6 +91,28 @@ object Nvd {
       .agg(count(lit(1)).as("n_cves"))
       .orderBy(col("n_cves").desc, col("cwe"))
 
+  /** §2.1 q_nvd_product_top: affected vendor:product histogram over the
+    * doubly-repeated configurations.nodes[].cpe_match[] path — the same
+    * nesting as the README flagship EXISTS, but TRANSFORMING the nested
+    * records instead of testing them: cpe23Uri parses to its vendor and
+    * product fields in place. cpe_match is OPTIONAL per node (nodes with
+    * only children carry none): a null element would null the whole
+    * flatten, silently dropping every other node's matches for that CVE —
+    * so nulls are filtered at the node level first, mirrored exactly in
+    * the oracle.
+    */
+  def qNvdProductTop(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .select(explode(flatten(filter(
+        transform(col("configurations.nodes"), n => n.getField("cpe_match")),
+        x => x.isNotNull))).as("m"))
+      .select(concat_ws(":",
+        split(col("m.cpe23Uri"), ":").getItem(3),
+        split(col("m.cpe23Uri"), ":").getItem(4)).as("vendor_product"))
+      .groupBy(col("vendor_product"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("vendor_product"))
+
   /** §2.1 q_nvd_tag_hist: histogram over a REPEATED scalar nested inside a
     * REPEATED record (references.reference_data[].tags[]) — the remaining
     * repetition shape the other queries don't touch.
