@@ -43,4 +43,36 @@ object Warehouse {
       key: (String, String)): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(key._1) === spark.table(right)(key._2))
+
+  /** Small-file compaction for a parquet directory — the standing
+    * maintenance task of any incrementally-appended warehouse (the
+    * reference's daily `recent`-feed appends produce one small file per
+    * load; a year of cron runs is 365 files a scan must open, seek, and
+    * schedule tasks for). Rewrites the directory into
+    * ceil(totalBytes / targetBytes) evenly-sized files (repartition, not
+    * coalesce: coalesce merges ADJACENT partitions and inherits their
+    * skew; an even rewrite is the point of compacting), then swaps the
+    * rewrite in via rename — readers never observe a half-written
+    * directory. Returns (files before, files after).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(path + ".compact_tmp")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".compact_bak")
+    fs.rename(dir, bak)
+    fs.rename(tmp, dir)
+    fs.delete(bak, true)
+    val after = fs.listStatus(dir)
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    (dataFiles.length, after)
+  }
 }

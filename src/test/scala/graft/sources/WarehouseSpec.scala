@@ -56,4 +56,27 @@ class WarehouseSpec extends AnyFunSuite {
     }
     assert(exchanges.isEmpty)
   }
+
+  test("compact: merges an incrementally-appended directory losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("events").toString
+    // simulate 12 small incremental appends (one file each)
+    val src = graft.Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    (0 until 12).foreach { i =>
+      src.filter(col("event_id") % 12 === i).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val before = src.count()
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(sum(col("event_id")), sum(col("user_id"))).collect()(0)
+    val (nBefore, nAfter) = Warehouse.compact(spark, dir, 512L << 20)
+    assert(nBefore >= 12, s"expected >=12 input files, saw $nBefore")
+    assert(nAfter === 1, s"512MB target should compact to 1 file: $nAfter")
+    // lossless: same rows, same content checksums, still readable
+    val after = spark.read.parquet(dir)
+    assert(after.count() === before)
+    assert(after.agg(sum(col("event_id")), sum(col("user_id")))
+      .collect()(0) === checksumBefore)
+  }
 }
