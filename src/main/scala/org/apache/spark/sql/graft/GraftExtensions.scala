@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_jaccard_sorted", "graft_jaccard_sorted(a, b) - Jaccard of sorted distinct string arrays"),
       (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_jaccard_sorted"); JaccardSorted(c(0), c(1)) }))
 
+    ext.injectFunction((FunctionIdentifier("graft_containment_sorted"),
+      info("graft_containment_sorted", "graft_containment_sorted(a, b) - |a∩b|/|a| of sorted distinct string arrays"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_containment_sorted"); ContainmentSorted(c(0), c(1)) }))
+
     ext.injectFunction((FunctionIdentifier("graft_byte_feature"),
       info("graft_byte_feature", "graft_byte_feature(bin) - deterministic stub media feature"),
       (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_byte_feature"); ByteFeature(c(0)) }))

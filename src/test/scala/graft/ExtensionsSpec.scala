@@ -27,6 +27,11 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(jac - 0.5) < 1e-15)
 
+    val cont = spark.sql(
+      "SELECT graft_containment_sorted(array('a','b'), array('a','b','c')) AS c")
+      .head().getDouble(0)
+    assert(cont === 1.0)
+
     val mh = spark.sql(
       "SELECT size(graft_minhash(array('x','y'), 32, 42)) AS n").head().getInt(0)
     assert(mh === 32)
