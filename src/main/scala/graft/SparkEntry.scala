@@ -444,15 +444,15 @@ object SparkEntry {
          FROM e GROUP BY CUBE (event_type, hr)
          ORDER BY event_type NULLS FIRST, hr NULLS FIRST""",
 
+    // EXHAUSTIVE length-filtered scan (|Δlen| <= 20 is implied by
+    // dist <= 20, so the length predicate loses nothing) — grades the
+    // banding's losslessness, not just the DP arithmetic.
     "dedup_editdistance" ->
-      """WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
-                        text
-                    FROM documents),
+      """WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
               p AS (SELECT a.doc_id AS i, b.doc_id AS j,
                         CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
                     FROM t a JOIN t b
-                      ON a.lang = b.lang AND a.bkt = b.bkt
-                     AND a.doc_id < b.doc_id)
+                      ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= 20)
          SELECT i, j, dist FROM p WHERE dist <= 20
          ORDER BY i, j""",
 
