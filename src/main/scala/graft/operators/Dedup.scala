@@ -14,7 +14,8 @@ import graft.functions.GraftFunctions
   *  - jaccard near-dup candidates come from rare-token prefix postings
   *    (exact AllPairs — lossless, and stopwords never index);
   *  - MinHash/LSH and SimHash bound candidate pairs by band buckets;
-  *  - embedding near-dup self-joins only inside label blocks.
+  *  - embedding near-dup candidates come from label-free RHP buckets
+  *    (16 tables × 4 sign bits, constants shared with the oracle).
   * At cluster scale the only skew risk is a hot band bucket; AQE skew-join
   * handles it, and the band count (16) is the knob that trades recall for
   * bucket size.
@@ -335,7 +336,7 @@ object Dedup {
   // Coordinate-difference RHP blocking constants — the same baked-in
   // hyperplanes drive the Spark plan and the DuckDB oracle SQL (see
   // [[RhpBlocking]]); no synthetic label column is ever consulted.
-  private[graft] val EmbTables = 8
+  private[graft] val EmbTables = 16
   private[graft] val EmbBits = 4
   private[graft] val EmbDim = 64
   private[graft] val EmbSeed = 7L

@@ -71,8 +71,9 @@ class DedupSpec extends AnyFunSuite {
     val recall = if (exact.isEmpty) 1.0 else (blocked & exact).size.toDouble / exact.size
     // this corpus's qualifying pairs sit barely over τ=0.4 (sim≈0.40-0.48,
     // i.e. near-random angles) — the hardest possible regime for any LSH
-    // family; the floor asserts the blocking still does real work there
-    assert(recall >= 0.5, s"embedding blocking recall $recall below floor")
+    // family; 16 tables × 4 bits model to ≈0.94 recall at p(0.4)≈0.63
+    // (measured 0.96 at sf0.1, 0.9+ here)
+    assert(recall >= 0.85, s"embedding blocking recall $recall below floor")
   }
 
   test("short/empty docs cannot form LSH candidate cliques") {
