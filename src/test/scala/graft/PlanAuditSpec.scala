@@ -104,6 +104,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!buildSide.contains("text"), p)
   }
 
+  test("exact dedup candidate joins stay equi-keyed — no cartesian/BNLJ fallback") {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_editdistance",
+        "dedup_containment")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("custom expressions run inside WholeStageCodegen spans") {
     // the fingerprint kernel is a custom Catalyst expression with
     // doGenCode — its Project must carry the codegen marker (*), proving
