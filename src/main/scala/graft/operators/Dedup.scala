@@ -135,8 +135,13 @@ object Dedup {
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = ngramPairs(spark, dir).select(col("i"), col("j"))
+    // pre-partitioned ONCE by src: the cached relation keeps its
+    // outputPartitioning, so every round's edges⋈labels join shuffles
+    // only the small changing label relation, never the edge set — at
+    // corpus scale the edge relation is the 100× bigger side
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), col("doc_id").as("lab"))
