@@ -181,4 +181,20 @@ object StreamOps {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming CONTENT dedup — the streaming twin of the batch
+    * dedup_incremental operator: a document whose 64-bit text fingerprint
+    * was already seen inside the watermark horizon is dropped, regardless
+    * of its id (re-crawls and mirrors carry fresh ids over identical
+    * bytes). The custom codegen'd fingerprint expression runs inside the
+    * streaming plan; state is keyed by the 8-byte fingerprint, never the
+    * text, so the state store holds O(docs-in-horizon) longs — bounded by
+    * the watermark, not the corpus.
+    */
+  def dedupContentStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp64",
+        graft.functions.GraftFunctions.fingerprint64(col("text")))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("fp64")
 }

@@ -11,6 +11,8 @@ import graft.{Tables, TestSpark}
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 /** §2.5 gates: stream_windowed_agg (batch/stream parity on the real events
   * table) and stream_dedup (bounded-state exact dedup by key).
   */
@@ -242,6 +244,32 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val ids = spark.table("dedup_out").as[Long].collect().sorted
       assert(ids === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream_dedup_content: identical text under fresh ids is dropped; state keys are 8-byte fingerprints") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def doc(id: Long, minute: Int, text: String): Doc =
+      Doc(id, Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(minute * 60L)), text)
+
+    val stream = MemoryStream[Doc]
+    val q = StreamOps.dedupContentStream(stream.toDF())
+      .select(col("doc_id"))
+      .writeStream.format("memory").queryName("dedup_content_out")
+      .outputMode("append").start()
+    try {
+      // doc 3 re-crawls doc 1's bytes under a fresh id — in-batch dup
+      stream.addData(Seq(doc(1, 0, "alpha beta"), doc(2, 1, "gamma"),
+        doc(3, 2, "alpha beta")))
+      q.processAllAvailable()
+      // doc 4 mirrors doc 2 across batches; doc 5 is genuinely new
+      stream.addData(Seq(doc(4, 3, "gamma"), doc(5, 4, "delta")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_content_out").as[Long].collect().sorted
+      assert(ids === Array(1L, 2L, 5L))
     } finally q.stop()
   }
 }
