@@ -34,6 +34,13 @@ object Bench {
         // dedup_cluster at 49s purely from an earlier query's lingering
         // cache). Unpersist time is billed to the query that cached.
         spark.catalog.clearCache()
+        // clearCache only drops SQL caches — localCheckpoint blocks (the
+        // iterative operators' round barriers) are raw persisted RDDs that
+        // stay pinned in the block manager until GC'd. In the r4 suite the
+        // accumulated checkpoint blocks inflated every query after the
+        // dedup block 3-7× (q1: 5.6s polluted vs 1.5s isolated).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 

@@ -21,6 +21,9 @@ object GraftFunctions {
   /** Random-hyperplane LSH bucket signature of a float vector. */
   def rhpSignature(vec: Column, bits: Int = 16, seed: Int = 42): Column =
     GraftColumns.rhpSignature(vec, bits, seed)
+  /** All coordinate-difference RHP table buckets as one array<int>. */
+  def rhpBuckets(vec: Column, tables: Int, bits: Int, dim: Int, seed: Long): Column =
+    GraftColumns.rhpBuckets(vec, tables, bits, dim, seed)
   /** Generator: stream all unordered (i, j) element pairs of a sorted
     * array — never materializes the b²/2 pair list of a hot LSH bucket.
     */

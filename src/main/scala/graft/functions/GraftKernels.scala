@@ -220,6 +220,33 @@ object GraftKernels {
     sig
   }
 
+  /** All coordinate-difference RHP table buckets in one pass: flatPairs is
+    * the flattened 0-based (i, j) index stream, bits pairs per table, bit b
+    * of table l set iff vec[i] > vec[j] (identical comparison to the
+    * unrolled element_at CASE form it replaces — the tables×bits unrolled
+    * projection overflowed janino's method limit and silently fell back to
+    * interpreted eval). O(tables·bits) per row, one int[] allocation.
+    */
+  def rhpBuckets(vec: ArrayData, flatPairs: Array[Int], bits: Int): ArrayData = {
+    val tables = flatPairs.length / (bits * 2)
+    val out = new Array[Int](tables)
+    var p = 0
+    var l = 0
+    while (l < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bits) {
+        if (vec.getFloat(flatPairs(p)) > vec.getFloat(flatPairs(p + 1)))
+          bucket |= (1 << b)
+        p += 2
+        b += 1
+      }
+      out(l) = bucket
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deterministic stand-in for a decoded-media feature: byte histogram sum.
     * The real decoder (image/audio libs) is intentionally stubbed; the
     * Spark-side plumbing (binary column in, fixed-width feature out) is real.

@@ -132,19 +132,92 @@ object Dedup {
     * transitive components via a recursive CTE, so the gate proves the
     * fixpoint is the exact component labeling, not an approximation.
     */
+  /** Max contracted-graph edge count finished on the driver: 4M slim
+    * (long, long) rows ≈ 64 MB — far below driver heap, far above any
+    * plausible inter-cluster link count (sf0.1: 1,776 from 964,854 pairs).
+    * Above the bound the distributed fixpoint loop runs instead, so the
+    * collect is an explicitly-bounded finishing step, never a scale risk.
+    */
+  private val DriverFinishEdgeBound = 4000000L
+
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = ngramPairs(spark, dir).select(col("i"), col("j"))
-    // pre-partitioned ONCE by src: the cached relation keeps its
-    // outputPartitioning, so every round's edges⋈labels join shuffles
-    // only the small changing label relation, never the edge set — at
-    // corpus scale the edge relation is the 100× bigger side
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+    // both edge directions from ONE evaluation of the pair subtree: a
+    // pairs ∪ pairs.swap self-union would plant the entire candidate
+    // pipeline (posting join + rerank) in the plan TWICE — it measurably
+    // computed twice (+5s at sf0.1; 2× the dominant cost at any scale)
+    val rawEdges = pairs.select(explode(array(
+        struct(col("i").as("src"), col("j").as("dst")),
+        struct(col("j").as("src"), col("i").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // CONTRACTION pass before the loop: l0(v) = min(v, direct neighbors).
+    // Near-dup components are overwhelmingly CLIQUES (c duplicate docs →
+    // c²/2 pairs — the 964,854 pairs at sf0.1 live in a handful of dense
+    // clusters), and one neighbor-min collapses a whole clique to a single
+    // supernode. The iterative fixpoint then runs on the INTER-supernode
+    // graph — typically empty or tiny — instead of re-joining the full
+    // million-edge relation every round. At 100 TB this is the difference
+    // between O(rounds) passes over the pair relation and ONE pass plus a
+    // loop over a graph whose size tracks cluster-chain structure, not
+    // corpus size. Contraction preserves connectivity exactly, so the
+    // recursive-CTE oracle still matches bit-for-bit.
+    val nbrMin = rawEdges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("nm"))
+    val l0 = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .join(nbrMin, Seq("id"), "left_outer")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nm"), col("id"))).as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // supernode edge relation: each original edge links its endpoints'
+    // contracted labels; intra-supernode edges vanish, parallel edges
+    // collapse in the distinct. Pre-partitioned by src so every loop
+    // round's join shuffles only the (smaller) label relation.
+    val edges = rawEdges
+      .join(l0.select(col("id").as("src"), col("lab").as("ls")), Seq("src"))
+      .join(l0.select(col("id").as("dst"), col("lab").as("ld")), Seq("dst"))
+      .filter(col("ls") =!= col("ld"))
+      .select(col("ls").as("src"), col("ld").as("dst"))
+      .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"), col("doc_id").as("lab"))
+    val nSuperEdges = edges.count() // also materializes the persist
+    if (nSuperEdges <= DriverFinishEdgeBound) {
+      // FINISH ON THE DRIVER: the contracted graph is cluster-adjacency
+      // structure, not corpus data — its size tracks how many near-dup
+      // clusters chain into each other, which the count above just
+      // bounded. Union-find (union-by-min keeps every root the component
+      // minimum) resolves it in O(E α(E)); the root map broadcasts back
+      // over the contracted labels. The distributed fixpoint below stays
+      // as the guarded fallback, so scale never depends on this branch.
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.as[(Long, Long)].collect().foreach { case (s, d) =>
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+      }
+      val roots = parent.keysIterator.map(k => (k, find(k))).toSeq
+      edges.unpersist(); rawEdges.unpersist()
+      val lmap = spark.createDataset(roots).toDF("lab", "slab")
+      // left join: supernodes with no inter-cluster link keep their own
+      // label (coalesce) — lmap only covers nodes seen in superEdges
+      return l0.join(broadcast(lmap), Seq("lab"), "left_outer")
+        .select(col("id").as("doc_id"),
+          coalesce(col("slab"), col("lab")).as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }
+    var labels = l0.select(col("lab").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
     var changed = 1L
     var iter = 0
     // Iteration state is materialized with EAGER localCheckpoint, not
@@ -184,7 +257,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lab").as("canonical_id"))
+    rawEdges.unpersist()
+    // expand the contraction: a doc's component label is the fixpoint
+    // label of its supernode (supernode ids are doc ids, so the min over
+    // supernodes in a component IS the min doc_id of the component)
+    l0.join(labels.select(col("lab").as("slab"), col("id").as("lab")),
+        Seq("lab"))
+      .select(col("id").as("doc_id"), col("slab").as("canonical_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -364,14 +443,10 @@ object Dedup {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val sigCols = RhpBlocking.indexPairs(EmbTables, EmbBits, EmbDim, EmbSeed)
-      .zipWithIndex.map { case (tbl, l) =>
-        struct(lit(l).as("tbl"),
-          RhpBlocking.bucketCol(col("embedding"), tbl).as("bucket"))
-      }
     val cand = e
-      .select(col("vec_id"), explode(array(sigCols: _*)).as("s"))
-      .select(col("vec_id"), col("s.tbl").as("tbl"), col("s.bucket").as("bucket"))
+      .select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
+        col("embedding"), EmbTables, EmbBits, EmbDim, EmbSeed)))
+      .toDF("vec_id", "tbl", "bucket")
       .groupBy(col("tbl"), col("bucket"))
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -86,17 +86,13 @@ object Similarity {
   def simTopkLsh(spark: SparkSession, dir: String, bits: Int, tables: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
 
-    // per-table signature rows: (id, [vec], table, bucket)
-    def explodeSigs(df: DataFrame, id: String, keep: Seq[String]): DataFrame = {
-      val sigCols = RhpBlocking.indexPairs(tables, bits, LshDim, LshSeed)
-        .zipWithIndex.map { case (tbl, t) =>
-          struct(lit(t).as("table"),
-            RhpBlocking.bucketCol(col("__vec"), tbl).as("bucket"))
-        }
-      df.select((col(id) +: keep.map(col) :+ explode(array(sigCols: _*)).as("s")): _*)
-        .select((col(id) +: keep.map(col) :+ col("s.table").as("table")
-          :+ col("s.bucket").as("bucket")): _*)
-    }
+    // per-table signature rows: (id, ..., table, bucket) — all buckets from
+    // ONE codegen'd kernel call (the unrolled 32×5 CASE projection
+    // overflowed janino and fell out of whole-stage codegen)
+    def explodeSigs(df: DataFrame, id: String, keep: Seq[String]): DataFrame =
+      df.select((col(id) +: keep.map(col) :+ posexplode(
+          GraftFunctions.rhpBuckets(col("__vec"), tables, bits, LshDim, LshSeed))
+          .as(Seq("table", "bucket"))): _*)
 
     val q = explodeSigs(
       e.filter(col("vec_id") < 10)

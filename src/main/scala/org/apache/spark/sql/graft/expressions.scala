@@ -174,6 +174,38 @@ case class RhpSignature(child: Expression, bits: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rhp_buckets(array<float>) → array<int>: one coordinate-difference RHP
+  * bucket per hash table (constants from [[graft.operators.RhpBlocking]],
+  * shared with the DuckDB oracle SQL). One kernel call replaces the
+  * tables×bits unrolled CASE projection, which overflowed janino's method
+  * limits at 32×5 and dropped the whole Generate out of codegen.
+  */
+case class RhpBuckets(child: Expression, tables: Int, bits: Int, dim: Int,
+    seed: Long) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // flattened 0-based (i, j) pairs — derived ONCE from the same generator
+  // the oracle SQL uses, shipped to executors as a codegen reference object
+  @transient private lazy val flatPairs: Array[Int] =
+    graft.operators.RhpBlocking.indexPairs(tables, bits, dim, seed)
+      .flatten.flatMap { case (i, j) => Seq(i - 1, j - 1) }.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.rhpBuckets(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      flatPairs, bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rhpPairs", flatPairs, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftKernels.rhpBuckets($c, $ref, $bits)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** byte_feature(binary) → long: stubbed media feature extraction (§2.4). */
 case class ByteFeature(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -253,6 +285,8 @@ object GraftColumns {
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def rhpSignature(vec: Column, bits: Int = 16, seed: Int = 42): Column =
     col(RhpSignature(ex(vec), bits, seed))
+  def rhpBuckets(vec: Column, tables: Int, bits: Int, dim: Int, seed: Long): Column =
+    col(RhpBuckets(ex(vec), tables, bits, dim, seed))
   def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
 }
