@@ -34,6 +34,10 @@ object GraftFunctions {
     GraftColumns.containmentSorted(a, b)
   /** 64-bit FNV-1a rolling fingerprint of a string. */
   def fingerprint64(text: Column): Column = GraftColumns.fingerprint64(text)
+  /** 64-bucket byte histogram (edit-distance prefilter signature). */
+  def charHist64(text: Column): Column = GraftColumns.charHist64(text)
+  /** L1 distance between two int histograms (histL1 > 2k ⇒ edit > k). */
+  def histL1(a: Column, b: Column): Column = GraftColumns.histL1(a, b)
   /** Deterministic stub feature over a binary payload (§2.4 multimodal). */
   def byteFeature(payload: Column): Column = GraftColumns.byteFeature(payload)
   /** Per-group bounded top-k of (score, id) — map-side partial, O(k) state. */

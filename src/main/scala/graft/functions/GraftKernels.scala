@@ -220,6 +220,31 @@ object GraftKernels {
     sig
   }
 
+  /** 64-bucket byte histogram of a string's UTF-8 bytes (bucket = byte & 63).
+    * Companion of [[histL1]]: a lossless edit-distance prefilter signature.
+    */
+  def charHist64(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val h = new Array[Int](64)
+    var i = 0
+    while (i < bytes.length) { h(bytes(i) & 63) += 1; i += 1 }
+    new GenericArrayData(h)
+  }
+
+  /** L1 distance between two equal-length int histograms. Lossless
+    * edit-distance bound: one edit changes the byte multiset by ≤ 2 units
+    * of L1, and bucketing can only cancel mass (never add), so
+    * histL1 > 2k ⇒ levenshtein > k — pairs failing the test are safely
+    * pruned BEFORE the O(len·k) DP kernel ever runs.
+    */
+  def histL1(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var d = 0
+    var i = 0
+    while (i < n) { d += math.abs(a.getInt(i) - b.getInt(i)); i += 1 }
+    d
+  }
+
   /** All coordinate-difference RHP table buckets in one pass: flatPairs is
     * the flattened 0-based (i, j) index stream, bits pairs per table, bit b
     * of table l set iff vec[i] > vec[j] (identical comparison to the

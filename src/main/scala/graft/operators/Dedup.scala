@@ -388,10 +388,16 @@ object Dedup {
     // graded, not assumed. Band population is bounded by the LENGTH
     // histogram (no content hot-keys); the bounded levenshtein(…, 20)
     // rerank early-exits at O(len·k) per pair.
+    // hist: 64-bucket byte histogram, computed ONCE per doc in the cached
+    // projection. Lossless L1 prefilter: one edit changes the byte multiset
+    // by ≤ 2 L1 units and bucket collisions only cancel mass, so
+    // histL1 > 2k ⇒ levenshtein > k. The O(64) integer walk prunes the
+    // overwhelming share of length-blocked candidates before the O(len·k)
+    // DP kernel — the rerank's cost tracks TRUE near-pairs, not block size.
     val t = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("n_chars").cast("bigint").as("len"),
-        col("text"))
+        col("text"), GraftFunctions.charHist64(col("text")).as("hist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zoned = t.select(col("doc_id"), col("len"), col("text"),
       explode(array((col("len") / 32).cast("bigint"),
@@ -409,8 +415,11 @@ object Dedup {
         greatest(col("doc_id"), col("j_id")).as("j"))
       .distinct()
     pairs
-      .join(t.select(col("doc_id").as("i"), col("text").as("t_i")), Seq("i"))
-      .join(t.select(col("doc_id").as("j"), col("text").as("t_j")), Seq("j"))
+      .join(t.select(col("doc_id").as("i"), col("text").as("t_i"),
+        col("hist").as("h_i")), Seq("i"))
+      .join(t.select(col("doc_id").as("j"), col("text").as("t_j"),
+        col("hist").as("h_j")), Seq("j"))
+      .filter(GraftFunctions.histL1(col("h_i"), col("h_j")) <= 40)
       .select(col("i"), col("j"),
         levenshtein(col("t_i"), col("t_j"), 20).cast("bigint").as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= 20)

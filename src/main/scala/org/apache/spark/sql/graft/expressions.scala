@@ -206,6 +206,44 @@ case class RhpBuckets(child: Expression, tables: Int, bits: Int, dim: Int,
     copy(child = c)
 }
 
+/** char_hist64(string) → array<int>: 64-bucket byte histogram (lossless
+  * edit-distance prefilter signature — see [[GraftKernels.histL1]]).
+  */
+case class CharHist64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.charHist64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.charHist64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** hist_l1(array<int>, array<int>) → int: L1 histogram distance. */
+case class HistL1(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftKernels.histL1(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftKernels.histL1($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** byte_feature(binary) → long: stubbed media feature extraction (§2.4). */
 case class ByteFeature(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -287,6 +325,8 @@ object GraftColumns {
     col(RhpSignature(ex(vec), bits, seed))
   def rhpBuckets(vec: Column, tables: Int, bits: Int, dim: Int, seed: Long): Column =
     col(RhpBuckets(ex(vec), tables, bits, dim, seed))
+  def charHist64(text: Column): Column = col(CharHist64(ex(text)))
+  def histL1(a: Column, b: Column): Column = col(HistL1(ex(a), ex(b)))
   def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
 }
