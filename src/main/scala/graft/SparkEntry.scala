@@ -32,6 +32,7 @@ object SparkEntry {
     "q_nvd_tag_hist" -> (Nvd.qNvdTagHist _),
     "q_nvd_product_top" -> (Nvd.qNvdProductTop _),
     "q_nvd_v3_vector" -> (Nvd.qNvdV3Vector _),
+    "q_nvd_modified_upsert" -> (Nvd.qNvdModifiedUpsert _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
     "sim_range_search" -> (Similarity.simRangeSearch _),
+    "sim_knn_graph" -> (Similarity.simKnnGraph _),
     // §2.4 text analysis + multimodal
     "text_tokencount" -> (TextAnalysis.textTokencount _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -116,6 +118,8 @@ object SparkEntry {
     "pipeline_pack" -> (TextAnalysis.pipelinePack _),
     "pipeline_mixture" -> (TextAnalysis.pipelineMixture _),
     "text_tfidf" -> (TextAnalysis.textTfidf _),
+    "text_vocab_growth" -> (TextAnalysis.textVocabGrowth _),
+    "pipeline_interleave" -> (TextAnalysis.pipelineInterleave _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
   )
 
@@ -218,6 +222,29 @@ object SparkEntry {
          FROM f
          GROUP BY av
          ORDER BY av NULLS FIRST""",
+
+    // Latest-revision-wins across the yearly fixture + overlapping recent
+    // feed: winner = max (lastModifiedDate, feed precedence) — DuckDB and
+    // Spark both compare the struct lexicographically by field order.
+    "q_nvd_modified_upsert" ->
+      s"""WITH fy AS (SELECT unnest(CVE_Items) AS item
+                      FROM read_json('${graft.sources.NvdEtl.FixtureAbsPath}',
+                                     maximum_object_size=104857600)),
+              fr AS (SELECT unnest(CVE_Items) AS item
+                     FROM read_json('${graft.sources.NvdEtl.RecentFixtureAbsPath}',
+                                    maximum_object_size=104857600)),
+              u AS (SELECT item, CAST(1 AS BIGINT) AS sr FROM fy
+                    UNION ALL
+                    SELECT item, CAST(2 AS BIGINT) AS sr FROM fr),
+              g AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
+                        count(*) AS n_revisions,
+                        max(struct_pack(
+                          lm := CAST(epoch(item.lastModifiedDate) AS BIGINT),
+                          sr := sr)) AS w
+                    FROM u GROUP BY cve_id)
+         SELECT cve_id, n_revisions, w.lm AS last_modified_s,
+                w.sr AS winner_src
+         FROM g ORDER BY cve_id""",
 
     "q_events_moving" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
@@ -606,6 +633,35 @@ object SparkEntry {
          ORDER BY q_id, rank"""
     },
 
+    // Same RHP candidate generation as dedup_embedding (shared constants),
+    // symmetrized so every vector ranks its neighbors; row_number's
+    // (sim DESC, nbr_id) tie-break matches the bounded-heap aggregate's.
+    "sim_knn_graph" -> {
+      val buckets = Dedup.embeddingBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"a.s$i = b.s$i").mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
+              p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                        list_cosine_similarity(a.v, b.v) AS sim_raw
+                    FROM s a JOIN s b
+                      ON a.vec_id < b.vec_id AND ($anyBucket)),
+              sym AS (SELECT i AS vec_id, j AS nbr_id, sim_raw FROM p
+                      UNION ALL
+                      SELECT j AS vec_id, i AS nbr_id, sim_raw FROM p),
+              r AS (SELECT vec_id, nbr_id, sim_raw,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim_raw DESC, nbr_id) AS rk
+                    FROM sym)
+         SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id,
+                round(sim_raw, 6) AS sim
+         FROM r WHERE rk <= 3
+         ORDER BY vec_id, rank"""
+    },
+
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -683,6 +739,26 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          SELECT term, count(*) AS n FROM t
          GROUP BY term ORDER BY n DESC, term LIMIT 50""",
+
+    "text_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id,
+                         unnest(list_distinct(string_split(text, ' '))) AS term
+                     FROM documents),
+              fst AS (SELECT term, min(doc_id) AS first_doc
+                      FROM tk GROUP BY term),
+              b AS (SELECT first_doc // 50 AS batch, count(*) AS new_terms
+                    FROM fst GROUP BY 1)
+         SELECT batch, new_terms,
+                CAST(sum(new_terms) OVER (ORDER BY batch
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_vocab
+         FROM b ORDER BY batch""",
+
+    "pipeline_interleave" ->
+      """SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS seq
+         FROM documents ORDER BY seq, source""",
 
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,

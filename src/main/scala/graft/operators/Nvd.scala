@@ -113,6 +113,31 @@ object Nvd {
       .agg(count(lit(1)).as("n_matches"))
       .orderBy(col("n_matches").desc, col("vendor_product"))
 
+  /** §2.1 q_nvd_modified_upsert: the recent-feed UPSERT view — the
+    * reference's daily `recent` feed re-publishes CVEs it already loaded
+    * (bq-nvd.py:98-104 loads it on every cron tick), so a warehouse that
+    * keeps history needs a latest-revision-wins resolution. Winner per CVE
+    * = max(lastModifiedDate) with feed precedence (recent=2 over yearly=1)
+    * as the tie-break — real feeds re-publish unchanged CVEs with
+    * unchanged timestamps, so precedence, not time alone, must decide.
+    * One map-side-combined aggregate over the feed union; the winning
+    * (timestamp, source) travels as a single struct max, so no per-CVE
+    * window or self-join ever runs.
+    */
+  def qNvdModifiedUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = cves(spark).withColumn("src_rank", lit(1L))
+    val recent = NvdEtl.ingest(spark, NvdEtl.RecentFixtureAbsPath)
+      .withColumn("src_rank", lit(2L))
+    yearly.unionByName(recent)
+      .groupBy(NvdEtl.cveId.as("cve_id"))
+      .agg(count(lit(1)).as("n_revisions"),
+        max(struct(unix_timestamp(col("lastModifiedDate")).as("lm"),
+          col("src_rank").as("sr"))).as("w"))
+      .select(col("cve_id"), col("n_revisions"),
+        col("w.lm").as("last_modified_s"), col("w.sr").as("winner_src"))
+      .orderBy(col("cve_id"))
+  }
+
   /** §2.1 q_nvd_tag_hist: histogram over a REPEATED scalar nested inside a
     * REPEATED record (references.reference_data[].tags[]) — the remaining
     * repetition shape the other queries don't touch.

@@ -25,10 +25,10 @@ object Similarity {
   /** Shared tail: scored (q_id, c_id, sim_raw) → per-query best-K rows with
     * dense ranks, deterministic (sim desc, c_id asc) order.
     */
-  private def topK(scored: DataFrame): DataFrame =
+  private def topK(scored: DataFrame, k: Int = K): DataFrame =
     scored
       .groupBy(col("q_id"))
-      .agg(GraftFunctions.topKByScore(col("sim_raw"), col("c_id"), K).as("top"))
+      .agg(GraftFunctions.topKByScore(col("sim_raw"), col("c_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("bigint").as("rank"),
         col("col.c_id").as("c_id"), round(col("col.sim"), 6).as("sim"))
@@ -243,6 +243,49 @@ object Similarity {
         .filter(col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"),
           GraftFunctions.cosine(col("q_vec"), col("c_vec")).as("sim_raw")))
+  }
+
+  /** §2.3 sim_knn_graph: the whole-corpus k-nearest-neighbor graph (k=3)
+    * — the primitive under embedding-based dedup clustering, diversity
+    * sampling and semantic-cluster pruning: EVERY vector gets neighbors,
+    * not just a fixed query set, so a per-query broadcast can't work.
+    * Candidates come from the shared coordinate-difference RHP bucket
+    * family (the dedup_embedding constants — baked into plan AND oracle,
+    * so candidate generation itself is hash-gated); pair emission streams
+    * from sorted bucket arrays; each unordered pair's exact cosine is
+    * computed ONCE, then symmetrized into both directions; a bounded-heap
+    * top-k per vector keeps shuffle volume O(n·k), never O(n²).
+    */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cand = e
+      .select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
+        col("embedding"), Dedup.EmbTables, Dedup.EmbBits, Dedup.EmbDim,
+        Dedup.EmbSeed)))
+      .toDF("vec_id", "tbl", "bucket")
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
+      .distinct()
+    // persist = plan barrier: the symmetrizing explode references sim_raw
+    // from two struct branches, and without the barrier CollapseProject
+    // would inline the cosine kernel into both (2× eval per pair)
+    val scored = cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("v_i")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("v_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        GraftFunctions.cosine(col("v_i"), col("v_j")).as("sim_raw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = scored.select(explode(array(
+        struct(col("i").as("q_id"), col("j").as("c_id"), col("sim_raw")),
+        struct(col("j").as("q_id"), col("i").as("c_id"), col("sim_raw")))).as("e"))
+      .select(col("e.q_id").as("q_id"), col("e.c_id").as("c_id"),
+        col("e.sim_raw").as("sim_raw"))
+    topK(sym, k = 3)
+      .select(col("q_id").as("vec_id"), col("rank"),
+        col("c_id").as("nbr_id"), col("sim"))
+      .orderBy(col("vec_id"), col("rank"))
   }
 
   /** §2.3 sim_range_search: ALL corpus neighbors within cosine ≥ τ of each

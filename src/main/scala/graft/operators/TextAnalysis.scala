@@ -150,6 +150,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
 
+  /** §2.4 text_vocab_growth: vocabulary-growth curve (the Heaps'-law
+    * report a corpus build tracks to spot crawl saturation): every distinct
+    * term is attributed to the FIRST doc that introduces it (min doc_id),
+    * new-term counts roll up into 50-doc ingestion batches, and a running
+    * total gives cumulative vocabulary size. Spark-first: one explode into
+    * a map-side-combined min, a tiny second aggregate, and the cumulative
+    * window runs over the BATCH relation (corpus/50 rows), never over docs
+    * or terms — the only single-reducer step is bounded by batch count.
+    */
+  def textVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val first = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    first
+      .groupBy(expr("first_doc div 50").as("batch"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("batch"))
+  }
+
+  /** §2.4 pipeline_interleave: deterministic balanced source interleaving —
+    * the training-order scheduler for a heterogeneous corpus: docs are
+    * ordered per source by content hash (stable under retries and corpus
+    * growth within a source snapshot), sequence-numbered per source, and
+    * the global (seq, source) order round-robins one doc from every source
+    * before any source repeats. The ranking window is PARTITIONED by
+    * source — no global single-reducer ordering at any scale; the total
+    * output order is the gate's ORDER BY, not a computed global rank.
+    */
+  def pipelineInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("seq", row_number().over(w).cast("bigint"))
+      .orderBy(col("seq"), col("source"))
+  }
+
   /** §2.4 text_gopher_quality: Gopher-style repetition/shape quality rules
     * — word count, duplicate-word ratio, most-frequent-word fraction, mean
     * word length, and a composed keep/drop flag. Single scan, zero shuffle.

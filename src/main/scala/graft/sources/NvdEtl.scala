@@ -34,6 +34,7 @@ object NvdEtl {
     * the contract surface pins the one canonical location.
     */
   val FixtureAbsPath = s"/root/repo/$FixturePath"
+  val RecentFixtureAbsPath = s"/root/repo/$RecentFixturePath"
 
   /** Schema of one CVE item (schema.json → StructType). */
   def itemSchema(schemaPath: String = DefaultSchemaPath): StructType =
