@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "dedup_semantic" -> (Dedup.dedupSemantic _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_containment" -> (Dedup.dedupContainment _),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
@@ -631,6 +632,33 @@ object SparkEntry {
                 round(sim_raw, 6) AS sim
          FROM r WHERE rk <= 10
          ORDER BY q_id, rank"""
+    },
+
+    // Transitive components over the RHP-blocked embedding pair relation
+    // (same constants as dedup_embedding) — proves the contraction +
+    // union-find labeling equals the exact closure, per-vector.
+    "dedup_semantic" -> {
+      val buckets = Dedup.embeddingBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"a.s$i = b.s$i").mkString(" OR ")
+      s"""WITH RECURSIVE
+          s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
+          p AS (SELECT a.vec_id AS i, b.vec_id AS j
+                FROM s a JOIN s b
+                  ON a.vec_id < b.vec_id AND ($anyBucket)
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+          eg AS (SELECT i AS src, j AS dst FROM p
+                 UNION ALL SELECT j, i FROM p),
+          reach AS (
+            SELECT vec_id AS id, vec_id AS lab FROM embeddings
+            UNION
+            SELECT eg.dst AS id, r.lab FROM reach r JOIN eg ON eg.src = r.id)
+         SELECT id AS vec_id, min(lab) AS canonical_id
+         FROM reach GROUP BY id ORDER BY vec_id"""
     },
 
     // Same RHP candidate generation as dedup_embedding (shared constants),

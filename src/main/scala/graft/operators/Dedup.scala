@@ -140,9 +140,21 @@ object Dedup {
     */
   private val DriverFinishEdgeBound = 4000000L
 
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(spark,
+      ngramPairs(spark, dir).select(col("i"), col("j")),
+      Tables.documents(spark, dir).select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("canonical_id"))
+      .orderBy(col("doc_id"))
+
+  /** Connected components over an undirected (i, j) pair relation:
+    * (id, canonical_id = component minimum) for every id in `universe`.
+    * Shared by dedup_cluster (token-Jaccard pairs) and dedup_semantic
+    * (embedding-cosine pairs).
+    */
+  private def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      universe: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = ngramPairs(spark, dir).select(col("i"), col("j"))
     // both edge directions from ONE evaluation of the pair subtree: a
     // pairs ∪ pairs.swap self-union would plant the entire candidate
     // pipeline (posting join + rerank) in the plan TWICE — it measurably
@@ -165,7 +177,7 @@ object Dedup {
     // recursive-CTE oracle still matches bit-for-bit.
     val nbrMin = rawEdges.groupBy(col("dst").as("id"))
       .agg(min(col("src")).as("nm"))
-    val l0 = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val l0 = universe
       .join(nbrMin, Seq("id"), "left_outer")
       .select(col("id"),
         least(col("id"), coalesce(col("nm"), col("id"))).as("lab"))
@@ -212,9 +224,8 @@ object Dedup {
       // left join: supernodes with no inter-cluster link keep their own
       // label (coalesce) — lmap only covers nodes seen in superEdges
       return l0.join(broadcast(lmap), Seq("lab"), "left_outer")
-        .select(col("id").as("doc_id"),
+        .select(col("id"),
           coalesce(col("slab"), col("lab")).as("canonical_id"))
-        .orderBy(col("doc_id"))
     }
     var labels = l0.select(col("lab").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
@@ -258,13 +269,12 @@ object Dedup {
     }
     edges.unpersist()
     rawEdges.unpersist()
-    // expand the contraction: a doc's component label is the fixpoint
-    // label of its supernode (supernode ids are doc ids, so the min over
-    // supernodes in a component IS the min doc_id of the component)
+    // expand the contraction: an id's component label is the fixpoint
+    // label of its supernode (supernode ids are member ids, so the min
+    // over supernodes in a component IS the component's minimum id)
     l0.join(labels.select(col("lab").as("slab"), col("id").as("lab")),
         Seq("lab"))
-      .select(col("id").as("doc_id"), col("slab").as("canonical_id"))
-      .orderBy(col("doc_id"))
+      .select(col("id"), col("slab").as("canonical_id"))
   }
 
   // Bucket pair emission uses the custom streaming PairsGenerator
@@ -450,7 +460,10 @@ object Dedup {
     * GraftKernels.cosineF — same combining formula as DuckDB's
     * list_cosine_similarity.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  /** The unsorted (i < j, rounded sim ≥ 0.4) embedding near-dup pair
+    * relation — shared by the pair query and semantic clustering.
+    */
+  private def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cand = e
       .select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
@@ -467,8 +480,25 @@ object Dedup {
       .select(col("i"), col("j"),
         round(GraftFunctions.cosine(col("v_i"), col("v_j")), 6).as("sim"))
       .filter(col("sim") >= 0.4)
-      .orderBy(col("i"), col("j"))
   }
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairs(spark, dir).orderBy(col("i"), col("j"))
+
+  /** §2.3 dedup_semantic: SemDeDup-style semantic clustering — the
+    * embedding-cosine near-dup pair relation closed into connected
+    * components, one canonical vector per semantic cluster (what a
+    * pipeline drops before training: all but one of each meaning-level
+    * duplicate group). Same contraction + bounded driver union-find as
+    * dedup_cluster; the recursive-CTE oracle proves the labeling is the
+    * exact transitive closure over the RHP-blocked pair relation.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(spark,
+      embeddingPairs(spark, dir).select(col("i"), col("j")),
+      Tables.embeddings(spark, dir).select(col("vec_id").as("id")))
+      .select(col("id").as("vec_id"), col("canonical_id"))
+      .orderBy(col("vec_id"))
 
   /** §2.3 dedup_incremental: cross-load content dedup — the reference's
     * incremental-update shape (new CVEs vs warehouse IDs, reference
