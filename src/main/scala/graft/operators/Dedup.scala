@@ -77,38 +77,68 @@ object Dedup {
     * could shift the prefix boundary by one.
     */
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // repartition: single-row-group testdata parquet would tokenize in ONE
     // task; persist (NOT localCheckpoint — stats, see CLAUDE.md): t feeds
-    // the posting build and both rerank joins.
+    // the df count and the vocab-id join.
     val t = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), array_sort(array_distinct(toks)).as("tset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = t.select(col("doc_id"), explode(col("tset")).as("token"))
-    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // per-doc tokens ordered by (df, token); the sort lands in the agg
-    // projection so it runs once per doc, never per downstream reference
-    val ord = tok.join(dfreq, Seq("token"))
+    // dense integer id per token in global-rarity order (df asc, token
+    // asc). The BIJECTION token↔tid preserves set sizes and intersections,
+    // so jaccard over tid sets is VALUE-IDENTICAL to jaccard over token
+    // sets — and one sorted tid array now serves double duty: ascending
+    // order IS both the AllPairs prefix order (lowest ids = globally
+    // rarest) and the rerank kernel's merge order. The ranking window runs
+    // over the VOCABULARY relation only (≪ corpus by Heaps' law — at
+    // warehouse scale this is the classic two-pass zipWithIndex shape,
+    // never a window over documents).
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .select(col("token"),
+        row_number().over(Window.orderBy(col("df"), col("token"))).as("tid"))
+    // per-doc sorted tid set (one agg — the (df, token) struct sort the
+    // string form needed is gone); feeds the postings and both rerank
+    // sides. No broadcast hint on vocab: it is corpus-proportional (a
+    // crawl's distinct-token set is huge) — size-based planning decides.
+    // The explicit fixed-width repartition matters: AQE coalesces the tiny
+    // agg shuffle to ONE partition, the cache then pins that layout, and
+    // because hashpartitioning(doc_id) satisfies the candidate distinct's
+    // (i, j) distribution, the whole 22M-row distinct ran exchange-free on
+    // a single task (12s). Pinning the partition count keeps every
+    // downstream stage at full width.
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ids = tok.join(vocab, Seq("token"))
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("ot"))
-    val n = size(col("ot"))
-    val post = ord
-      .select(col("doc_id"), explode(slice(
-        transform(col("ot"), x => x.getField("token")),
-        lit(1), (n - expr("(size(ot) * 9 + 9) div 10") + 1).cast("int")))
-        .as("token"))
+      .agg(array_sort(collect_list(col("tid"))).as("ts"))
+      .repartition(nParts, col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = size(col("ts"))
+    val post = ids
+      .select(col("doc_id"), size(col("ts")).as("n"), explode(slice(col("ts"),
+        lit(1), (n - expr("(size(ts) * 9 + 9) div 10") + 1).cast("int")))
+        .as("tid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AllPairs SIZE filter alongside the prefix condition — lossless:
+    // jac ≥ 0.9 forces 10·min(|a|,|b|) ≥ 9·max(|a|,|b|) (intersection is
+    // bounded by the smaller set, union by the larger), so size-mismatched
+    // candidates are pruned in the join itself, in exact integers, before
+    // the distinct ever sees them.
     val cand = post.alias("a")
       .join(post.alias("b"),
-        col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.tid") === col("b.tid") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 9 &&
+          col("b.n") * 10 >= col("a.n") * 9)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     cand
-      .join(t.select(col("doc_id").as("i"), col("tset").as("ts_i")), Seq("i"))
-      .join(t.select(col("doc_id").as("j"), col("tset").as("ts_j")), Seq("j"))
+      .join(ids.select(col("doc_id").as("i"), col("ts").as("ts_i")), Seq("i"))
+      .join(ids.select(col("doc_id").as("j"), col("ts").as("ts_j")), Seq("j"))
       .select(col("i"), col("j"),
-        round(jaccard(col("ts_i"), col("ts_j")), 6).as("jac"))
+        round(GraftFunctions.jaccardSortedInt(col("ts_i"), col("ts_j")), 6)
+          .as("jac"))
       .filter(col("jac") >= 0.9)
   }
 
