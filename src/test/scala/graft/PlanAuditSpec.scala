@@ -113,6 +113,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_knn_graph: bounded-heap partial top-k, no per-vector ranking window") {
+    val p = plan("sim_knn_graph")
+    assert(p.contains("partial_top_k_by_score") ||
+      p.contains("partial top_k_by_score"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("pipeline_interleave: ranking window is partitioned — never a global reducer") {
+    val p = plan("pipeline_interleave")
+    // a window without PARTITION BY plans an Exchange SinglePartition;
+    // the per-source row_number must not
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("row_number"), p)
+  }
+
   test("custom expressions run inside WholeStageCodegen spans") {
     // the fingerprint kernel is a custom Catalyst expression with
     // doGenCode — its Project must carry the codegen marker (*), proving

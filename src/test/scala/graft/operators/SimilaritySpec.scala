@@ -48,6 +48,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === Seq(7L, 3L, 5L)) // 0.9 first, then 0.5s by id asc
   }
 
+  test("sim_knn_graph: well-formed ranks and recall vs exact per-vector top-3") {
+    val knn = Similarity.simKnnGraph(spark, TestSpark.sfDir).collect()
+    // ranks are 1..k consecutive per vector, neighbors never self
+    knn.groupBy(_.getLong(0)).foreach { case (v, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rows.length).toSeq, s"ranks of $v")
+      assert(rows.forall(_.getLong(2) != v), s"self-neighbor at $v")
+    }
+    // exact top-3 via all-pairs window (test-scale only)
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("c_id"))
+    val exact = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(e.select(col("vec_id").as("c_id"), col("embedding").as("cv")))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        GraftFunctions.cosine(col("qv"), col("cv")).as("sim_raw"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = knn.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"kNN-graph recall $recall below floor")
+  }
+
   test("sim_topk_ivf: high recall vs exact top-k on the test corpus") {
     def keys(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
       rows.map(r => (r.getLong(0), r.getLong(2))).toSet
