@@ -113,6 +113,7 @@ object SparkEntry {
     "text_window_chunk" -> (TextAnalysis.textWindowChunk _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
+    "pipeline_quality_sample" -> (TextAnalysis.pipelineQualitySample _),
     "pipeline_split" -> (TextAnalysis.pipelineSplit _),
     "text_gopher_quality" -> (TextAnalysis.textGopherQuality _),
     "text_contamination" -> (TextAnalysis.textContamination _),
@@ -842,6 +843,23 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                % 100 < 10
+         ORDER BY doc_id""",
+
+    "pipeline_quality_sample" ->
+      """WITH t AS (SELECT doc_id, lang, length(text) AS nc,
+                        len(string_split(text, ' ')) AS nt FROM documents),
+              s AS (SELECT doc_id, lang,
+                        CAST(round(round(
+                          least(CAST(nt AS DOUBLE) / 50.0, 1.0) * 0.6 +
+                          (CASE WHEN CAST(nc - nt + 1 AS DOUBLE) / nt >= 3.0
+                                 AND CAST(nc - nt + 1 AS DOUBLE) / nt <= 8.0
+                                THEN 1.0 ELSE 0.5 END) * 0.4, 6) * 1000, 0)
+                          AS BIGINT) AS qmil,
+                        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                          % 100 AS bucket
+                    FROM t)
+         SELECT doc_id, lang, qmil FROM s
+         WHERE bucket < qmil // 20
          ORDER BY doc_id""",
 
     "pipeline_split" ->

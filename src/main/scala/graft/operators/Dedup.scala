@@ -77,7 +77,6 @@ object Dedup {
     * could shift the prefix boundary by one.
     */
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // repartition: single-row-group testdata parquet would tokenize in ONE
     // task; persist (NOT localCheckpoint — stats, see CLAUDE.md): t feeds
     // the df count and the vocab-id join.
@@ -91,13 +90,22 @@ object Dedup {
     // so jaccard over tid sets is VALUE-IDENTICAL to jaccard over token
     // sets — and one sorted tid array now serves double duty: ascending
     // order IS both the AllPairs prefix order (lowest ids = globally
-    // rarest) and the rerank kernel's merge order. The ranking window runs
-    // over the VOCABULARY relation only (≪ corpus by Heaps' law — at
-    // warehouse scale this is the classic two-pass zipWithIndex shape,
-    // never a window over documents).
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .select(col("token"),
-        row_number().over(Window.orderBy(col("df"), col("token"))).as("tid"))
+    // rarest) and the rerank kernel's merge order. Rank assignment is the
+    // two-pass distributed shape (range-partitioned sort, then
+    // zipWithIndex's per-partition offset scan) — a crawl vocabulary is
+    // billions of distinct tokens, so a row_number window (one reducer
+    // holding the whole vocabulary) is not an option. This is the one
+    // legitimate RDD drop-down: Spark SQL has no dense global rank
+    // without a single-partition window.
+    val vocab = {
+      import spark.implicits._
+      tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .sort(col("df"), col("token"))
+        .select(col("token")).as[String]
+        .rdd.zipWithIndex()
+        .map { case (tkn, i) => (tkn, (i + 1).toInt) }
+        .toDF("token", "tid")
+    }
     // per-doc sorted tid set (one agg — the (df, token) struct sort the
     // string form needed is gone); feeds the postings and both rerank
     // sides. No broadcast hint on vocab: it is corpus-proportional (a

@@ -150,6 +150,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
 
+  /** §2.4 pipeline_quality_sample: quality-weighted corpus sampling — a
+    * doc's keep probability is proportional to its quality score (the
+    * text_quality blend), decided by the SAME deterministic content-hash
+    * buckets as pipeline_sample: keep iff bucket < qmil div 20 (a
+    * quality-1.0 doc keeps at 50%, a 0.2 doc at 10%). The comparison is
+    * pure integer arithmetic (quality → per-mil via one deterministic
+    * round), so no float threshold can flip between engines, and the
+    * sample is reproducible under any partitioning, retries, or corpus
+    * growth — the property rand() sampling can never give a 100 TB build.
+    */
+  def pipelineQualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("bigint")
+    val nChar = length(col("text")).cast("bigint")
+    val avgWord = (nChar - nTok + lit(1L)).cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val wordScore = when(avgWord >= 3.0 && avgWord <= 8.0, 1.0).otherwise(0.5)
+    val qmil = round(round(lenScore * 0.6 + wordScore * 0.4, 6) * 1000, 0)
+      .cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), qmil.as("qmil"), hashBucket)
+      .filter(col("bucket") < expr("qmil div 20"))
+      .select(col("doc_id"), col("lang"), col("qmil"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.4 text_vocab_growth: vocabulary-growth curve (the Heaps'-law
     * report a corpus build tracks to spot crawl saturation): every distinct
     * term is attributed to the FIRST doc that introduces it (min doc_id),
