@@ -579,15 +579,18 @@ object Relational {
         col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
         .as("late"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val others = pairs.select(col("l_orderkey").as("o2"),
-      col("l_suppkey").as("s2"), col("late").as("late2"))
+    // The stacked EXISTS/NOT-EXISTS collapses to one per-order aggregate:
+    // a waiting supplier is LATE on an order that has ≥ 2 suppliers and
+    // EXACTLY ONE late supplier (itself) — "another supplier exists" ⇔
+    // n_supp ≥ 2, "no OTHER supplier is late" ⇔ n_late = 1 given late = 1.
+    // One shuffle for the order stats + one co-partitioned join replaces
+    // the former semi + anti self-join pair (four exchanges of the
+    // collapsed relation → two).
+    val stats = pairs.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
     pairs.filter(col("late") === 1)
-      .join(others,
-        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_semi")
-      .join(others.filter(col("late2") === 1),
-        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_anti")
+      .join(stats, col("l_orderkey") === col("ok"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
