@@ -123,6 +123,7 @@ object SparkEntry {
     "text_vocab_growth" -> (TextAnalysis.textVocabGrowth _),
     "pipeline_interleave" -> (TextAnalysis.pipelineInterleave _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
+    "mm_dedup" -> (Multimodal.mmDedup _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -807,6 +808,18 @@ object SparkEntry {
              CAST(COALESCE(list_sum(list_transform(range(length(text)),
                i -> unicode(text[i+1]) * ((i % 7) + 1))), 0) AS BIGINT) AS feature
          FROM documents ORDER BY doc_id""",
+
+    "mm_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents)
+         SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+                CAST(min(length(text)) AS BIGINT) AS payload_len,
+                CAST(min(COALESCE(list_sum(list_transform(range(length(text)),
+                  i -> unicode(text[i+1]) * ((i % 7) + 1))), 0)) AS BIGINT)
+                  AS feature
+         FROM u GROUP BY md5(text)
+         ORDER BY canonical_id""",
 
     "pipeline_corpus_filter" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,

@@ -36,6 +36,29 @@ object Multimodal {
         GraftFunctions.byteFeature(col("payload")).as("feature"))
       .orderBy(col("doc_id"))
 
+  /** §2.4 mm_dedup: media-payload exact dedup — byte-identical payloads
+    * collapse to the first-seen doc (re-encodes/mirrors of the same bytes
+    * under fresh ids, simulated like dedup_exact's re-crawl). One hash
+    * groupBy on md5(payload): at 100 TB only the 16-byte digest and the
+    * slim aggregates shuffle, never payload bytes. Keeps the canonical id,
+    * copy count, and the (payload-determined) length + stub feature.
+    */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val recrawl = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("payload"))
+    d.unionAll(recrawl)
+      .groupBy(md5(col("payload")).as("pmd5"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        min(length(col("payload"))).cast("bigint").as("payload_len"),
+        min(GraftFunctions.byteFeature(col("payload"))).as("feature"))
+      .select(col("canonical_id"), col("n_copies"), col("payload_len"),
+        col("feature"))
+      .orderBy(col("canonical_id"))
+  }
+
   /** Feature record produced by batched extraction. */
   case class MediaFeature(doc_id: Long, batch_size: Int, feature: Long)
 

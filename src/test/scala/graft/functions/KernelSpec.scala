@@ -141,4 +141,68 @@ class KernelSpec extends AnyFunSuite {
     assert((1 to 10).exists(t => GraftKernels.rhpSignature(v1, 8, 42 + t) != s1) ||
       GraftKernels.rhpSignature(v2, 8, 43) != GraftKernels.rhpSignature(v2, 8, 42))
   }
+
+  test("jaccardSortedInt == jaccardSorted under any id bijection") {
+    def iArr(xs: Seq[Int]): GenericArrayData = new GenericArrayData(xs.toArray)
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val universe = (0 until 40).map(i => f"tok$i%02d")
+      val a = rng.shuffle(universe).take(1 + rng.nextInt(20)).sorted
+      val b = rng.shuffle(universe).take(1 + rng.nextInt(20)).sorted
+      // a random bijection universe -> distinct ints, order-preserved per set
+      val ids = rng.shuffle((1 to 1000).toList).take(universe.size)
+      val idOf = universe.zip(ids).toMap
+      val ai = a.map(idOf).sorted
+      val bi = b.map(idOf).sorted
+      val s = GraftKernels.jaccardSorted(sArr(a), sArr(b))
+      val i = GraftKernels.jaccardSortedInt(iArr(ai), iArr(bi))
+      assert(s === i, s"bijection changed jaccard: $a vs $b")
+    }
+  }
+
+  test("histL1 edit-distance bound is lossless: L1 > 2k never holds for edit <= k") {
+    def hist(s: String): GenericArrayData = {
+      val h = new Array[Int](64)
+      s.getBytes("UTF-8").foreach(b => h(b & 63) += 1)
+      new GenericArrayData(h)
+    }
+    val rng = new scala.util.Random(11)
+    val alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    for (_ <- 1 to 300) {
+      val base = (0 until 50 + rng.nextInt(100))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      // apply k random single-char edits (insert/delete/substitute)
+      val k = rng.nextInt(21)
+      var s = base
+      for (_ <- 0 until k) {
+        val op = rng.nextInt(3)
+        val pos = rng.nextInt(s.length)
+        s = op match {
+          case 0 => s.substring(0, pos) + alpha(rng.nextInt(alpha.length)) + s.substring(pos)
+          case 1 if s.length > 1 => s.substring(0, pos) + s.substring(pos + 1)
+          case _ => s.substring(0, pos) + alpha(rng.nextInt(alpha.length)) + s.substring(pos + 1)
+        }
+      }
+      // true edit distance <= k by construction; the bound must hold
+      val l1 = GraftKernels.histL1(hist(base), hist(s))
+      assert(l1 <= 2 * k, s"L1 $l1 > 2k=${2 * k} would have pruned a true pair")
+    }
+  }
+
+  test("rhpBuckets kernel == the unrolled per-table bucket expressions") {
+    import graft.operators.RhpBlocking
+    val tables = 16; val bits = 4; val dim = 64; val seed = 7L
+    val pairs = RhpBlocking.indexPairs(tables, bits, dim, seed)
+    val flat = pairs.flatten.flatMap { case (i, j) => Seq(i - 1, j - 1) }.toArray
+    for (s <- 1 to 25) {
+      val v = vec(s)
+      val got = GraftKernels.rhpBuckets(fArr(v), flat, bits)
+      val want = pairs.map { tbl =>
+        tbl.zipWithIndex.map { case ((i, j), b) =>
+          if (v(i - 1) > v(j - 1)) 1 << b else 0
+        }.sum
+      }
+      assert(got.toIntArray().toSeq === want, s"vec $s")
+    }
+  }
 }
