@@ -33,6 +33,7 @@ object SparkEntry {
     "q_nvd_product_top" -> (Nvd.qNvdProductTop _),
     "q_nvd_v3_vector" -> (Nvd.qNvdV3Vector _),
     "q_nvd_modified_upsert" -> (Nvd.qNvdModifiedUpsert _),
+    "q_nvd_yearly_trend" -> (Nvd.qNvdYearlyTrend _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -225,6 +226,18 @@ object SparkEntry {
          FROM f
          GROUP BY av
          ORDER BY av NULLS FIRST""",
+
+    "q_nvd_yearly_trend" ->
+      s"""$nvdFeedCte
+         SELECT CAST(substring(item.cve.CVE_data_meta.ID, 5, 4) AS INTEGER)
+                  AS cve_year,
+                count(*) AS n_cves,
+                CAST(sum(CAST(item.impact.baseMetricV3.cvssV3.baseScore
+                              AS DECIMAL(18,1))) AS DOUBLE) AS sum_v3,
+                count(item.impact.baseMetricV3.cvssV3.baseScore) AS n_v3
+         FROM f
+         GROUP BY cve_year
+         ORDER BY cve_year""",
 
     // Latest-revision-wins across the yearly fixture + overlapping recent
     // feed: winner = max (lastModifiedDate, feed precedence) — DuckDB and

@@ -113,6 +113,21 @@ object Nvd {
       .agg(count(lit(1)).as("n_matches"))
       .orderBy(col("n_matches").desc, col("vendor_product"))
 
+  /** §2.1 q_nvd_yearly_trend: CVE volume + CVSSv3 score mass per CVE year
+    * — the dashboard over the warehouse's PARTITION KEY (cve_year is
+    * derived from the ID exactly as [[NvdEtl.cveYear]] derives the
+    * partitioning column, so on the year-partitioned warehouse this query
+    * prunes to the partitions it touches).
+    */
+  def qNvdYearlyTrend(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .groupBy(substring(NvdEtl.cveId, 5, 4).cast("int").as("cve_year"))
+      .agg(count(lit(1)).as("n_cves"),
+        sum(col("impact.baseMetricV3.cvssV3.baseScore").cast(DecimalType(18, 1)))
+          .cast("double").as("sum_v3"),
+        count(col("impact.baseMetricV3.cvssV3.baseScore")).as("n_v3"))
+      .orderBy(col("cve_year"))
+
   /** §2.1 q_nvd_modified_upsert: the recent-feed UPSERT view — the
     * reference's daily `recent` feed re-publishes CVEs it already loaded
     * (bq-nvd.py:98-104 loads it on every cron tick), so a warehouse that
