@@ -193,15 +193,11 @@ object Dedup {
   private def connectedComponents(spark: SparkSession, pairs: DataFrame,
       universe: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // both edge directions from ONE evaluation of the pair subtree: a
-    // pairs ∪ pairs.swap self-union would plant the entire candidate
-    // pipeline (posting join + rerank) in the plan TWICE — it measurably
-    // computed twice (+5s at sf0.1; 2× the dominant cost at any scale)
-    val rawEdges = pairs.select(explode(array(
-        struct(col("i").as("src"), col("j").as("dst")),
-        struct(col("j").as("src"), col("i").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persist the UNDIRECTED pair relation once — half the rows of a
+    // doubled edge list, and the one evaluation of the (expensive) pair
+    // subtree that every downstream pass reads. (A pairs ∪ pairs.swap
+    // self-union would additionally plant that subtree in the plan twice.)
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     // CONTRACTION pass before the loop: l0(v) = min(v, direct neighbors).
     // Near-dup components are overwhelmingly CLIQUES (c duplicate docs →
     // c²/2 pairs — the 964,854 pairs at sf0.1 live in a handful of dense
@@ -212,24 +208,31 @@ object Dedup {
     // between O(rounds) passes over the pair relation and ONE pass plus a
     // loop over a graph whose size tracks cluster-chain structure, not
     // corpus size. Contraction preserves connectivity exactly, so the
-    // recursive-CTE oracle still matches bit-for-bit.
-    val nbrMin = rawEdges.groupBy(col("dst").as("id"))
-      .agg(min(col("src")).as("nm"))
+    // recursive-CTE oracle still matches bit-for-bit. Neighbor-min over
+    // the undirected relation = min over both roles, merged — the doubled
+    // edge list never materializes.
+    val nbrMin = p.groupBy(col("i").as("id")).agg(min(col("j")).as("nm"))
+      .unionAll(p.groupBy(col("j").as("id")).agg(min(col("i")).as("nm")))
+      .groupBy(col("id")).agg(min(col("nm")).as("nm"))
     val l0 = universe
       .join(nbrMin, Seq("id"), "left_outer")
       .select(col("id"),
         least(col("id"), coalesce(col("nm"), col("id"))).as("lab"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // supernode edge relation: each original edge links its endpoints'
-    // contracted labels; intra-supernode edges vanish, parallel edges
-    // collapse in the distinct. Pre-partitioned by src so every loop
-    // round's join shuffles only the (smaller) label relation.
-    val edges = rawEdges
-      .join(l0.select(col("id").as("src"), col("lab").as("ls")), Seq("src"))
-      .join(l0.select(col("id").as("dst"), col("lab").as("ld")), Seq("dst"))
+    // supernode edge relation: each original pair links its endpoints'
+    // contracted labels; intra-supernode pairs vanish, parallel pairs
+    // collapse in the distinct. Only the TINY contracted relation is
+    // symmetrized into both directions. Pre-partitioned by src so every
+    // loop round's join shuffles only the (smaller) label relation.
+    val edges = p
+      .join(l0.select(col("id").as("i"), col("lab").as("ls")), Seq("i"))
+      .join(l0.select(col("id").as("j"), col("lab").as("ld")), Seq("j"))
       .filter(col("ls") =!= col("ld"))
-      .select(col("ls").as("src"), col("ld").as("dst"))
-      .distinct()
+      .select(col("ls"), col("ld")).distinct()
+      .select(explode(array(
+        struct(col("ls").as("src"), col("ld").as("dst")),
+        struct(col("ld").as("src"), col("ls").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSuperEdges = edges.count() // also materializes the persist
@@ -257,7 +260,7 @@ object Dedup {
         if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
       }
       val roots = parent.keysIterator.map(k => (k, find(k))).toSeq
-      edges.unpersist(); rawEdges.unpersist()
+      edges.unpersist(); p.unpersist()
       val lmap = spark.createDataset(roots).toDF("lab", "slab")
       // left join: supernodes with no inter-cluster link keep their own
       // label (coalesce) — lmap only covers nodes seen in superEdges
@@ -306,7 +309,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    rawEdges.unpersist()
+    p.unpersist()
     // expand the contraction: an id's component label is the fixpoint
     // label of its supernode (supernode ids are member ids, so the min
     // over supernodes in a component IS the component's minimum id)
