@@ -86,6 +86,7 @@ object SparkEntry {
     "q_user_setops" -> (Relational.qUserSetops _),
     "q_events_twap" -> (Relational.qEventsTwap _),
     "q_events_unpivot" -> (Relational.qEventsUnpivot _),
+    "q_events_rfm" -> (Relational.qEventsRfm _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "dedup_semantic" -> (Dedup.dedupSemantic _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_containment" -> (Dedup.dedupContainment _),
+    "dedup_stats" -> (Dedup.dedupStats _),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
@@ -123,6 +125,10 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.textTfidf _),
     "text_vocab_growth" -> (TextAnalysis.textVocabGrowth _),
     "pipeline_interleave" -> (TextAnalysis.pipelineInterleave _),
+    "text_rarity" -> (TextAnalysis.textRarity _),
+    "text_keywords" -> (TextAnalysis.textKeywords _),
+    "pipeline_decontaminate" -> (TextAnalysis.pipelineDecontaminate _),
+    "pipeline_token_budget" -> (TextAnalysis.pipelineTokenBudget _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_dedup" -> (Multimodal.mmDedup _),
   )
@@ -1537,6 +1543,115 @@ object SparkEntry {
          SELECT doc_id, n_terms, term AS top_term,
                 round(score, 6) AS top_score
          FROM rk WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_events_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus,
+                CAST(value AS DECIMAL(18,4)) AS v
+              FROM events),
+              r AS (SELECT max(tus) AS ref_tus FROM e),
+              u AS (SELECT user_id, max(tus) AS last_tus,
+                        CAST(count(*) AS BIGINT) AS freq, sum(v) AS mon
+                    FROM e GROUP BY user_id),
+              d AS (SELECT user_id, freq, mon,
+                        (ref_tus - last_tus) // 86400000000 AS recency_days
+                    FROM u CROSS JOIN r)
+         SELECT user_id, recency_days, freq, CAST(mon AS DOUBLE) AS monetary,
+                CAST((CASE WHEN recency_days < 1 THEN 3
+                           WHEN recency_days < 3 THEN 2 ELSE 1 END) * 100
+                   + (CASE WHEN freq >= 75 THEN 3
+                           WHEN freq >= 60 THEN 2 ELSE 1 END) * 10
+                   + (CASE WHEN mon >= 4000 THEN 3
+                           WHEN mon >= 3000 THEN 2 ELSE 1 END)
+                  AS BIGINT) AS rfm_segment
+         FROM d ORDER BY user_id""",
+
+    "dedup_stats" ->
+      """WITH u AS (SELECT source, text FROM documents
+                    UNION ALL
+                    SELECT source, text FROM documents
+                    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                             1, 4))::BIGINT % 100 < 40),
+              pt AS (SELECT source, md5(text) AS h, count(*) AS c
+                     FROM u GROUP BY source, h)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_unique,
+                CAST(sum(c) - count(*) AS BIGINT) AS dup_docs,
+                round(CAST(sum(c) - count(*) AS DOUBLE)
+                        / CAST(sum(c) AS BIGINT), 6) AS dup_rate
+         FROM pt GROUP BY source ORDER BY source""",
+
+    "text_rarity" ->
+      """WITH t AS (SELECT doc_id,
+                unnest(list_distinct(string_split(text, ' '))) AS term
+              FROM documents),
+              dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM t GROUP BY term),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              s AS (SELECT doc_id, term, df,
+                        (n_docs * 1000000) // df AS ppm
+                    FROM t JOIN dfq USING (term) CROSS JOIN n),
+              rk AS (SELECT doc_id, term, df,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY df, term) AS rn,
+                         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                           AS n_terms,
+                         CAST(sum(ppm) OVER (PARTITION BY doc_id) AS BIGINT)
+                           AS sum_ppm
+                     FROM s)
+         SELECT doc_id, n_terms, term AS rare_term, df AS rare_df,
+                round(CAST(sum_ppm AS DOUBLE) / n_terms / 1000000, 6)
+                  AS mean_rarity
+         FROM rk WHERE rn = 1 ORDER BY doc_id""",
+
+    "text_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM w GROUP BY doc_id, term),
+              dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY term),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              sc AS (SELECT doc_id, term,
+                         CAST(tf AS DOUBLE) * n_docs / df AS score
+                     FROM tf JOIN dfq USING (term) CROSS JOIN n),
+              rk AS (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS rn
+                     FROM sc)
+         SELECT doc_id, CAST(rn AS BIGINT) AS rk, term,
+                round(score, 6) AS score
+         FROM rk WHERE rn <= 3 ORDER BY doc_id, rk""",
+
+    "pipeline_decontaminate" ->
+      """WITH b AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 AS bucket
+              FROM documents),
+              g AS (SELECT doc_id, bucket,
+                        unnest(list_distinct(list_transform(
+                          range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' ')))) AS gram
+                    FROM b),
+              tg AS (SELECT DISTINCT gram FROM g WHERE bucket >= 95),
+              bad AS (SELECT DISTINCT doc_id FROM g JOIN tg USING (gram)
+                      WHERE bucket < 90)
+         SELECT doc_id, lang, source FROM b
+         WHERE bucket < 90 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+
+    "pipeline_token_budget" ->
+      """WITH b AS (SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                md5(CAST(doc_id AS VARCHAR)) AS ord
+              FROM documents),
+              s AS (SELECT doc_id, source, n_tokens,
+                        CAST(COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY source ORDER BY ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cum_before
+                    FROM b)
+         SELECT doc_id, source, n_tokens, cum_before
+         FROM s WHERE cum_before < 600 ORDER BY doc_id""",
 
     "text_contamination" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,

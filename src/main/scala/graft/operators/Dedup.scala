@@ -55,6 +55,33 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
+  /** §2.3 dedup_stats: per-source duplication audit over the same
+    * re-crawled corpus dedup_exact resolves — the "how duplicated is each
+    * feed" report that decides which sources are worth crawling. Two-level
+    * aggregation: (source, content-hash) partial counts collapse map-side
+    * before the only shuffle, then a tiny per-source rollup; document text
+    * never leaves the scan (only 16-byte digests shuffle).
+    */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    // partial re-crawl: a stable 40% hash slice comes back under fresh ids
+    // (per-source dup rates then vary with content, as a real crawl's do)
+    val recrawl = d.filter(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100 < 40)
+    val perText = d.unionAll(recrawl)
+      .groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    perText.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("dup_docs"),
+        round((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Unsorted near-dup pair relation (i < j, rounded jac ≥ 0.9) — shared
     * by the pair query and the clustering operator.
     *

@@ -837,6 +837,39 @@ object Relational {
       .orderBy(col("relation"))
   }
 
+  /** §2.2 q_events_rfm: recency/frequency/monetary user segmentation — the
+    * standard warehouse scoring query. One map-side-combined per-user
+    * aggregate over a single scan; the global "now" reference is a 1-row
+    * broadcast; bands are integer CASE cuts over exact values (recency in
+    * whole days via integer division of epoch-micros, monetary compared in
+    * exact decimal) — no fp boundary can disagree across engines.
+    */
+  def qEventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+    val ref = ev.agg(max(col("tus")).as("ref_tus"))
+    ev.groupBy(col("user_id"))
+      .agg(max(col("tus")).as("last_tus"), count(lit(1)).as("freq"),
+        sum(col("v")).as("mon"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        expr("(ref_tus - last_tus) div 86400000000L"))
+      .withColumn("r_band",
+        when(col("recency_days") < 1, 3L).when(col("recency_days") < 3, 2L)
+          .otherwise(1L))
+      .withColumn("f_band",
+        when(col("freq") >= 75, 3L).when(col("freq") >= 60, 2L).otherwise(1L))
+      .withColumn("m_band",
+        when(col("mon") >= 4000, 3L).when(col("mon") >= 3000, 2L)
+          .otherwise(1L))
+      .select(col("user_id"), col("recency_days"), col("freq"),
+        col("mon").cast("double").as("monetary"),
+        (col("r_band") * 100 + col("f_band") * 10 + col("m_band"))
+          .as("rfm_segment"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.2 q_events_twap: time-weighted average per user — each value is
     * weighted by how long it was "current" (until the next event), the
     * standard irregular-time-series mean. Weights are exact integers

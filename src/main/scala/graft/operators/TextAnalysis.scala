@@ -459,6 +459,118 @@ object TextAnalysis {
       .orderBy(col("lang"), col("len_bucket"))
   }
 
+  /** §2.4 pipeline_decontaminate: benchmark decontamination — drop from the
+    * TRAIN split every document sharing at least one word 3-gram with the
+    * TEST split (the removal step text_contamination only reports on).
+    * Splits reuse the stable [[hashBucket]] assignment.
+    *
+    * Scale shape: the test side is ~5% of the corpus and collapses to
+    * DISTINCT grams before the join; contaminated train doc ids come from a
+    * LEFT SEMI join keyed on the gram (bloom-filter-prunable, no row
+    * multiplication), and the final anti-join carries bare ids — document
+    * text never crosses a shuffle.
+    */
+  def pipelineDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams3 =
+      """IF(size(w) < 3, array(),
+           transform(sequence(1, size(w) - 2),
+             i -> array_join(slice(w, i, 3), ' ')))"""
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"), hashBucket)
+      .select(col("doc_id"), col("bucket"),
+        explode(array_distinct(expr(grams3))).as("gram"))
+    val testGrams = grams.filter(col("bucket") >= 95).select(col("gram")).distinct()
+    val contaminated = grams.filter(col("bucket") < 90)
+      .join(testGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), hashBucket)
+      .filter(col("bucket") < 90)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 pipeline_token_budget: budgeted corpus selection — per source,
+    * take documents in stable content-hash order until a fixed token budget
+    * is exhausted (the "give me N tokens per source" step of assembling a
+    * mixture). The running sum is windowed PER SOURCE, so no global
+    * single-reducer ordering exists at any scale, and the selection is
+    * reproducible under retries/repartitioning because the order key is a
+    * content hash, not row position.
+    */
+  def pipelineTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 600L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast("bigint").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 text_rarity: vocabulary-rarity scoring — a cheap unigram
+    * "surprise" proxy for perplexity-based quality filtering: the mean
+    * inverse document frequency over a doc's DISTINCT terms, plus its
+    * rarest term. The per-term weight is the exact integer
+    * `(N·1e6) div df` (rational idf in parts-per-million — no libm, so
+    * cross-engine comparisons are bit-identical); the doc score is one
+    * deterministic fp division chain at the end.
+    *
+    * Scale shape: two map-side-combined aggregations (per-doc distinct
+    * explode → term df, then per-doc rollup); the rarest-term argmin is a
+    * `min(struct(df, term))` aggregate — combiner-friendly, no window.
+    */
+  def textRarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs
+      .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    terms.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("ppm", expr("n_docs * 1000000L div df"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("ppm")).as("sum_ppm"),
+        min(struct(col("df").as("d"), col("term").as("t"))).as("rare"))
+      .select(col("doc_id"), col("n_terms"),
+        col("rare.t").as("rare_term"), col("rare.d").as("rare_df"),
+        round(col("sum_ppm").cast("double") / col("n_terms") / 1000000.0, 6)
+          .as("mean_rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 text_keywords: per-document top-3 keywords by the rational
+    * tf·N/df weight (the multi-term extension of text_tfidf's argmax — the
+    * keyword-extraction shape for tagging/indexing a corpus).
+    *
+    * The ranking window partitions by doc_id, so a partition is ONE
+    * document's distinct-term set — bounded by document length, never by
+    * corpus size (unlike a corpus-wide top-k, where a window would be the
+    * scale bug and the bounded-heap aggregate is used instead).
+    */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** §2.4 text_window_chunk: sliding-window chunking — 128-token windows
     * every 96 tokens (32-token overlap), the long-document shape for
     * context-bounded training and retrieval indexing. Chunk identity
