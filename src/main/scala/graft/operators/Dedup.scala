@@ -612,25 +612,30 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 20))
       .select(col("shingle"))
-    // persist the slim (shingle, doc_id) posting relation: it sits on
-    // BOTH sides of the pair self-join, and without the barrier the
-    // explode + df-aggregation subtree would compute twice
-    val cand = post.join(rare, Seq("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pairs must co-occur in ≥ 4 rare postings: a real 0.8-containment
     // pair shares dozens of rare shingles (min observed: 8 at sf0.01 AND
     // sf0.1 — zero recall loss), while the ≥4 floor drops the long tail
     // of coincidental single-shingle collisions BEFORE the rerank (2.2M →
-    // 2.1k pairs at sf0.1). The count is map-side combined, so the pair
-    // shuffle carries pre-aggregated (i, j, n) rows, not raw emissions.
-    val pairs = cand.alias("a")
-      .join(cand.alias("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    // 2.1k pairs at sf0.1). Pair generation is the same bucket pipeline as
+    // the LSH families — ONE groupBy(shingle) with streaming pair emission
+    // from the sorted posting list (≤ df ≤ 20 ids, so ≤ 190 pairs per
+    // bucket) — instead of a posting self-join, which shuffles the posting
+    // relation twice and emits every pair in both orientations. Shared
+    // counts are symmetric, so unordered (i < j) pairs flow through the
+    // count and the ≥4 floor; orientations explode only for the surviving
+    // ~2k pairs (containment itself is one-sided: i-in-j ≠ j-in-i).
+    val pairs = post.join(rare, Seq("shingle"))
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(GraftFunctions.pairs(col("ids")).as(Seq("pi", "pj")))
+      .groupBy(col("pi"), col("pj"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 4)
-      .select(col("i"), col("j"))
+      .select(explode(array(
+        struct(col("pi").as("a"), col("pj").as("b")),
+        struct(col("pj").as("a"), col("pi").as("b")))).as("p"))
+      .select(col("p.a").as("i"), col("p.b").as("j"))
     pairs
       .join(d.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
       .join(d.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))

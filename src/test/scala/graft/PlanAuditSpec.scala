@@ -128,6 +128,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("row_number"), p)
   }
 
+  test("text_keywords / pipeline_token_budget: ranking/running windows are partitioned") {
+    // both windows key on a bounded partition (one doc's terms; one
+    // source's docs) — the Window operator line lists the partition spec
+    // between the function list and the ordering, empty for a global
+    // window. (text_keywords still has one legitimate SinglePartition
+    // exchange: the 1-row corpus count.)
+    for ((q, key) <- Seq("text_keywords" -> "doc_id",
+        "pipeline_token_budget" -> "source")) {
+      val p = plan(q)
+      val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty && windows.forall(_.contains(s"], [$key")),
+        s"$q:\n${windows.mkString("\n")}")
+    }
+    // the top-3 filter is pushed into the sort as a group-limit, so the
+    // per-doc partition never fully ranks
+    assert(plan("text_keywords").contains("WindowGroupLimit"))
+  }
+
+  test("pipeline_decontaminate: gram joins are semi/anti — text never widens the shuffle") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the gram-side relations carry ids only; document text must stay out
+    // of every exchange (only the final output projection may read it)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("text"), exchanges)
+  }
+
+  test("dedup_stats: digest-only shuffle — raw text never crosses the wire") {
+    val p = plan("dedup_stats")
+    assert(countOf(p, "Exchange hashpartitioning") === 2, p) // per-hash, per-source
+    assert(p.contains("HashAggregate"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("text#"), exchanges)
+  }
+
+  test("q_events_rfm: one per-user aggregate, reference joined as 1-row broadcast") {
+    val p = plan("q_events_rfm")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+  }
+
   test("custom expressions run inside WholeStageCodegen spans") {
     // the fingerprint kernel is a custom Catalyst expression with
     // doGenCode — its Project must carry the codegen marker (*), proving
