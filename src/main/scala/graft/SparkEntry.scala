@@ -34,6 +34,7 @@ object SparkEntry {
     "q_nvd_v3_vector" -> (Nvd.qNvdV3Vector _),
     "q_nvd_modified_upsert" -> (Nvd.qNvdModifiedUpsert _),
     "q_nvd_yearly_trend" -> (Nvd.qNvdYearlyTrend _),
+    "q_nvd_desc_langs" -> (Nvd.qNvdDescLangs _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -200,6 +201,17 @@ object SparkEntry {
          FROM d WHERE d.lang = 'en'
          GROUP BY cwe
          ORDER BY n_cves DESC, cwe""",
+
+    "q_nvd_desc_langs" ->
+      s"""$nvdFeedCte,
+           d AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
+                     unnest(item.cve.description.description_data) AS dd
+                 FROM f)
+         SELECT dd.lang AS lang, count(*) AS n_descriptions,
+                count(DISTINCT cve_id) AS n_cves,
+                CAST(sum(length(dd.value)) AS BIGINT) AS sum_chars
+         FROM d GROUP BY dd.lang
+         ORDER BY lang""",
 
     "q_nvd_tag_hist" ->
       s"""$nvdFeedCte,

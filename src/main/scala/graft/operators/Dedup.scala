@@ -225,6 +225,14 @@ object Dedup {
     // subtree that every downstream pass reads. (A pairs ∪ pairs.swap
     // self-union would additionally plant that subtree in the plan twice.)
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // EAGER materialization: the contraction fans out into three
+    // independent consumer stages (both nbrMin roles + the edge joins)
+    // that the scheduler runs CONCURRENTLY — against a still-cold cache,
+    // each would race to compute the expensive pair pipeline itself
+    // (first-writer-wins cache population doesn't stop a stage that
+    // already started computing). One count() populates the cache before
+    // any consumer launches.
+    p.count()
     // CONTRACTION pass before the loop: l0(v) = min(v, direct neighbors).
     // Near-dup components are overwhelmingly CLIQUES (c duplicate docs →
     // c²/2 pairs — the 964,854 pairs at sf0.1 live in a handful of dense

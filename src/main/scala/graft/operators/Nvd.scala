@@ -153,6 +153,22 @@ object Nvd {
       .orderBy(col("cve_id"))
   }
 
+  /** §2.1 q_nvd_desc_langs: description-language coverage — per language,
+    * how many description entries exist, how many distinct CVEs carry one,
+    * and the total description mass (the "which locales does the feed
+    * cover" report). One explode of the singly-repeated description_data
+    * path; the distinct-CVE count rides the same single aggregate.
+    */
+  def qNvdDescLangs(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .select(NvdEtl.cveId.as("cve_id"),
+        explode(col("cve.description.description_data")).as("d"))
+      .groupBy(col("d.lang").as("lang"))
+      .agg(count(lit(1)).as("n_descriptions"),
+        countDistinct(col("cve_id")).as("n_cves"),
+        sum(length(col("d.value")).cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+
   /** §2.1 q_nvd_tag_hist: histogram over a REPEATED scalar nested inside a
     * REPEATED record (references.reference_data[].tags[]) — the remaining
     * repetition shape the other queries don't touch.

@@ -197,4 +197,37 @@ object StreamOps {
         graft.functions.GraftFunctions.fingerprint64(col("text")))
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("fp64")
+
+  /** The static side of [[contaminationStream]]: the standing train
+    * corpus collapsed to its DISTINCT word 3-grams (one row per gram).
+    */
+  def trainGramSet(trainDocs: DataFrame): DataFrame =
+    trainDocs
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(array_distinct(expr(
+        """IF(size(w) < 3, array(),
+             transform(sequence(1, size(w) - 2),
+               i -> array_join(slice(w, i, 3), ' ')))"""))).as("gram"))
+      .distinct()
+
+  /** stream_contamination: the decontamination gate applied ONLINE — a
+    * stream-STATIC join: each arriving document's distinct 3-grams probe
+    * the standing train-gram set, and contaminated docs surface with
+    * their shared-gram counts the moment they arrive (the streaming twin
+    * of pipeline_decontaminate's batch anti-join). The join is stateless
+    * on the stream side — Spark re-plans the static relation per
+    * micro-batch (at scale: a broadcast or bloom-side lookup), so no
+    * watermark and no state store grow with the stream. The same
+    * transform runs unchanged on a batch DataFrame.
+    */
+  def contaminationStream(docs: DataFrame, trainGrams: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """IF(size(w) < 3, array(),
+             transform(sequence(1, size(w) - 2),
+               i -> array_join(slice(w, i, 3), ' ')))"""))).as("gram"))
+      .join(trainGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
 }

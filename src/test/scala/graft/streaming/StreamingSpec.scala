@@ -272,4 +272,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids === Array(1L, 2L, 5L))
     } finally q.stop()
   }
+
+  test("stream_contamination: stream-static gram join matches the batch transform across micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // static side: the standing train split (stable hash buckets < 90)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("bigint") % 100)
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val train = StreamOps.trainGramSet(docs.filter(bucket < 90))
+    // arriving side: the test split, as a stream of Doc rows
+    val t0 = Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val arriving = docs.filter(bucket >= 95)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), t0, r.getString(1))).toSeq
+    assert(arriving.nonEmpty)
+
+    // the SAME transform on the same rows as a plain batch DataFrame
+    val batch = StreamOps.contaminationStream(
+        spark.createDataset(arriving).toDF(), train)
+      .orderBy(col("doc_id")).collect()
+
+    val stream = MemoryStream[Doc]
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    stream.addData(a)
+    val q = StreamOps.contaminationStream(stream.toDF(), train)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("contam_out").orderBy(col("doc_id")).collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
 }
