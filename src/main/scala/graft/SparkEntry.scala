@@ -88,6 +88,7 @@ object SparkEntry {
     "q_events_twap" -> (Relational.qEventsTwap _),
     "q_events_unpivot" -> (Relational.qEventsUnpivot _),
     "q_events_rfm" -> (Relational.qEventsRfm _),
+    "q_events_wau" -> (Relational.qEventsWau _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
     "sim_range_search" -> (Similarity.simRangeSearch _),
     "sim_knn_graph" -> (Similarity.simKnnGraph _),
+    "sim_pair_hist" -> (Dedup.simPairHist _),
     // §2.4 text analysis + multimodal
     "text_tokencount" -> (TextAnalysis.textTokencount _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -639,6 +641,28 @@ object SparkEntry {
                       ON a.vec_id < b.vec_id AND ($anyBucket))
          SELECT i, j, sim FROM p WHERE sim >= 0.4
          ORDER BY i, j"""
+    },
+
+    // The similarity profile over the same RHP-blocked pair relation as
+    // dedup_embedding, with NO similarity floor — order-independent
+    // aggregates only (count/min/max), so no float-summation divergence.
+    "sim_pair_hist" -> {
+      val buckets = Dedup.embeddingBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"a.s$i = b.s$i").mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
+              p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+                    FROM s a JOIN s b
+                      ON a.vec_id < b.vec_id AND ($anyBucket))
+         SELECT CAST(floor(sim * 20) AS BIGINT) AS band,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                min(sim) AS min_sim, max(sim) AS max_sim
+         FROM p GROUP BY band ORDER BY band"""
     },
 
     // Same coordinate-difference RHP blocking as the Spark plan (identical
@@ -1576,6 +1600,20 @@ object SparkEntry {
                            WHEN mon >= 3000 THEN 2 ELSE 1 END)
                   AS BIGINT) AS rfm_segment
          FROM d ORDER BY user_id""",
+
+    "q_events_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+              dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                      FROM ud GROUP BY day),
+              w AS (SELECT DISTINCT user_id,
+                        day + CAST(o AS INTEGER) AS tday
+                    FROM ud, (SELECT unnest(range(7)) AS o)),
+              wau AS (SELECT tday, CAST(count(*) AS BIGINT) AS wau
+                      FROM w GROUP BY tday)
+         SELECT d.day AS day, d.dau, wau.wau
+         FROM dau d JOIN wau ON wau.tday = d.day
+         ORDER BY day""",
 
     "dedup_stats" ->
       """WITH u AS (SELECT source, text FROM documents

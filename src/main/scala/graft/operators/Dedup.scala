@@ -539,7 +539,8 @@ object Dedup {
   /** The unsorted (i < j, rounded sim ≥ 0.4) embedding near-dup pair
     * relation — shared by the pair query and semantic clustering.
     */
-  private def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def embeddingPairs(spark: SparkSession, dir: String,
+      minSim: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cand = e
       .select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
@@ -555,8 +556,23 @@ object Dedup {
       .join(e.select(col("vec_id").as("j"), col("embedding").as("v_j")), Seq("j"))
       .select(col("i"), col("j"),
         round(GraftFunctions.cosine(col("v_i"), col("v_j")), 6).as("sim"))
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= minSim)
   }
+
+  /** §2.3 sim_pair_hist: the corpus similarity PROFILE — a 0.05-band
+    * histogram of exact cosine over every RHP-blocked candidate pair (no
+    * similarity floor), the report that picks dedup thresholds before a
+    * full run commits to one. Aggregates are order-independent (count,
+    * min, max — never a float sum), so the result is deterministic under
+    * any partitioning; band indices are exact integer floors of the
+    * 6dp-rounded similarity.
+    */
+  def simPairHist(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairs(spark, dir, minSim = -1.0)
+      .groupBy(expr("CAST(floor(sim * 20) AS BIGINT)").as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+      .orderBy(col("band"))
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     embeddingPairs(spark, dir).orderBy(col("i"), col("j"))

@@ -837,6 +837,29 @@ object Relational {
       .orderBy(col("relation"))
   }
 
+  /** §2.2 q_events_wau: daily + 7-day rolling active users — the standing
+    * engagement dashboard. A rolling DISTINCT count can't come from a
+    * running window (distinct doesn't decompose), so each distinct
+    * (user, day) row is EXPLODED to the ≤7 target days it contributes to
+    * and re-distinct'd — a bounded 7× row multiplication with map-side
+    * combine, never a per-day rescan of history and never a global window.
+    * Report rows are days with any activity (partial leading windows
+    * included, as dashboards do).
+    */
+  def qEventsWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("o"))
+      .select(col("user_id"), expr("date_add(day, o)").as("tday")).distinct()
+      .groupBy(col("tday")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("day") === col("tday"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   /** §2.2 q_events_rfm: recency/frequency/monetary user segmentation — the
     * standard warehouse scoring query. One map-side-combined per-user
     * aggregate over a single scan; the global "now" reference is a 1-row
