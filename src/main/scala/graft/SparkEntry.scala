@@ -35,6 +35,7 @@ object SparkEntry {
     "q_nvd_modified_upsert" -> (Nvd.qNvdModifiedUpsert _),
     "q_nvd_yearly_trend" -> (Nvd.qNvdYearlyTrend _),
     "q_nvd_desc_langs" -> (Nvd.qNvdDescLangs _),
+    "q_nvd_child_cpes" -> (Nvd.qNvdChildCpes _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "text_keywords" -> (TextAnalysis.textKeywords _),
     "pipeline_decontaminate" -> (TextAnalysis.pipelineDecontaminate _),
     "pipeline_token_budget" -> (TextAnalysis.pipelineTokenBudget _),
+    "text_ngram_repetition" -> (TextAnalysis.textNgramRepetition _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_dedup" -> (Multimodal.mmDedup _),
   )
@@ -214,6 +216,20 @@ object SparkEntry {
                 CAST(sum(length(dd.value)) AS BIGINT) AS sum_chars
          FROM d GROUP BY dd.lang
          ORDER BY lang""",
+
+    "q_nvd_child_cpes" ->
+      s"""$nvdFeedCte,
+           ch AS (SELECT unnest(flatten(list_filter(list_transform(
+                    item.configurations.nodes, n -> n.children),
+                    x -> x IS NOT NULL))) AS c FROM f),
+           m AS (SELECT unnest(c.cpe_match) AS mm FROM ch
+                 WHERE c.cpe_match IS NOT NULL)
+         SELECT string_split(mm.cpe23Uri, ':')[4] AS vendor,
+                count(*) AS n_matches,
+                CAST(sum(CASE WHEN mm.vulnerable THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_vulnerable
+         FROM m GROUP BY vendor
+         ORDER BY vendor""",
 
     "q_nvd_tag_hist" ->
       s"""$nvdFeedCte,
@@ -1688,6 +1704,29 @@ object SparkEntry {
          SELECT doc_id, lang, source FROM b
          WHERE bucket < 90 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+
+    "text_ngram_repetition" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+              g AS (SELECT doc_id,
+                        list_transform(range(1, len(w)),
+                          i -> array_to_string(w[i:i+1], ' ')) AS g2,
+                        CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                             ELSE list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' ')) END AS g3
+                    FROM b)
+         SELECT doc_id,
+                CAST(len(g2) AS BIGINT) AS n_bigrams,
+                CASE WHEN len(g2) > 0
+                     THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                                  / len(g2), 6)
+                     ELSE 0.0 END AS dup_bigram_frac,
+                CAST(len(g3) AS BIGINT) AS n_trigrams,
+                CASE WHEN len(g3) > 0
+                     THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                                  / len(g3), 6)
+                     ELSE 0.0 END AS dup_trigram_frac
+         FROM g ORDER BY doc_id""",
 
     "pipeline_token_budget" ->
       """WITH b AS (SELECT doc_id, source,

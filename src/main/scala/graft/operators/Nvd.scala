@@ -153,6 +153,30 @@ object Nvd {
       .orderBy(col("cve_id"))
   }
 
+  /** §2.1 q_nvd_child_cpes: vendor histogram with vulnerable/non-vulnerable
+    * counts over the TRIPLY-repeated configurations.nodes[].children[]
+    * .cpe_match[] path — AND-nodes keep their running-on vs vulnerable-to
+    * split in child OR-groups, which q_nvd_linux_exists deliberately does
+    * NOT search (the fixture plants linux entries here to keep the paths
+    * distinct; this query is the one that reads them). Two null-safe
+    * flatten levels (children and cpe_match are both optional), then one
+    * explode into a map-side-combined conditional count — the BOOLEAN leaf
+    * (vulnerable) aggregates in exact integers.
+    */
+  def qNvdChildCpes(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .select(explode(flatten(filter(
+        transform(col("configurations.nodes"), n => n.getField("children")),
+        x => x.isNotNull))).as("ch"))
+      .filter(col("ch.cpe_match").isNotNull)
+      .select(explode(col("ch.cpe_match")).as("m"))
+      .select(split(col("m.cpe23Uri"), ":").getItem(3).as("vendor"),
+        col("m.vulnerable").as("vul"))
+      .groupBy(col("vendor"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(when(col("vul"), 1L).otherwise(0L)).as("n_vulnerable"))
+      .orderBy(col("vendor"))
+
   /** §2.1 q_nvd_desc_langs: description-language coverage — per language,
     * how many description entries exist, how many distinct CVEs carry one,
     * and the total description mass (the "which locales does the feed

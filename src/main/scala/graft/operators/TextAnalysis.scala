@@ -571,6 +571,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** §2.4 text_ngram_repetition: Gopher's duplicate n-gram family beyond
+    * single words (text_gopher_quality covers those) — the fraction of
+    * word bigram/trigram occurrences that are repeats of an earlier one,
+    * the signal that catches boilerplate and looping generations that
+    * unigram ratios miss. Pure map-side array arithmetic over one scan;
+    * ratios are single fp divisions of exact integers.
+    */
+  def textNgramRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int) =
+      s"""IF(size(w) < $n, array(),
+           transform(sequence(1, size(w) - ${n - 1}),
+             i -> array_join(slice(w, i, $n), ' ')))"""
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+        .otherwise(0.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), expr(grams(2)).as("g2"), expr(grams(3)).as("g3"))
+      .select(col("doc_id"),
+        size(col("g2")).cast("bigint").as("n_bigrams"),
+        dupFrac(col("g2")).as("dup_bigram_frac"),
+        size(col("g3")).cast("bigint").as("n_trigrams"),
+        dupFrac(col("g3")).as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.4 text_window_chunk: sliding-window chunking — 128-token windows
     * every 96 tokens (32-token overlap), the long-document shape for
     * context-bounded training and retrieval indexing. Chunk identity
