@@ -90,6 +90,8 @@ object SparkEntry {
     "q_events_unpivot" -> (Relational.qEventsUnpivot _),
     "q_events_rfm" -> (Relational.qEventsRfm _),
     "q_events_wau" -> (Relational.qEventsWau _),
+    "q_orders_mom" -> (Relational.qOrdersMom _),
+    "q_events_dow_profile" -> (Relational.qEventsDowProfile _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -134,6 +136,7 @@ object SparkEntry {
     "pipeline_decontaminate" -> (TextAnalysis.pipelineDecontaminate _),
     "pipeline_token_budget" -> (TextAnalysis.pipelineTokenBudget _),
     "text_ngram_repetition" -> (TextAnalysis.textNgramRepetition _),
+    "text_langid_confusion" -> (TextAnalysis.textLangidConfusion _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_dedup" -> (Multimodal.mmDedup _),
   )
@@ -957,6 +960,47 @@ object SparkEntry {
              count(*) AS n_docs
          FROM b GROUP BY lang, split
          ORDER BY lang, split""",
+
+    "q_orders_mom" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders GROUP BY month),
+              g AS (SELECT month, n_orders, rev,
+                        lag(rev) OVER (ORDER BY month) AS prev_rev
+                    FROM m)
+         SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
+                CASE WHEN prev_rev IS NOT NULL
+                     THEN round(CAST(rev - prev_rev AS DOUBLE)
+                                  / CAST(prev_rev AS DOUBLE), 6)
+                END AS mom_growth
+         FROM g ORDER BY month""",
+
+    "q_events_dow_profile" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                CAST(hour(ts) AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2
+         ORDER BY dow, hr""",
+
+    "text_langid_confusion" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+                    FROM documents),
+              h AS (SELECT lang,
+                        len(list_filter(toks, x -> list_contains(
+                          ['the','a','of','and','to','in'], x))) AS en_hits,
+                        len(list_filter(toks, x -> list_contains(
+                          ['el','la','de','y','que','en'], x))) AS es_hits,
+                        len(list_filter(toks, x -> list_contains(
+                          ['der','die','das','und','ist','zu'], x))) AS de_hits
+                    FROM t)
+         SELECT lang,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS pred_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+         FROM h GROUP BY lang, pred_lang
+         ORDER BY lang, pred_lang""",
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks

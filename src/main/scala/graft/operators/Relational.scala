@@ -837,6 +837,42 @@ object Relational {
       .orderBy(col("relation"))
   }
 
+  /** §2.2 q_orders_mom: month-over-month revenue growth — the standing
+    * finance dashboard. Revenue aggregates decimal-exact per month
+    * (map-side combined over one scan); the lag window then runs over the
+    * MONTH relation — rows bounded by the calendar, never by order volume
+    * — so the unpartitioned window is a deliberate tiny-relation choice,
+    * not a scale bug. Growth is one double division of exact decimals.
+    */
+  def qOrdersMom(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .select(col("month"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        when(col("prev_rev").isNotNull,
+          round((col("rev") - col("prev_rev")).cast("double")
+            / col("prev_rev").cast("double"), 6)).as("mom_growth"))
+      .orderBy(col("month"))
+  }
+
+  /** §2.2 q_events_dow_profile: day-of-week × hour activity heatmap — the
+    * traffic-shape dashboard. Pure integer date parts from the timestamp,
+    * one map-side-combined aggregate; output bounded at 7×24 rows.
+    */
+  def qEventsDowProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(dayofweek(col("ts")).cast("bigint").as("dow"),
+        hour(col("ts")).cast("bigint").as("hr"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .orderBy(col("dow"), col("hr"))
+
   /** §2.2 q_events_wau: daily + 7-day rolling active users — the standing
     * engagement dashboard. A rolling DISTINCT count can't come from a
     * running window (distinct doesn't decompose), so each distinct

@@ -571,6 +571,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** §2.4 text_langid_confusion: the language-ID confusion matrix —
+    * declared vs predicted label counts with per-cell hit rates, the
+    * evaluation report that decides whether the heuristic is good enough
+    * before a corpus-wide relabel. Reuses text_langid's scoring inline
+    * (hit counts land in attributes before the argmax CASE, see
+    * pipeline_corpus_filter); one map-side-combined aggregate.
+    */
+  def textLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    def hits(stops: Seq[String]): Column = {
+      val litArr = array(stops.map(lit): _*)
+      size(filter(toks, t => array_contains(litArr, t))).cast("bigint")
+    }
+    Tables.documents(spark, dir)
+      .select(col("lang"), hits(enStops).as("__en"), hits(esStops).as("__es"),
+        hits(deStops).as("__de"))
+      .withColumn("pred_lang",
+        when(col("__en") >= col("__es") && col("__en") >= col("__de"), "en")
+          .when(col("__es") >= col("__de"), "es")
+          .otherwise("de"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** §2.4 text_ngram_repetition: Gopher's duplicate n-gram family beyond
     * single words (text_gopher_quality covers those) — the fraction of
     * word bigram/trigram occurrences that are repeats of an earlier one,
