@@ -110,6 +110,7 @@ object SparkEntry {
     "sim_range_search" -> (Similarity.simRangeSearch _),
     "sim_knn_graph" -> (Similarity.simKnnGraph _),
     "sim_pair_hist" -> (Dedup.simPairHist _),
+    "graph_triangles" -> (Dedup.graphTriangles _),
     // §2.4 text analysis + multimodal
     "text_tokencount" -> (TextAnalysis.textTokencount _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -660,6 +661,44 @@ object SparkEntry {
                       ON a.vec_id < b.vec_id AND ($anyBucket))
          SELECT i, j, sim FROM p WHERE sim >= 0.4
          ORDER BY i, j"""
+    },
+
+    // Triangles + clustering coefficient over the dedup_embedding pair
+    // relation (same RHP constants): ordered-wedge enumeration against
+    // the closing edge, per-vertex counts, one exact-integer division.
+    "graph_triangles" -> {
+      val buckets = Dedup.embeddingBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"a.s$i = b.s$i").mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
+              p AS (SELECT a.vec_id AS i, b.vec_id AS j
+                    FROM s a JOIN s b
+                      ON a.vec_id < b.vec_id AND ($anyBucket)
+                    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+              deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+                      FROM (SELECT i AS id FROM p
+                            UNION ALL SELECT j FROM p)
+                      GROUP BY id),
+              tri AS (SELECT e1.i AS a, e1.j AS b, e2.j AS c
+                      FROM p e1 JOIN p e2 ON e2.i = e1.j
+                      JOIN p e3 ON e3.i = e1.i AND e3.j = e2.j),
+              tv AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+                     FROM (SELECT a AS id FROM tri
+                           UNION ALL SELECT b FROM tri
+                           UNION ALL SELECT c FROM tri)
+                     GROUP BY id)
+         SELECT d.id AS vec_id, d.degree,
+                COALESCE(tv.n_triangles, 0) AS n_triangles,
+                CASE WHEN d.degree >= 2
+                     THEN round(2.0 * COALESCE(tv.n_triangles, 0)
+                                  / (d.degree * (d.degree - 1)), 6)
+                     ELSE 0.0 END AS clustering
+         FROM deg d LEFT JOIN tv ON tv.id = d.id
+         ORDER BY vec_id"""
     },
 
     // The similarity profile over the same RHP-blocked pair relation as

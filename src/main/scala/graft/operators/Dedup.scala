@@ -592,6 +592,41 @@ object Dedup {
       .select(col("id").as("vec_id"), col("canonical_id"))
       .orderBy(col("vec_id"))
 
+  /** §2.3 graph_triangles: per-vertex triangle counts + local clustering
+    * coefficient over the semantic similarity graph (the embedding pair
+    * relation) — the community-density signal that separates tight
+    * duplicate cliques from chains of borderline matches before a dedup
+    * threshold commits. Triangles enumerate as ordered wedges a<b<c joined
+    * against the closing edge (a, c): the i<j pair orientation IS the
+    * standard orientation trick, so each triangle counts exactly once and
+    * no vertex enumerates its full neighborhood square; a LEFT SEMI closes
+    * wedges without widening rows. Coefficient = 2·tri / deg·(deg−1) —
+    * exact integers into one double division.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingPairs(spark, dir).select(col("i"), col("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // eager: degree, wedge, and closing consumers fan out (see connectedComponents)
+    val deg = e.select(col("i").as("id")).unionAll(e.select(col("j").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val wedges = e.select(col("i").as("a"), col("j").as("b"))
+      .join(e.select(col("i").as("b"), col("j").as("c")), Seq("b"))
+    val tri = wedges
+      .join(e.select(col("i").as("a"), col("j").as("c")), Seq("a", "c"), "left_semi")
+    val tv = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tv, Seq("id"), "left_outer")
+      .select(col("id").as("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(0.0).as("clustering"))
+      .select(col("vec_id"), col("degree"),
+        col("n_tri").as("n_triangles"), col("clustering"))
+      .orderBy(col("vec_id"))
+  }
+
   /** §2.3 dedup_incremental: cross-load content dedup — the reference's
     * incremental-update shape (new CVEs vs warehouse IDs, reference
     * etl.py:80-92) applied to CONTENT: a feed document is dropped iff its
