@@ -270,16 +270,22 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nSuperEdges = edges.count() // also materializes the persist
+    // count-then-collect, deliberately: the count materializes the persist
+    // at full parallelism; the collect then drains the (tiny) cache. A
+    // fused limit+collect was tried and is WORSE — CollectLimit's
+    // executeTake scales up 1→4→16… partitions in sequential rounds while
+    // it hunts for limit rows, so the expensive materializing pass runs
+    // nearly serial (dedup_cluster 4.2 → 8.2 s measured).
+    import spark.implicits._
+    val nSuperEdges = edges.count()
     if (nSuperEdges <= DriverFinishEdgeBound) {
       // FINISH ON THE DRIVER: the contracted graph is cluster-adjacency
       // structure, not corpus data — its size tracks how many near-dup
-      // clusters chain into each other, which the count above just
-      // bounded. Union-find (union-by-min keeps every root the component
+      // clusters chain into each other, which the bound just guarded.
+      // Union-find (union-by-min keeps every root the component
       // minimum) resolves it in O(E α(E)); the root map broadcasts back
       // over the contracted labels. The distributed fixpoint below stays
       // as the guarded fallback, so scale never depends on this branch.
-      import spark.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
