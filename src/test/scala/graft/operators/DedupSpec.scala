@@ -14,6 +14,40 @@ class DedupSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  test("graph_triangles equals driver brute force over the same pair relation") {
+    // independent witness: enumerate triangles by set intersection over
+    // dedup_embedding's pair output (the operator's own input relation),
+    // then compare per-vertex counts, degrees, and the coefficient rule
+    val pairs = Dedup.dedupEmbedding(spark, TestSpark.sfDir)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val triPerVertex = scala.collection.mutable.HashMap
+      .empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- pairs; c <- adj(a) & adj(b); if b < c) {
+      triPerVertex(a) += 1; triPerVertex(b) += 1; triPerVertex(c) += 1
+    }
+    val got = Dedup.graphTriangles(spark, TestSpark.sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(0)).toSet === adj.keySet.toSet)
+    got.foreach { r =>
+      val (id, deg, tri, coef) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg === adj(id).size.toLong, s"degree of $id")
+      assert(tri === triPerVertex(id), s"triangles of $id")
+      val want = if (deg >= 2)
+        BigDecimal(2.0 * tri / (deg * (deg - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(coef === want, s"coefficient of $id")
+    }
+  }
+
   test("dedup_minhash_lsh equals exhaustive all-pairs shingle Jaccard") {
     val lsh = Dedup.dedupMinhashLsh(spark, TestSpark.sfDir).collect()
 
