@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // One forked JVM runs 100+ whole-stage-codegen'd plans (full test
+  // suite / Verify): the JDK17 default 240m code cache fills, C2 falls
+  // into sweep/recompile churn, and late suites run minutes slower
+  // (measured: DedupSpec 21 min late in `sbt test` vs 2 min standalone).
+  "-XX:ReservedCodeCacheSize=1g",
 )

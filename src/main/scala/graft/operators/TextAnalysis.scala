@@ -622,6 +622,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 pipeline_dataset_card: the dataset-card summary — doc counts,
+    * token/char mass, and mean lengths at every reporting granularity a
+    * corpus release needs (per lang×source cell, per lang, per source,
+    * global) in ONE pass via GROUPING SETS: Spark expands each row into
+    * its four grouping projections map-side and every set aggregates
+    * map-side-combined — four reports for one scan, no re-reads. The gid
+    * column disambiguates levels exactly as grouping() does in BQ/DuckDB;
+    * within a gid the nulled-out dimensions are constant, so the total
+    * ORDER BY never compares NULL against a value (Spark sorts nulls
+    * first, DuckDB last — a cross-engine trap this layout sidesteps).
+    */
+  def pipelineDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT lang, source,
+             CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+             count(*) AS n_docs,
+             sum(CAST(size(split(text, ' ')) AS BIGINT)) AS sum_tokens,
+             sum(CAST(n_chars AS BIGINT)) AS sum_chars,
+             round(CAST(sum(CAST(size(split(text, ' ')) AS BIGINT)) AS DOUBLE)
+                     / count(*), 6) AS avg_tokens
+         FROM documents
+         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+         ORDER BY gid, lang, source""")
+  }
+
   /** §2.4 text_window_chunk: sliding-window chunking — 128-token windows
     * every 96 tokens (32-token overlap), the long-document shape for
     * context-bounded training and retrieval indexing. Chunk identity

@@ -351,6 +351,23 @@ object GraftColumns {
   def rhpBuckets(vec: Column, tables: Int, bits: Int, dim: Int, seed: Long): Column =
     col(RhpBuckets(ex(vec), tables, bits, dim, seed))
   def charHist64(text: Column): Column = col(CharHist64(ex(text)))
+  /** Bloom-filter sketch aggregate over 64-bit hashes (the runtime-filter
+    * build side; Spark's own InjectRuntimeFilter uses the same expression
+    * pair). Returns the serialized filter — O(numBits), corpus-independent.
+    */
+  def bloomAgg(hashed64: Column, items: Long, bits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    col(new BloomFilterAggregate(ex(hashed64), Literal(items), Literal(bits))
+      .toAggregateExpression())
+  }
+  /** might_contain(bloomBytes, hashed64) — the bloom side must be foldable
+    * (a Literal) or a scalar subquery; false positives possible, false
+    * negatives never. */
+  def bloomMightContain(bloom: Column, hashed64: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    col(BloomFilterMightContain(ex(bloom), ex(hashed64)))
+  }
   def histL1(a: Column, b: Column): Column = col(HistL1(ex(a), ex(b)))
   def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))

@@ -144,4 +144,27 @@ class DedupSpec extends AnyFunSuite {
     // *empty* docs must contribute nothing.
     assert(!sPairs.exists { case (i, j) => i % 2 == 0 && i < 50 && j % 2 == 0 })
   }
+
+  test("dedup_substring: re-crawled copies share every aligned window") {
+    val spans = Dedup.dedupSubstring(spark, TestSpark.sfDir).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      assert(r.getLong(1) >= 2, s"span ${r.getString(0)} n_docs")
+      assert(r.getLong(2) >= r.getLong(1), s"span ${r.getString(0)} n_occ")
+    }
+    // independent driver witness: the first >=20-token doc's first aligned
+    // window MUST be reported (its verbatim re-crawl copy is the second
+    // occurrence), and the canonical first_doc must be the original id,
+    // never the id-shifted copy
+    val row = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 20)
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val window = row.getString(1).split(" ").take(20).mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(window.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hit = spans.find(_.getString(0) == md)
+    assert(hit.isDefined, "first aligned window of a re-crawled doc missing")
+    assert(hit.get.getLong(3) <= row.getLong(0))
+  }
 }
