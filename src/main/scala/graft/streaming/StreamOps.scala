@@ -171,6 +171,35 @@ object StreamOps {
       .withColumn("cve_id", graft.sources.NvdEtl.cveId)
       .dropDuplicates("cve_id")
 
+  /** stream_warehouse_load: the streaming SINK of the reference's daily
+    * pipeline — micro-batches of parsed CVEs land in the year-partitioned
+    * warehouse through the SAME first-writer-wins path the batch loader
+    * uses ([[graft.sources.NvdEtl.newCves]] anti-join + partitioned
+    * append), so the streaming sink and the batch loader cannot diverge.
+    * `foreachBatch` is Structured Streaming's bridge for sinks with their
+    * own merge semantics: dedup WITHIN the stream is upstream
+    * ([[nvdFeedStream]]'s checkpointed dropDuplicates); dedup across
+    * RESTARTS AND REPLAYS is the warehouse anti-join itself — a replayed
+    * batch appends zero rows, so the sink has exactly-once EFFECT on
+    * at-least-once delivery (asserted by StreamingSpec's fresh-checkpoint
+    * replay).
+    */
+  def warehouseSink(feed: DataFrame, warehouseDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // same materialization barrier as NvdEtl.loadFeed: the append
+        // writes into the directory the anti-join lazily reads
+        val delta = graft.sources.NvdEtl.newCves(batch.drop("cve_id"),
+          graft.sources.NvdEtl.warehouse(spark, warehouseDir)).checkpoint()
+        if (delta.count() > 0) graft.sources.NvdEtl.append(delta, warehouseDir)
+        ()
+      }
+      .start()
+
   /** stream_dedup: exact dedup by event_id with bounded state —
     * `dropDuplicatesWithinWatermark` keeps an id only until the watermark
     * passes it, so state never grows with the full history (the streaming

@@ -118,6 +118,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_warehouse_load: foreachBatch sink is first-writer-wins and replay-idempotent") {
+    val watch = graft.TestSpark.tmpDir("nvd_sink_watch")
+    val wh = graft.TestSpark.tmpDir("nvd_sink_wh") + "/warehouse"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(graft.sources.NvdEtl.FixturePath),
+      java.nio.file.Paths.get(s"$watch/feed-a.json.gz"))
+    val ck1 = graft.TestSpark.tmpDir("nvd_sink_ck1")
+    val q1 = StreamOps.warehouseSink(StreamOps.nvdFeedStream(spark, watch), wh, ck1)
+    try {
+      q1.processAllAvailable()
+      assert(graft.sources.NvdEtl.countCves(spark, wh) === 96)
+      // overlapping recent feed arrives: only the 24 unseen CVEs append
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(graft.sources.NvdEtl.RecentFixturePath),
+        java.nio.file.Paths.get(s"$watch/feed-b.json.gz"))
+      q1.processAllAvailable()
+      assert(graft.sources.NvdEtl.countCves(spark, wh) === 120)
+    } finally q1.stop()
+    // the warehouse is year-partitioned exactly like the batch loader's
+    val parts = new java.io.File(wh).listFiles().map(_.getName)
+      .filter(_.startsWith("cve_year="))
+    assert(parts.nonEmpty)
+    // FRESH checkpoint = full replay of every file: the anti-join must
+    // make the re-delivery invisible (exactly-once effect)
+    val ck2 = graft.TestSpark.tmpDir("nvd_sink_ck2")
+    val q2 = StreamOps.warehouseSink(StreamOps.nvdFeedStream(spark, watch), wh, ck2)
+    try {
+      q2.processAllAvailable()
+      val ids = graft.sources.NvdEtl.warehouse(spark, wh)
+        .select(graft.sources.NvdEtl.cveId.as("id"))
+      assert(ids.count() === 120)
+      assert(ids.distinct().count() === 120)
+    } finally q2.stop()
+  }
+
   test("stream_interval_join: stream-stream result equals the batch theta-join") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
