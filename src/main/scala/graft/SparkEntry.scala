@@ -125,6 +125,7 @@ object SparkEntry {
     "pipeline_length_hist" -> (TextAnalysis.pipelineLengthHist _),
     "text_window_chunk" -> (TextAnalysis.textWindowChunk _),
     "pipeline_dataset_card" -> (TextAnalysis.pipelineDatasetCard _),
+    "pipeline_stratified_sample" -> (TextAnalysis.pipelineStratifiedSample _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
     "pipeline_quality_sample" -> (TextAnalysis.pipelineQualitySample _),
@@ -1168,6 +1169,16 @@ object SparkEntry {
          SELECT i, j, containment FROM rr
          WHERE containment >= 0.8
          ORDER BY i, j""",
+
+    "pipeline_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+                        row_number() OVER (PARTITION BY lang, source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                          AS rk
+                    FROM documents)
+         SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 30
+         ORDER BY doc_id""",
 
     // Same grouping-sets lattice; within a gid the nulled dimensions are
     // constant, so Spark-nulls-first vs DuckDB-nulls-last never bites.

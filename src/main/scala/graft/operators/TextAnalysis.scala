@@ -622,6 +622,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 pipeline_stratified_sample: exact-QUOTA stratified sampling —
+    * every (lang, source) stratum contributes at most 30 documents,
+    * chosen in stable content-hash order (the "balanced eval slice"
+    * draw; rate-based pipeline_mixture can't promise exact per-stratum
+    * counts). The ranking window partitions by stratum and the rank
+    * filter is a WindowGroupLimit in Spark's physical plan: each task
+    * keeps only the stratum's top 30 BEFORE the sort-exchange
+    * materializes anything, so cost tracks quota × strata, not corpus
+    * size — no stratum ever sorts in full. Hash order makes the draw
+    * reproducible under retries, repartitioning, and corpus growth.
+    */
+  def pipelineStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 30)
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.4 pipeline_dataset_card: the dataset-card summary — doc counts,
     * token/char mass, and mean lengths at every reporting granularity a
     * corpus release needs (per lang×source cell, per lang, per source,

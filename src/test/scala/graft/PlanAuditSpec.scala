@@ -170,6 +170,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") === 1, p)
   }
 
+  test("pipeline_stratified_sample: rank filter becomes a WindowGroupLimit") {
+    // the ≤30 rank filter must prune per-stratum rows BEFORE any full
+    // sort materializes — cost quota × strata, not corpus size
+    val p = plan("pipeline_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("dedup_substring: double aggregation, never a count-distinct Expand") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("Expand"), p)
+    // (span, doc) partials then per-span rollup — both combiner-backed
+    assert(countOf(p, "HashAggregate") >= 4, p)
+  }
+
   test("custom expressions run inside WholeStageCodegen spans") {
     // the fingerprint kernel is a custom Catalyst expression with
     // doGenCode — its Project must carry the codegen marker (*), proving
