@@ -193,12 +193,20 @@ object Dedup {
       .agg(array_sort(collect_list(col("tid"))).as("ts"))
       .repartition(nParts, col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER materialization (see connectedComponents): ids feeds the
+    // postings and both rerank joins, post feeds both sides of its own
+    // self-join — concurrent consumer stages against a cold cache each
+    // recompute the whole vocab-join pipeline (the mid-suite 15-32 s
+    // dedup_cluster swings trace to exactly this race; one count() per
+    // cached relation runs the pipeline once at full parallelism).
+    ids.count()
     val n = size(col("ts"))
     val post = ids
       .select(col("doc_id"), size(col("ts")).as("n"), explode(slice(col("ts"),
         lit(1), (n - expr("(size(ts) * 9 + 9) div 10") + 1).cast("int")))
         .as("tid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    post.count()
     // AllPairs SIZE filter alongside the prefix condition — lossless:
     // jac ≥ 0.9 forces 10·min(|a|,|b|) ≥ 9·max(|a|,|b|) (intersection is
     // bounded by the smaller set, union by the larger), so size-mismatched
@@ -298,6 +306,11 @@ object Dedup {
       .select(col("id"),
         least(col("id"), coalesce(col("nm"), col("id"))).as("lab"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager for the same reason as p: the edge build reads l0 from TWO
+    // concurrent join stages (i-side and j-side) and the final labeling
+    // reads it again — a cold cache races all three into recomputing the
+    // neighbor-min aggregation
+    l0.count()
     // supernode edge relation: each original pair links its endpoints'
     // contracted labels; intra-supernode pairs vanish, parallel pairs
     // collapse in the distinct. Only the TINY contracted relation is
@@ -442,13 +455,19 @@ object Dedup {
     // the cache between queries. repartition first: single-row-group
     // local files would otherwise run the whole kernel pipeline in one
     // task.
-    val docs = Tables.documents(spark, dir)
+    val cached = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), array_sort(array_distinct(shingles3(toks))).as("sh"))
       .select(col("doc_id"), col("sh"),
         GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .filter(size(col("sh")) > 0)
+    // EAGER materialization (see connectedComponents): the banding and the
+    // two rerank joins are independent consumer stages the scheduler runs
+    // CONCURRENTLY — against a still-cold cache each would recompute the
+    // shingle+128-minhash pipeline itself (measured: warm pass 16.5 s
+    // mid-suite vs 1.8 s isolated, purely scheduling-dependent recompute).
+    cached.count()
+    val docs = cached.filter(size(col("sh")) > 0)
     val bands = docs
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(15)),
@@ -535,6 +554,10 @@ object Dedup {
       .select(col("doc_id"), col("n_chars").cast("bigint").as("len"),
         col("text"), GraftFunctions.charHist64(col("text")).as("hist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER (see connectedComponents): both zone-join sides and both
+    // rerank joins consume t concurrently — a cold cache races them all
+    // into recomputing the histogram pipeline
+    t.count()
     val zoned = t.select(col("doc_id"), col("len"), col("text"),
       explode(array((col("len") / 32).cast("bigint"),
         (col("len") / 32).cast("bigint") + 1)).as("zone"))
@@ -716,6 +739,10 @@ object Dedup {
       .select(col("doc_id"),
         array_sort(array_distinct(shingles3(toks))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER materialization (see connectedComponents): the posting build
+    // and both rerank joins race a cold cache otherwise — measured 118 s
+    // warm mid-suite vs 6 s isolated, purely concurrent recompute.
+    d.count()
     val post = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = post.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
