@@ -37,6 +37,8 @@ object SparkEntry {
     "q_nvd_desc_langs" -> (Nvd.qNvdDescLangs _),
     "q_nvd_child_cpes" -> (Nvd.qNvdChildCpes _),
     "q_nvd_score_corr" -> (Nvd.qNvdScoreCorr _),
+    "q_nvd_version_ranges" -> (Nvd.qNvdVersionRanges _),
+    "q_orders_backlog" -> (Relational.qOrdersBacklog _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -265,6 +267,18 @@ object SparkEntry {
                 round(stddev_samp(v3), 6) AS sd_v3
          FROM s WHERE v2 IS NOT NULL AND v3 IS NOT NULL""",
 
+    "q_nvd_version_ranges" ->
+      s"""$nvdFeedCte,
+           m AS (SELECT unnest(flatten(list_filter(list_transform(
+                   item.configurations.nodes, n -> n.cpe_match),
+                   x -> x IS NOT NULL))) AS m FROM f)
+         SELECT string_split(m.cpe23Uri, ':')[4] AS vendor,
+                count(*) AS n_matches,
+                count(m.versionEndExcluding) AS n_ranged,
+                max(m.versionEndExcluding) AS max_end_version
+         FROM m GROUP BY vendor
+         ORDER BY vendor""",
+
     "q_nvd_product_top" ->
       s"""$nvdFeedCte,
            m AS (SELECT unnest(flatten(list_filter(list_transform(
@@ -413,6 +427,28 @@ object SparkEntry {
            AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    // DuckDB range(ts, ts, INTERVAL) excludes the stop exactly where
+    // Spark's inclusive sequence stops at m1 - 1 month: identical month
+    // sets stepping from the same truncated start.
+    "q_orders_backlog" ->
+      """WITH ls AS (SELECT l_orderkey AS o_orderkey,
+                         max(l_shipdate) AS last_ship
+                     FROM lineitem GROUP BY 1),
+              iv AS (SELECT date_trunc('month', o_orderdate) AS m0,
+                         date_trunc('month', last_ship) AS m1,
+                         o_totalprice
+                     FROM orders JOIN ls USING (o_orderkey)
+                     WHERE date_trunc('month', last_ship) >
+                           date_trunc('month', o_orderdate)),
+              s AS (SELECT unnest(range(m0, m1, INTERVAL 1 MONTH)) AS m,
+                        o_totalprice
+                    FROM iv)
+         SELECT CAST(m AS DATE) AS month, count(*) AS n_open,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS open_value
+         FROM s GROUP BY month
+         ORDER BY month""",
 
     // Plain exact semi join: the bloom probe in the Spark plan is a
     // pre-shuffle PREFILTER only (false positives die in the exact semi

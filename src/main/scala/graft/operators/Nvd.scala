@@ -206,6 +206,26 @@ object Nvd {
       .agg(count(lit(1)).as("n_refs"))
       .orderBy(col("n_refs").desc, col("tag"))
 
+  /** §2.1 q_nvd_version_ranges: affected-version analysis — per vendor,
+    * how many cpe_match entries pin an exact version vs carry an open
+    * `versionEndExcluding` range, and the lexical max range bound (THE
+    * practical NVD question: "which products have open-ended exposure
+    * windows"). Touches the optional version-range leaf no other query
+    * reads; the null-safe flatten is the same shape as q_nvd_product_top.
+    */
+  def qNvdVersionRanges(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .select(explode(flatten(filter(
+        transform(col("configurations.nodes"), n => n.getField("cpe_match")),
+        x => x.isNotNull))).as("m"))
+      .select(split(col("m.cpe23Uri"), ":").getItem(3).as("vendor"),
+        col("m.versionEndExcluding").as("vend"))
+      .groupBy(col("vendor"))
+      .agg(count(lit(1)).as("n_matches"),
+        count(col("vend")).as("n_ranged"),
+        max(col("vend")).as("max_end_version"))
+      .orderBy(col("vendor"))
+
   /** §2.1 q_nvd_score_corr: CVSS v2↔v3 score agreement — Pearson
     * correlation, sample covariance, and both sample deviations over CVEs
     * carrying both metrics (the "did the v3 rescoring change the ranking"

@@ -1175,6 +1175,36 @@ object Relational {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** §2.2 q_orders_backlog: open-order backlog time series — for every
+    * calendar month, how many orders have been placed but not fully
+    * shipped, and the order value tied up in them (the interval→series
+    * sweep no plain groupBy expresses: each order contributes to EVERY
+    * month it spans). The order's open interval [order month, last-ship
+    * month) explodes partition-locally into one row per open month —
+    * bounded by the span in months, never quadratic — and a single
+    * map-side-combined aggregate folds the series. Month arithmetic is
+    * calendar-exact on both engines (sequence/range step one month from
+    * the same truncated start).
+    */
+  def qOrdersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    Tables.orders(spark, dir)
+      .join(lastShip, Seq("o_orderkey"))
+      .select(date_trunc("month", col("o_orderdate")).as("m0"),
+        date_trunc("month", col("last_ship")).as("m1"),
+        col("o_totalprice"))
+      .filter(col("m1") > col("m0"))
+      .select(explode(expr(
+        "sequence(m0, m1 - interval 1 month, interval 1 month)")).as("m"),
+        col("o_totalprice"))
+      .groupBy(col("m").cast("date").as("month"))
+      .agg(count(lit(1)).as("n_open"),
+        dsum(col("o_totalprice")).as("open_value"))
+      .orderBy(col("month"))
+  }
+
   /** §2.2 q_bloom_semi_join: the explicit RUNTIME-FILTER join shape — the
     * urgent-orders key set is sketched into a bloom filter (one bounded
     * aggregate; the serialized filter is O(numBits), independent of corpus
