@@ -128,6 +128,7 @@ object SparkEntry {
     "text_window_chunk" -> (TextAnalysis.textWindowChunk _),
     "pipeline_dataset_card" -> (TextAnalysis.pipelineDatasetCard _),
     "pipeline_stratified_sample" -> (TextAnalysis.pipelineStratifiedSample _),
+    "text_code_detect" -> (TextAnalysis.textCodeDetect _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
     "pipeline_quality_sample" -> (TextAnalysis.pipelineQualitySample _),
@@ -1205,6 +1206,27 @@ object SparkEntry {
          SELECT i, j, containment FROM rr
          WHERE containment >= 0.8
          ORDER BY i, j""",
+
+    // The integer form n_symbols*20 >= n_chars avoids any fp threshold
+    // on the ratio; the 6dp-rounded ratio is report-only.
+    "text_code_detect" ->
+      """WITH s AS (SELECT doc_id,
+                        CAST(len(regexp_extract_all(text,
+                          '[{}()\[\];=<>+*/#_|@&%$^~`\\-]')) AS BIGINT)
+                          AS n_symbols,
+                        CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('def','return','import','class','if',
+                                     'else','for','while','int','void',
+                                     'var','let','function','public',
+                                     'static'))) AS BIGINT) AS n_kw_hits,
+                        CAST(length(text) AS BIGINT) AS n_chars
+                    FROM documents)
+         SELECT doc_id, n_symbols, n_kw_hits,
+                round(CAST(n_symbols AS DOUBLE) / n_chars, 6)
+                  AS symbol_ratio,
+                CAST(n_symbols * 20 >= n_chars OR n_kw_hits >= 3 AS INTEGER)
+                  AS is_code
+         FROM s ORDER BY doc_id""",
 
     "pipeline_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang, source,

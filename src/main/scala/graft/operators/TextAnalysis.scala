@@ -622,6 +622,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 text_code_detect: code-vs-prose classification — symbol
+    * density plus programming-keyword hits, the crawl-filtering signal
+    * that routes source code away from (or into) a text corpus. Pure
+    * codegen'd column arithmetic over one scan (regex count + literal
+    * keyword-array membership), zero shuffle; the regex stays inside the
+    * Java∩RE2 common subset (one character class) so both engines match
+    * identical spans, and the ratio is one fp division of exact integers.
+    */
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val symRe = "[{}()\\[\\];=<>+*/#_|@&%$^~`\\\\-]"
+    val kws = Seq("def", "return", "import", "class", "if", "else", "for",
+      "while", "int", "void", "var", "let", "function", "public", "static")
+    val kwArr = array(kws.map(lit): _*)
+    val nChar = length(col("text")).cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(symRe), lit(0)))
+          .cast("bigint").as("n_symbols"),
+        size(filter(toks, t => array_contains(kwArr, t)))
+          .cast("bigint").as("n_kw_hits"),
+        nChar.as("n_chars"))
+      .select(col("doc_id"), col("n_symbols"), col("n_kw_hits"),
+        round(col("n_symbols").cast("double") / col("n_chars"), 6)
+          .as("symbol_ratio"),
+        (col("n_symbols") * 20 >= col("n_chars") || col("n_kw_hits") >= 3)
+          .cast("int").as("is_code"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.4 pipeline_stratified_sample: exact-QUOTA stratified sampling —
     * every (lang, source) stratum contributes at most 30 documents,
     * chosen in stable content-hash order (the "balanced eval slice"
