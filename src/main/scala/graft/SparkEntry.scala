@@ -148,6 +148,7 @@ object SparkEntry {
     "text_langid_confusion" -> (TextAnalysis.textLangidConfusion _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_dedup" -> (Multimodal.mmDedup _),
+    "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -162,20 +163,28 @@ object SparkEntry {
     * bytes — identical on ASCII, divergent on any multibyte text. The CASE
     * expands each code point to its UTF-8 byte sequence arithmetically so
     * the oracle folds the exact same byte stream as the kernel. */
+  /** DuckDB fragment: the UTF-8 BYTE sequence of `col` as an INTEGER[] —
+    * the shared expansion under every byte-faithful oracle (FNV fold,
+    * frame features): character splitting would process code points where
+    * the Spark kernels process bytes.
+    */
+  private def utf8BytesSql(col: String): String =
+    s"""flatten(list_transform(split($col, ''), c ->
+          CASE WHEN unicode(c) < 0 THEN CAST([] AS INTEGER[])
+               WHEN unicode(c) < 128 THEN [unicode(c)]
+               WHEN unicode(c) < 2048
+                 THEN [192 + unicode(c)//64, 128 + unicode(c)%64]
+               WHEN unicode(c) < 65536
+                 THEN [224 + unicode(c)//4096, 128 + (unicode(c)//64)%64,
+                       128 + unicode(c)%64]
+               ELSE [240 + unicode(c)//262144, 128 + (unicode(c)//4096)%64,
+                     128 + (unicode(c)//64)%64, 128 + unicode(c)%64]
+          END))"""
+
   private def fnv1aUtf8(col: String): String =
     s"""list_reduce(
           list_prepend(14695981039346656037::HUGEINT,
-            list_transform(flatten(list_transform(split($col, ''), c ->
-              CASE WHEN unicode(c) < 0 THEN CAST([] AS INTEGER[])
-                   WHEN unicode(c) < 128 THEN [unicode(c)]
-                   WHEN unicode(c) < 2048
-                     THEN [192 + unicode(c)//64, 128 + unicode(c)%64]
-                   WHEN unicode(c) < 65536
-                     THEN [224 + unicode(c)//4096, 128 + (unicode(c)//64)%64,
-                           128 + unicode(c)%64]
-                   ELSE [240 + unicode(c)//262144, 128 + (unicode(c)//4096)%64,
-                         128 + (unicode(c)//64)%64, 128 + unicode(c)%64]
-              END)), b -> CAST(b AS HUGEINT))),
+            list_transform(${utf8BytesSql(col)}, b -> CAST(b AS HUGEINT))),
           (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
                          ::HUGEINT * 1099511628211::HUGEINT)
                        % 18446744073709551616::HUGEINT)"""
@@ -1004,6 +1013,26 @@ object SparkEntry {
                   AS feature
          FROM u GROUP BY md5(text)
          ORDER BY canonical_id""",
+
+    // Byte-faithful framing: payloads are UTF-8 encodings and frames
+    // slice BYTES, so the oracle frames the expanded byte list, not the
+    // character string (ASCII-safe either way, multibyte-safe this way).
+    "mm_frame_features" ->
+      s"""WITH b AS (SELECT doc_id, ${utf8BytesSql("text")} AS bytes
+                     FROM documents WHERE length(text) > 0),
+               t AS (SELECT doc_id, bytes,
+                         CAST(ceil(len(bytes) / 32.0) AS INTEGER) AS nf
+                     FROM b),
+               e AS (SELECT doc_id, bytes, unnest(range(1, nf + 1)) AS f
+                     FROM t),
+               fr AS (SELECT doc_id, CAST(f - 1 AS BIGINT) AS frame_idx,
+                          bytes[(f - 1) * 32 + 1 : (f - 1) * 32 + 32] AS fr
+                      FROM e)
+         SELECT doc_id, frame_idx,
+                CAST(len(fr) AS BIGINT) AS frame_len,
+                CAST(list_sum(list_transform(range(1, len(fr) + 1),
+                       i -> fr[i] * ((i - 1) % 7 + 1))) AS BIGINT) AS feature
+         FROM fr ORDER BY doc_id, frame_idx""",
 
     "pipeline_corpus_filter" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,

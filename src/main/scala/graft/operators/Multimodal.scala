@@ -157,4 +157,28 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** §2.4 mm_frame_features: fixed-stride frame features over a binary
+    * payload — the video shape (payload → frame rows → per-frame feature)
+    * as an ORACLE'D query: the stub feature is a deterministic integer
+    * fold over frame bytes, so DuckDB replicates it byte-for-byte (via
+    * the shared UTF-8 byte expansion — payloads are UTF-8 encodings, and
+    * frames slice BYTES, not characters). Partition-local explode
+    * (~len/32 rows per doc, never quadratic), codegen'd kernel inside
+    * the projection, all-integer outputs — zero float risk. A real
+    * decoder replaces the fold; the framing, schema, and plan shape
+    * stand unchanged.
+    */
+  def mmFrameFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, cast(ceil(length(payload) / 32.0) AS INT)),
+             f -> substring(payload, (f - 1) * 32 + 1, 32))""")))
+      .toDF("doc_id", "pos", "frame")
+      .select(col("doc_id"), col("pos").cast("bigint").as("frame_idx"),
+        length(col("frame")).cast("bigint").as("frame_len"),
+        expr("graft_byte_feature(frame)").as("feature"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 }
