@@ -39,6 +39,7 @@ object SparkEntry {
     "q_nvd_score_corr" -> (Nvd.qNvdScoreCorr _),
     "q_nvd_version_ranges" -> (Nvd.qNvdVersionRanges _),
     "q_orders_backlog" -> (Relational.qOrdersBacklog _),
+    "q_orders_cohort" -> (Relational.qOrdersCohort _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -437,6 +438,20 @@ object SparkEntry {
            AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q_orders_cohort" ->
+      """WITH o AS (SELECT o_custkey,
+                        date_trunc('month', o_orderdate) AS m
+                    FROM orders),
+              fst AS (SELECT o_custkey, min(m) AS cohort
+                      FROM o GROUP BY o_custkey),
+              a AS (SELECT DISTINCT o.o_custkey, cohort,
+                        CAST(date_diff('month', cohort, m) AS BIGINT) AS age
+                    FROM o JOIN fst USING (o_custkey))
+         SELECT CAST(cohort AS DATE) AS cohort_month, age,
+                count(*) AS n_active
+         FROM a GROUP BY cohort_month, age
+         ORDER BY cohort_month, age""",
 
     // DuckDB range(ts, ts, INTERVAL) excludes the stop exactly where
     // Spark's inclusive sequence stops at m1 - 1 month: identical month

@@ -1205,6 +1205,29 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** §2.2 q_orders_cohort: the cohort-retention matrix — customers
+    * grouped by first-order month (the cohort), activity counted per
+    * months-since-first (the age): the standard warehouse answer to "do
+    * later cohorts retain better". Two map-side-combined aggregates — a
+    * per-customer first-order min, then a (cohort, age, customer)
+    * dedup collapsed into cell counts (never a count-distinct Expand);
+    * month age is exact integer arithmetic on truncated months, so no fp
+    * boundary exists. Both aggregates key on customer/cohort — one
+    * shuffle each, AQE sizes the join.
+    */
+  def qOrdersCohort(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+    o.join(first, Seq("o_custkey"))
+      .select(col("o_custkey"), col("cohort"),
+        months_between(col("m"), col("cohort")).cast("bigint").as("age"))
+      .distinct()
+      .groupBy(col("cohort").cast("date").as("cohort_month"), col("age"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_month"), col("age"))
+  }
+
   /** §2.2 q_bloom_semi_join: the explicit RUNTIME-FILTER join shape — the
     * urgent-orders key set is sketched into a bloom filter (one bounded
     * aggregate; the serialized filter is O(numBits), independent of corpus
