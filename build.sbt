@@ -33,7 +33,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (box has 128g): at sf0.1 the dedup family's cached
+  // relations fit the unified region with headroom, so MEMORY_AND_DISK
+  // never spills to the (contended) disk mid-suite.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // One forked JVM runs 100+ whole-stage-codegen'd plans (full test
   // suite / Verify): the JDK17 default 240m code cache fills, C2 falls
   // into sweep/recompile churn, and late suites run minutes slower
