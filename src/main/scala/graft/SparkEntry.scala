@@ -40,6 +40,7 @@ object SparkEntry {
     "q_nvd_version_ranges" -> (Nvd.qNvdVersionRanges _),
     "q_orders_backlog" -> (Relational.qOrdersBacklog _),
     "q_orders_cohort" -> (Relational.qOrdersCohort _),
+    "q_events_gini" -> (Relational.qEventsGini _),
     "q_count" -> (Relational.qCount _),
     "q_nested_exists" -> (Relational.qNestedExists _),
     "q_incremental_antijoin" -> (Relational.qIncrementalAntijoin _),
@@ -438,6 +439,17 @@ object SparkEntry {
            AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q_events_gini" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+                    FROM events GROUP BY user_id, event_type)
+         SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                count(*) AS n_types,
+                round(1.0 - CAST(sum(c * c) AS DOUBLE)
+                        / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)),
+                      6) AS gini
+         FROM c GROUP BY user_id
+         ORDER BY user_id""",
 
     "q_orders_cohort" ->
       """WITH o AS (SELECT o_custkey,

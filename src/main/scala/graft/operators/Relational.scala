@@ -1205,6 +1205,25 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** §2.2 q_events_gini: per-user behavioral concentration — Gini
+    * impurity of the event-type distribution (1 − Σpᵢ²), the diversity
+    * score entropy usually serves, chosen precisely because it needs NO
+    * logarithm: Σcᵢ² stays exact integer through both aggregates and one
+    * final fp division decides the score, so no libm call can diverge
+    * between engines. Two map-side-combined aggregates, one shuffle each.
+    */
+  def qEventsGini(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sumsq"),
+        count(lit(1)).as("n_types"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        round(lit(1.0) - col("sumsq").cast("double") / (col("n") * col("n")), 6)
+          .as("gini"))
+      .orderBy(col("user_id"))
+
   /** §2.2 q_orders_cohort: the cohort-retention matrix — customers
     * grouped by first-order month (the cohort), activity counted per
     * months-since-first (the age): the standard warehouse answer to "do
