@@ -131,6 +131,7 @@ object SparkEntry {
     "pipeline_dataset_card" -> (TextAnalysis.pipelineDatasetCard _),
     "pipeline_stratified_sample" -> (TextAnalysis.pipelineStratifiedSample _),
     "text_code_detect" -> (TextAnalysis.textCodeDetect _),
+    "pipeline_manifest" -> (TextAnalysis.pipelineManifest _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
     "pipeline_quality_sample" -> (TextAnalysis.pipelineQualitySample _),
@@ -1262,6 +1263,45 @@ object SparkEntry {
          SELECT i, j, containment FROM rr
          WHERE containment >= 0.8
          ORDER BY i, j""",
+
+    // The composition gate: every stage is oracle'd on its own elsewhere
+    // (corpus_filter, dedup_exact, pipeline_split); this proves the
+    // composed selection end-to-end.
+    "pipeline_manifest" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+                        string_split(text, ' ') AS toks,
+                        length(text) AS nc,
+                        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                           1, 4))::BIGINT % 100 AS bucket
+                    FROM documents),
+              s AS (SELECT doc_id, lang, source, text, bucket,
+                        CAST(len(toks) AS BIGINT) AS n_tokens,
+                        CAST(nc - len(toks) + 1 AS DOUBLE) / len(toks) AS aw,
+                        least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS ls,
+                        len(list_filter(toks, x -> x IN
+                          ('the','a','of','and','to','in'))) AS he,
+                        len(list_filter(toks, x -> x IN
+                          ('el','la','de','y','que','en'))) AS hs,
+                        len(list_filter(toks, x -> x IN
+                          ('der','die','das','und','ist','zu'))) AS hd
+                    FROM t),
+              q AS (SELECT *,
+                        round(ls * 0.6 + (CASE WHEN aw >= 3.0 AND aw <= 8.0
+                              THEN 1.0 ELSE 0.5 END) * 0.4, 6) AS quality,
+                        CASE WHEN he >= hs AND he >= hd THEN 'en'
+                             WHEN hs >= hd THEN 'es' ELSE 'de' END
+                          AS pred_lang
+                    FROM s),
+              canon AS (SELECT min(doc_id) AS doc_id
+                        FROM q GROUP BY md5(text))
+         SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM q
+         WHERE doc_id IN (SELECT doc_id FROM canon)
+           AND quality >= 0.7 AND n_tokens BETWEEN 5 AND 1000
+           AND pred_lang = lang AND bucket < 90
+         GROUP BY lang, source
+         ORDER BY lang, source""",
 
     // The integer form n_symbols*20 >= n_chars avoids any fp threshold
     // on the ratio; the 6dp-rounded ratio is report-only.

@@ -622,6 +622,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 pipeline_manifest: the END-TO-END corpus build as one query —
+    * quality/length/language gate (pipeline_corpus_filter's predicate),
+    * exact-dedup canonicalization (keep only each text's minimum doc_id),
+    * and the stable train-split cut, composed into the release manifest a
+    * training run actually consumes (per lang × source: docs and token
+    * mass). Each stage is individually oracle'd elsewhere; this gate
+    * proves the COMPOSITION — predicates stay map-side on one scan, the
+    * dedup canonical is one digest-keyed aggregate joined back semi-style,
+    * and the manifest rollup is a tiny final aggregate.
+    */
+  def pipelineManifest(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("bigint")
+    val nChar = length(col("text")).cast("bigint")
+    val avgWord = (nChar - nTok + lit(1L)).cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val wordScore = when(avgWord >= 3.0 && avgWord <= 8.0, 1.0).otherwise(0.5)
+    val quality = round(lenScore * 0.6 + wordScore * 0.4, 6)
+    def hits(stops: Seq[String]): Column = {
+      val litArr = array(stops.map(lit): _*)
+      size(filter(toks, t => array_contains(litArr, t))).cast("bigint")
+    }
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        nTok.as("n_tokens"), quality.as("quality"), hashBucket,
+        hits(enStops).as("__en"), hits(esStops).as("__es"),
+        hits(deStops).as("__de"))
+      .withColumn("pred_lang",
+        when(col("__en") >= col("__es") && col("__en") >= col("__de"), "en")
+          .when(col("__es") >= col("__de"), "es")
+          .otherwise("de"))
+    val canon = base
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    base
+      .join(canon, Seq("doc_id"), "left_semi")
+      .filter(col("quality") >= 0.7 && col("n_tokens").between(5, 1000) &&
+        col("pred_lang") === col("lang") && col("bucket") < 90)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** §2.4 text_code_detect: code-vs-prose classification — symbol
     * density plus programming-keyword hits, the crawl-filtering signal
     * that routes source code away from (or into) a text corpus. Pure
