@@ -132,6 +132,7 @@ object SparkEntry {
     "pipeline_stratified_sample" -> (TextAnalysis.pipelineStratifiedSample _),
     "text_code_detect" -> (TextAnalysis.textCodeDetect _),
     "pipeline_manifest" -> (TextAnalysis.pipelineManifest _),
+    "pipeline_oversample" -> (TextAnalysis.pipelineOversample _),
     "pipeline_corpus_filter" -> (TextAnalysis.pipelineCorpusFilter _),
     "pipeline_sample" -> (TextAnalysis.pipelineSample _),
     "pipeline_quality_sample" -> (TextAnalysis.pipelineQualitySample _),
@@ -1263,6 +1264,16 @@ object SparkEntry {
          SELECT i, j, containment FROM rr
          WHERE containment >= 0.8
          ORDER BY i, j""",
+
+    "pipeline_oversample" ->
+      """WITH w AS (SELECT doc_id, lang,
+                        CASE lang WHEN 'en' THEN 1 WHEN 'es' THEN 2
+                                  WHEN 'de' THEN 3 ELSE 1 END AS w
+                    FROM documents)
+         SELECT doc_id, lang,
+                CAST(unnest(range(1, w + 1)) AS BIGINT) AS rep
+         FROM w
+         ORDER BY doc_id, rep""",
 
     // The composition gate: every stage is oracle'd on its own elsewhere
     // (corpus_filter, dedup_exact, pipeline_split); this proves the

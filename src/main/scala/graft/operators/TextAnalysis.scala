@@ -622,6 +622,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 pipeline_oversample: low-resource upsampling — each document is
+    * replicated by its language's policy weight (the epoch-mixing step
+    * that balances minority languages in a training set), with a stable
+    * replica index so downstream packing/shuffling can distinguish
+    * copies. Deterministic by construction (a literal policy map and an
+    * integer sequence — no RNG); the explode is partition-local and
+    * multiplies rows by exactly the policy factor, nothing more.
+    */
+  def pipelineOversample(spark: SparkSession, dir: String): DataFrame = {
+    val weight: Column = coalesce(
+      element_at(map(lit("en"), lit(1L), lit("es"), lit(2L), lit("de"), lit(3L)),
+        col("lang")),
+      lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), weight.as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("w"))).as("rep"))
+      .orderBy(col("doc_id"), col("rep"))
+  }
+
   /** §2.4 pipeline_manifest: the END-TO-END corpus build as one query —
     * quality/length/language gate (pipeline_corpus_filter's predicate),
     * exact-dedup canonicalization (keep only each text's minimum doc_id),
