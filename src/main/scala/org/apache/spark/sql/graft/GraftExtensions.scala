@@ -75,5 +75,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(score, id, k) - per-group bounded top-k as array<struct>"),
       (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_top_k"); TopKByScore(c(0), c(1), intLit(c(2), "k")) }))
+
+    // the runtime-filter pair (see Relational.qBloomSemiJoin) for the
+    // SQL-only surface: build `bloom_agg(xxhash64(k), items, bits)` in a
+    // scalar subquery, probe with `might_contain` before the exact join
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "graft_bloom_agg(hash64, items, bits) - bloom filter sketch aggregate"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_bloom_agg")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(c(0), c(1), c(2)).toAggregateExpression() }))
+
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain", "graft_might_contain(bloom, hash64) - bloom membership probe, no false negatives"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_might_contain")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(c(0), c(1)) }))
   }
 }

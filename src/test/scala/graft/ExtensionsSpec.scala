@@ -52,6 +52,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(top.getSeq[Long](1) === Seq(7L, 3L)) // 0.9 first, tie → lower id
   }
 
+  test("bloom runtime-filter pair works from plain SQL (scalar-subquery build)") {
+    Tables.registerAll(spark, TestSpark.sfDir)
+    // the canonical SQL form: sketch the build keys in a scalar subquery,
+    // probe map-side, exact semi join removes false positives — result
+    // must equal the plain semi join exactly
+    val got = spark.sql(
+      """SELECT l_returnflag, count(*) AS n
+         FROM lineitem
+         WHERE graft_might_contain(
+                 (SELECT graft_bloom_agg(xxhash64(o_orderkey), 50000L, 400000L)
+                  FROM orders WHERE o_orderpriority = '1-URGENT'),
+                 xxhash64(l_orderkey))
+           AND l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""").collect().map(_.toSeq)
+    val want = spark.sql(
+      """SELECT l_returnflag, count(*) AS n
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("registerAll: the whole star schema is reachable from plain SQL") {
     Tables.registerAll(spark, TestSpark.sfDir)
     // a multi-table SQL join over the registered views, no DataFrame API
