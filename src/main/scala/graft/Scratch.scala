@@ -10,6 +10,9 @@ object Scratch {
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
     df.show(20, false)
+    GraftCaches.release(spark) // operator persists die with the action
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "cache leak: persisted RDDs survived GraftCaches.release")
     spark.stop()
   }
 }

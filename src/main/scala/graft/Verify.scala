@@ -8,16 +8,25 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.build(GraftSession.envCpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the dump (and the oracle json, so
+    // tools/oracle_check.py grades exactly the dumped subset) — used for
+    // the sf0.1 scale-step artifacts where the exhaustive oracles are too
+    // heavy to run for all 127 queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.queries.filter {
+      case (n, _) => only.forall(_.contains(n))
+    }
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
-        spark.catalog.clearCache() // no cross-query cache squatting
-        // also drop localCheckpoint RDD blocks — clearCache doesn't
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // no cross-query cache squatting: SQL caches + raw checkpoint/
+        // persist blocks, blocking, plus a cleaner-driving GC (r5: a long
+        // session otherwise accumulates broadcast/shuffle blocks until
+        // caches evict mid-query)
+        GraftCaches.release(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -33,6 +42,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
