@@ -224,7 +224,10 @@ object Nvd {
       .agg(count(lit(1)).as("n_matches"),
         count(col("vend")).as("n_ranged"),
         max(col("vend")).as("max_end_version"))
-      .orderBy(col("vendor"))
+      // vendor is parsed from an optional cpe23Uri, so it CAN be null:
+      // pin null placement (Spark defaults nulls-first, DuckDB nulls-last)
+      // so the hash gate can't flip on future fixture regeneration
+      .orderBy(col("vendor").asc_nulls_last)
 
   /** §2.1 q_nvd_score_corr: CVSS v2↔v3 score agreement — Pearson
     * correlation, sample covariance, and both sample deviations over CVEs

@@ -1268,12 +1268,16 @@ object Relational {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // scalar subquery, not collect: the sketch build stays LAZY (plan-only
+    // callers pay nothing) and executes once per run inside the plan — the
+    // filter probes the subquery result instead of a ~200KB driver-shipped
+    // literal baked into every task's serialized plan.
     val bf = urgent
       .agg(GraftFunctions.bloomAgg(xxhash64(col("o_orderkey")), 200000L,
         1600000L).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .scalar()
     Tables.lineitem(spark, dir)
-      .filter(GraftFunctions.bloomMightContain(lit(bf),
+      .filter(GraftFunctions.bloomMightContain(bf,
         xxhash64(col("l_orderkey"))))
       .join(urgent.select(col("o_orderkey").as("l_orderkey")),
         Seq("l_orderkey"), "left_semi")

@@ -270,7 +270,10 @@ object Similarity {
       .distinct()
     // persist = plan barrier: the symmetrizing explode references sim_raw
     // from two struct branches, and without the barrier CollapseProject
-    // would inline the cosine kernel into both (2× eval per pair)
+    // would inline the cosine kernel into both (2× eval per pair).
+    // Released by GraftCaches.release(spark) after the caller's action —
+    // the embedding contract; it cannot be unpersisted here because the
+    // returned plan still reads it
     val scored = cand
       .join(e.select(col("vec_id").as("i"), col("embedding").as("v_i")), Seq("i"))
       .join(e.select(col("vec_id").as("j"), col("embedding").as("v_j")), Seq("j"))

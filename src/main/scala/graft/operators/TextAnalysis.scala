@@ -296,20 +296,32 @@ object TextAnalysis {
     * LLM pretraining packing).
     *
     * Scale shape: a single global running sum would serialize on one
-    * reducer, so packing is SHARDED — 32 hash buckets, each packed
-    * independently by a bounded window (partitionBy bucket). Pack identity
-    * is (bucket, pack_id): deterministic under any cluster layout, and
-    * shards scale with the corpus (raise the bucket count, not the
-    * reducer size).
+    * reducer, so packing is SHARDED — hash buckets, each packed
+    * independently by a bounded window (partitionBy bucket). The bucket
+    * count is DERIVED from corpus size (≈50 docs per shard, computed by a
+    * scalar subquery so the plan stays lazy and the oracle can mirror it
+    * exactly): at 100 TB the shard count grows with the data and no
+    * reducer's window ever sees more than ~the target per shard, instead
+    * of corpus/constant through a literal 32. Pack identity is
+    * (bucket, pack_id): deterministic for a fixed corpus under any
+    * cluster layout.
     */
   def pipelinePack(spark: SparkSession, dir: String): DataFrame = {
     val budget = 256L
+    val docs = Tables.documents(spark, dir)
+    val nBuckets = docs
+      .agg(greatest(lit(1L),
+        ceil(count(lit(1)).cast("double") / 50.0).cast("bigint")).as("nb"))
+      .scalar()
+    val packBucket =
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % nBuckets).as("bucket")
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
-        md5(col("doc_id").cast("string")).as("ord"), hashBucket)
+        md5(col("doc_id").cast("string")).as("ord"), packBucket)
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("bucket"), col("n_tokens"), col("start_tok"),
@@ -655,17 +667,22 @@ object TextAnalysis {
   def pipelineManifest(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(toks).cast("bigint")
     val nChar = length(col("text")).cast("bigint")
-    val avgWord = (nChar - nTok + lit(1L)).cast("double") / nTok
-    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
-    val wordScore = when(avgWord >= 3.0 && avgWord <= 8.0, 1.0).otherwise(0.5)
-    val quality = round(lenScore * 0.6 + wordScore * 0.4, 6)
+    // quality = least(nTok/50,1)*0.6 + (avgWord∈[3,8] ? 1 : 0.5)*0.4, but
+    // scaled ×1000 into EXACT bigint arithmetic (least(nTok,50)*12 + 400|200,
+    // avgWord∈[3,8] ⟺ 3·nTok ≤ nChar−nTok+1 ≤ 8·nTok): a threshold on a
+    // 6dp-rounded double is the one Spark-HALF_UP vs DuckDB-half-even tie
+    // hazard that could flip row membership between engines
+    val ww = nChar - nTok + lit(1L)
+    val wordOk = ww >= nTok * lit(3L) && ww <= nTok * lit(8L)
+    val q1000 = least(nTok, lit(50L)) * lit(12L) +
+      when(wordOk, lit(400L)).otherwise(lit(200L))
     def hits(stops: Seq[String]): Column = {
       val litArr = array(stops.map(lit): _*)
       size(filter(toks, t => array_contains(litArr, t))).cast("bigint")
     }
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        nTok.as("n_tokens"), quality.as("quality"), hashBucket,
+        nTok.as("n_tokens"), q1000.as("q1000"), hashBucket,
         hits(enStops).as("__en"), hits(esStops).as("__es"),
         hits(deStops).as("__de"))
       .withColumn("pred_lang",
@@ -678,7 +695,7 @@ object TextAnalysis {
       .select(col("doc_id"))
     base
       .join(canon, Seq("doc_id"), "left_semi")
-      .filter(col("quality") >= 0.7 && col("n_tokens").between(5, 1000) &&
+      .filter(col("q1000") >= 700L && col("n_tokens").between(5, 1000) &&
         col("pred_lang") === col("lang") && col("bucket") < 90)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
