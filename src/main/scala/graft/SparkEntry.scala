@@ -111,6 +111,8 @@ object SparkEntry {
     "dedup_containment" -> (Dedup.dedupContainment _),
     "dedup_stats" -> (Dedup.dedupStats _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
+    "dedup_winnow" -> (Dedup.dedupWinnow _),
+    "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhash _),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
@@ -291,7 +293,7 @@ object SparkEntry {
                 count(m.versionEndExcluding) AS n_ranged,
                 max(m.versionEndExcluding) AS max_end_version
          FROM m GROUP BY vendor
-         ORDER BY vendor""",
+         ORDER BY vendor NULLS LAST""",
 
     "q_nvd_product_top" ->
       s"""$nvdFeedCte,
@@ -1239,6 +1241,25 @@ object SparkEntry {
            AND fp64 NOT IN (SELECT fp64 FROM fp WHERE doc_id < 250)
          ORDER BY doc_id""",
 
+    // Exhaustive feed×warehouse 3-shingle Jaccard — NOT the banded
+    // algorithm: as with dedup_minhash_lsh, the oracle grades the band
+    // table's recall on the ≥0.9 pairs, not just the rerank arithmetic.
+    "dedup_incremental_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+              s AS (SELECT doc_id,
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                    FROM t WHERE len(toks) >= 3),
+              dup AS (SELECT DISTINCT f.doc_id
+                      FROM s f JOIN s w
+                        ON f.doc_id >= 250 AND w.doc_id < 250
+                      WHERE round(CAST(len(list_intersect(f.sh, w.sh)) AS DOUBLE)
+                          / len(list_distinct(list_concat(f.sh, w.sh))), 6) >= 0.9)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY doc_id""",
+
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),
@@ -1287,8 +1308,7 @@ object SparkEntry {
                     FROM documents),
               s AS (SELECT doc_id, lang, source, text, bucket,
                         CAST(len(toks) AS BIGINT) AS n_tokens,
-                        CAST(nc - len(toks) + 1 AS DOUBLE) / len(toks) AS aw,
-                        least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS ls,
+                        CAST(nc - len(toks) + 1 AS BIGINT) AS ww,
                         len(list_filter(toks, x -> x IN
                           ('the','a','of','and','to','in'))) AS he,
                         len(list_filter(toks, x -> x IN
@@ -1296,9 +1316,13 @@ object SparkEntry {
                         len(list_filter(toks, x -> x IN
                           ('der','die','das','und','ist','zu'))) AS hd
                     FROM t),
+              -- quality ×1000 in EXACT integer arithmetic (mirrors the
+              -- Spark side): no fp threshold, no rounding-mode tie hazard
               q AS (SELECT *,
-                        round(ls * 0.6 + (CASE WHEN aw >= 3.0 AND aw <= 8.0
-                              THEN 1.0 ELSE 0.5 END) * 0.4, 6) AS quality,
+                        least(n_tokens, 50) * 12 +
+                          (CASE WHEN ww >= 3 * n_tokens
+                                 AND ww <= 8 * n_tokens
+                              THEN 400 ELSE 200 END) AS q1000,
                         CASE WHEN he >= hs AND he >= hd THEN 'en'
                              WHEN hs >= hd THEN 'es' ELSE 'de' END
                           AS pred_lang
@@ -1309,7 +1333,7 @@ object SparkEntry {
                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          FROM q
          WHERE doc_id IN (SELECT doc_id FROM canon)
-           AND quality >= 0.7 AND n_tokens BETWEEN 5 AND 1000
+           AND q1000 >= 700 AND n_tokens BETWEEN 5 AND 1000
            AND pred_lang = lang AND bucket < 90
          GROUP BY lang, source
          ORDER BY lang, source""",
@@ -1852,7 +1876,8 @@ object SparkEntry {
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                 md5(CAST(doc_id AS VARCHAR)) AS ord,
                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
-                  % 100 AS bucket
+                  % (SELECT greatest(1, CAST(ceil(count(*) / 50.0) AS BIGINT))
+                     FROM documents) AS bucket
               FROM documents),
               s AS (SELECT doc_id, bucket, n_tokens,
                         CAST(COALESCE(SUM(n_tokens) OVER (
@@ -1971,6 +1996,30 @@ object SparkEntry {
                 CAST(sum(c) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
          FROM pd GROUP BY span_md5 HAVING count(*) >= 2
          ORDER BY span_md5""",
+
+    // Same winnowing computation (8-gram md5 at every offset, min of each
+    // 13-window), replicated literally: the oracle proves cross-engine
+    // determinism of the fingerprint selection; the GUARANTEE (every
+    // shared ≥20-token run yields a shared fingerprint) is held against a
+    // brute-force stride-1 scan in DedupSpec.
+    "dedup_winnow" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, 'xshift ' || text FROM documents),
+              t AS (SELECT doc_id, string_split(text, ' ') AS w FROM u),
+              h AS (SELECT doc_id,
+                        list_transform(range(1, len(w) - 6),
+                          i -> md5(array_to_string(w[i : i + 7], ' '))) AS hs
+                    FROM t WHERE len(w) >= 8),
+              s AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(hs) - 11),
+                          j -> list_min(hs[j : j + 12]))) AS span_fp
+                    FROM h WHERE len(hs) >= 13),
+              f AS (SELECT DISTINCT doc_id, span_fp FROM s)
+         SELECT span_fp, CAST(count(*) AS BIGINT) AS n_docs,
+                min(doc_id) AS first_doc
+         FROM f GROUP BY span_fp HAVING count(*) >= 2
+         ORDER BY span_fp""",
 
     "text_rarity" ->
       """WITH t AS (SELECT doc_id,

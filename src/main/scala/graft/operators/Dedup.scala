@@ -126,6 +126,70 @@ object Dedup {
       .orderBy(col("span_md5"))
   }
 
+  /** §2.3 dedup_winnow: winnowed span fingerprints — the arbitrary-offset
+    * complement to [[dedupSubstring]]'s stride-aligned windows. Every
+    * 8-token gram is hashed at EVERY offset; a sliding window of 13
+    * consecutive gram hashes keeps each window's MINIMUM (Schleimer et
+    * al.'s winnowing, the MOSS / Lee-et-al. span-fingerprint): any two
+    * documents sharing a verbatim run of ≥ 13+8−1 = 20 tokens are
+    * GUARANTEED to share a selected fingerprint — the window of gram
+    * hashes inside the shared run is identical in both documents, so both
+    * select the same minimum — regardless of where the run starts in
+    * either document. That kills the stride-congruence blind spot
+    * dedupSubstring documents: its simulated re-crawl here is SHIFTED by
+    * one token, so NO stride-10 window of a copy aligns with its original
+    * (offsets differ by 1 ≢ 0 mod 10) while every copy still shares one
+    * fingerprint per winnow window. DedupSpec holds the guarantee against
+    * a brute-force stride-1 span scan.
+    *
+    * Scale shape: hashing is partition-local (~n gram hashes + ~n window
+    * minima per doc, never quadratic); winnowing selects ~2/(w+1) ≈ 14%
+    * of positions and only DISTINCT (doc, fingerprint) digests shuffle —
+    * text never crosses the wire. The gram-hash array lands in a
+    * PERSISTED attribute before the window-min projection: the min lambda
+    * slices it once per position, and CollapseProject would otherwise
+    * inline the md5 transform into every slice — O(n·w) hash evals per
+    * doc (the 16× recompute class in CLAUDE.md).
+    */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(spark, dir)
+      .groupBy(col("span_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span_fp"))
+
+  /** The distinct (doc_id, span_fp) winnow-selection relation over the
+    * shifted re-crawl corpus — split out so DedupSpec can hold the
+    * winnowing guarantee pairwise against a brute-force stride-1 scan.
+    */
+  private[operators] def winnowFingerprints(spark: SparkSession,
+      dir: String): DataFrame = {
+    val K = 8  // gram size
+    val W = 13 // winnow window (grams) → guarantee threshold K+W−1 = 20
+    val grams =
+      s"""IF(size(w) < $K, array(),
+           transform(sequence(1, size(w) - ${K - 1}),
+             i -> md5(array_join(slice(w, i, $K), ' '))))"""
+    val sel =
+      s"""IF(size(hs) < $W, array(),
+           transform(sequence(1, size(hs) - ${W - 1}),
+             j -> array_min(slice(hs, j, $W))))"""
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // offset-shifted re-crawl: one prepended token, the copy family the
+    // stride-aligned operator cannot see (and exact dedup can't either)
+    val recrawl = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit("xshift "), col("text")).as("text"))
+    val hashed = d.unionAll(recrawl)
+      .repartition(col("doc_id")) // single-row-group parquet → spread CPU
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), expr(grams).as("hs"))
+      // plan barrier only (single consumer — no eager count needed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed
+      .select(col("doc_id"), explode(expr(sel)).as("span_fp"))
+      .distinct() // a fingerprint often wins many consecutive windows
+  }
+
   /** Unsorted near-dup pair relation (i < j, rounded jac ≥ 0.9) — shared
     * by the pair query and the clustering operator.
     *
@@ -678,6 +742,9 @@ object Dedup {
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingPairs(spark, dir).select(col("i"), col("j"))
+      // released by GraftCaches.release(spark) after the caller's action
+      // (embedding contract) — the returned plan consumes e three ways,
+      // so no in-operator unpersist point exists
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // eager: degree, wedge, and closing consumers fan out (see connectedComponents)
     val deg = e.select(col("i").as("id")).unionAll(e.select(col("j").as("id")))
@@ -717,6 +784,91 @@ object Dedup {
       .select(col("doc_id"), col("fp64"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2.3 dedup_incremental_minhash: cross-load NEAR-dup dedup — the
+    * reference's incremental set-difference (etl.py:80-92) lifted from
+    * exact IDs to sketches. The standing corpus (doc_id < 250) keeps its
+    * MinHash BAND table as a warehouse relation (the same 16×8 banding as
+    * [[dedupMinhashLsh]], so the table is buildable once and appended per
+    * load); an arriving feed banded the same way joins band-buckets
+    * against it, candidates rerank by EXACT shingle Jaccard, and a feed
+    * document is dropped iff some warehouse document holds jac ≥ 0.9.
+    * The oracle is the EXHAUSTIVE feed×warehouse Jaccard scan — banding
+    * recall is graded, not assumed (same contract as dedup_minhash_lsh).
+    *
+    * Scale shape: the warehouse band table is O(16·|corpus|) slim
+    * (band, bhash, id) rows — persisted once, never recomputed per load;
+    * the feed side bands only the arriving delta; the bucket join
+    * shuffles bare ids + 2 ints; shingle sets rejoin only for the
+    * surviving candidates. At 100 TB the standing corpus never re-hashes:
+    * cost per load tracks the DELTA, which is the whole point of the
+    * incremental shape.
+    */
+  def dedupIncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = minhashSketch(spark, dir)
+    val docs = sketch.filter(size(col("sh")) > 0)
+    val whDocs = docs.filter(col("doc_id") < 250)
+    val feedDocs = docs.filter(col("doc_id") >= 250)
+    val dup = incrementalNearDup(
+      bandTable(whDocs), whDocs.select(col("doc_id"), col("sh")), feedDocs)
+    // survivors: the feed minus near-dups of the standing corpus (docs
+    // with no shingles can't match anything — trivially kept)
+    Tables.documents(spark, dir).filter(col("doc_id") >= 250)
+      .select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The persisted (doc_id, sh, sig) sketch relation — shingle set +
+    * MinHash(128) signature, the artifact a warehouse materializes once
+    * per corpus (plan barrier + multi-consumer cache + EAGER count, same
+    * protocol as dedupMinhashLsh).
+    */
+  private[operators] def minhashSketch(spark: SparkSession,
+      dir: String): DataFrame = {
+    val cached = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), array_sort(array_distinct(shingles3(toks))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
+  /** 16×8 LSH band table of a (doc_id, …, sig) sketch relation: slim
+    * (doc_id, band, bhash) rows — the warehouse-maintained form.
+    */
+  private[operators] def bandTable(sketch: DataFrame): DataFrame =
+    sketch
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => hash(slice(col("sig"), b * 8 + 1, lit(8))))))
+      .toDF("doc_id", "band", "bhash")
+
+  /** Feed docs CONFIRMED as near-dups of the standing corpus: band-bucket
+    * join of the feed's bands against the STORED warehouse band table
+    * proposes candidates; exact shingle Jaccard ≥ 0.9 against the stored
+    * warehouse shingle relation confirms. Takes the warehouse relations
+    * AS RELATIONS (parquet-loadable) so a real incremental load never
+    * re-sketches the standing corpus — DedupSpec drives exactly that
+    * decomposition from disk.
+    */
+  private[operators] def incrementalNearDup(whBands: DataFrame,
+      whShingles: DataFrame, feedDocs: DataFrame): DataFrame =
+    bandTable(feedDocs)
+      .select(col("band"), col("bhash"), col("doc_id").as("f_id"))
+      .join(whBands.select(col("band"), col("bhash"),
+        col("doc_id").as("w_id")), Seq("band", "bhash"))
+      .select(col("f_id"), col("w_id"))
+      .distinct()
+      .join(feedDocs.select(col("doc_id").as("f_id"), col("sh").as("sh_f")),
+        Seq("f_id"))
+      .join(whShingles.select(col("doc_id").as("w_id"), col("sh").as("sh_w")),
+        Seq("w_id"))
+      .filter(round(jaccard(col("sh_f"), col("sh_w")), 6) >= 0.9)
+      .select(col("f_id").as("doc_id"))
+      .distinct()
 
   /** §2.3 dedup_containment: one-sided shingle containment — doc i is a
     * (near-)subset of doc j when ≥ 80% of i's 3-shingles appear in j.

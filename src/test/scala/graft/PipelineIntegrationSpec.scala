@@ -45,6 +45,21 @@ class PipelineIntegrationSpec extends AnyFunSuite {
       col("pack_id") * 256 + col("pack_offset")).count() === 0)
   }
 
+  test("packing shard count DERIVES from corpus size (never a literal)") {
+    // ceil(n_docs / 50) shards: the growth knob the 100 TB shape needs —
+    // a bigger corpus gets more shards, not a fatter per-shard window
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val nDocs = Tables.documents(spark, sf).count()
+      val expected = math.max(1L, math.ceil(nDocs / 50.0).toLong)
+      val got = TextAnalysis.pipelinePack(spark, sf)
+        .select(col("bucket")).distinct().count()
+      // every shard is hit w.p. ~1 at ≥50 docs/shard; equality is the
+      // strong form of "derived count > 1 and scaling"
+      assert(got === expected, s"sf=$sf nDocs=$nDocs")
+      assert(expected > 1)
+    }
+  }
+
   test("filter → keep-canonicals-only composes to a coherent training corpus") {
     val filt = TextAnalysis.pipelineCorpusFilter(spark, dir)
       .select(col("doc_id"))

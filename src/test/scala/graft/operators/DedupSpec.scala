@@ -167,4 +167,80 @@ class DedupSpec extends AnyFunSuite {
     assert(hit.isDefined, "first aligned window of a re-crawled doc missing")
     assert(hit.get.getLong(3) <= row.getLong(0))
   }
+
+  test("dedup_winnow: every pair sharing a >=20-token run shares a " +
+      "selected fingerprint (brute-force stride-1 witness)") {
+    val dir = TestSpark.sfDir
+    // brute-force ground truth: a contiguous shared run of >= 20 tokens
+    // exists between two docs iff they share SOME verbatim 20-token
+    // window at stride 1 — enumerate all of them over the same shifted
+    // re-crawl corpus the operator builds
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit("xshift "), col("text")).as("text")))
+    val win = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """IF(size(w) < 20, array(),
+             transform(sequence(1, size(w) - 19),
+               i -> array_join(slice(w, i, 20), ' ')))""")).as("s20"))
+      .distinct()
+    val brutePairs = win.join(
+        win.select(col("doc_id").as("d2"), col("s20")), Seq("s20"))
+      .filter(col("doc_id") < col("d2"))
+      .select(col("doc_id"), col("d2")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the shifted copies make the witness non-vacuous: every >=20-token
+    // doc shares its whole text with its copy at INCOMPATIBLE stride
+    // offsets (1 mod 10), the exact family stride-aligned windows miss
+    assert(brutePairs.exists { case (a, b) => b == a + 1000000L })
+    val fps = Dedup.winnowFingerprints(spark, dir)
+    val fpPairs = fps.join(
+        fps.select(col("doc_id").as("d2"), col("span_fp")), Seq("span_fp"))
+      .filter(col("doc_id") < col("d2"))
+      .select(col("doc_id"), col("d2")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the winnowing theorem: recall is exactly 1 on >=20-token runs
+    val missed = brutePairs -- fpPairs
+    assert(missed.isEmpty, s"winnow recall failure on pairs: $missed")
+  }
+
+  test("dedup_incremental_minhash: STORED band-table cross-load equals " +
+      "recompute, and a replayed load drops everything") {
+    val dir = TestSpark.sfDir
+    val wh = TestSpark.tmpDir("mh_warehouse")
+    val sketch = Dedup.minhashSketch(spark, dir)
+    val docs = sketch.filter(size(col("sh")) > 0)
+    // LOAD 1: the standing corpus materializes its band table + shingle
+    // relation as warehouse parquet — the artifacts an incremental
+    // pipeline keeps so later loads never re-sketch the corpus
+    Dedup.bandTable(docs.filter(col("doc_id") < 250))
+      .write.mode("overwrite").parquet(s"$wh/bands")
+    docs.filter(col("doc_id") < 250).select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$wh/shingles")
+    // LOAD 2: the feed dedups against the STORED relations only
+    val feed = docs.filter(col("doc_id") >= 250)
+    val dupFromDisk = Dedup.incrementalNearDup(
+        spark.read.parquet(s"$wh/bands"),
+        spark.read.parquet(s"$wh/shingles"), feed)
+      .collect().map(_.getLong(0)).toSet
+    // the from-disk decomposition = the single-relation operator
+    val keptOp = Dedup.dedupIncrementalMinhash(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val allFeed = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 250).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptOp === allFeed -- dupFromDisk)
+    // replay idempotence: a feed that IS the warehouse (jac(x,x)=1)
+    // dedups to nothing — the cross-load analogue of the reference's
+    // already-loaded CVE set difference
+    val replayDup = Dedup.incrementalNearDup(
+        spark.read.parquet(s"$wh/bands"),
+        spark.read.parquet(s"$wh/shingles"),
+        docs.filter(col("doc_id") < 250))
+      .collect().map(_.getLong(0)).toSet
+    val whIds = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(replayDup === whIds)
+  }
 }

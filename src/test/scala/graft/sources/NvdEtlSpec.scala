@@ -81,6 +81,65 @@ class NvdEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nvd_ingest: unknown extra fields at any depth ingest losslessly " +
+      "(reference bq.py:193 ignore_unknown_values)") {
+    // a drifted feed: extra keys at the feed top level, inside an item,
+    // inside CVE_data_meta, inside a description leaf, and inside a
+    // cpe_match element — the schema-driven read must DROP the unknowns
+    // and keep every known field bit-identical, in both lenient and
+    // strict modes (FAILFAST rejects malformed JSON, not drifted JSON)
+    val dir = graft.TestSpark.tmpDir("nvd_drift")
+    val path = s"$dir/drift.json.gz"
+    val feed =
+      """{"CVE_data_type":"CVE","CVE_data_format":"MITRE",
+        |"CVE_data_version":"4.0","CVE_data_numberOfCVEs":"2",
+        |"CVE_data_timestamp":"2024-01-01T00:00Z",
+        |"feed_extra_block":{"nested":[1,2,3]},
+        |"CVE_Items":[
+        | {"cve":{"data_type":"CVE","data_format":"MITRE","data_version":4.0,
+        |   "CVE_data_meta":{"ID":"CVE-2024-0001","ASSIGNER":"cve@mitre.org",
+        |     "new_meta_key":"drifted"},
+        |   "description":{"description_data":[
+        |     {"lang":"en","value":"known value","extra_leaf":7}]},
+        |   "unknown_subtree":{"deep":{"deeper":true}}},
+        |  "configurations":{"CVE_data_version":4.0,"nodes":[
+        |    {"operator":"OR","cpe_match":[
+        |      {"vulnerable":true,
+        |       "cpe23Uri":"cpe:2.3:o:linux:linux_kernel:5.0:*:*:*:*:*:*:*",
+        |       "novel_match_flag":false}]}]},
+        |  "publishedDate":"2024-01-01T00:00Z",
+        |  "lastModifiedDate":"2024-01-02T00:00Z",
+        |  "item_extra_field":"ignored"},
+        | {"cve":{"CVE_data_meta":{"ID":"CVE-2024-0002",
+        |    "ASSIGNER":"cve@mitre.org"}},
+        |  "publishedDate":"2024-01-03T00:00Z"}]}""".stripMargin
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(path))
+    out.write(feed.getBytes("UTF-8"))
+    out.close()
+    for (strict <- Seq(false, true)) {
+      val df = NvdEtl.ingest(spark, path, strict = strict)
+      // unknown fields never surface in the schema…
+      assert(df.schema === NvdEtl.itemSchema())
+      // …and never cost a row or a known value
+      assert(df.count() === 2)
+      val r = df.filter(NvdEtl.cveId === "CVE-2024-0001")
+        .select(
+          col("cve.description.description_data").getItem(0)
+            .getField("value").as("desc"),
+          col("configurations.nodes").getItem(0).getField("cpe_match")
+            .getItem(0).getField("cpe23Uri").as("uri"),
+          col("cve.CVE_data_meta.ASSIGNER").as("assigner"),
+          unix_timestamp(col("publishedDate")).as("pub"))
+        .head()
+      assert(r.getAs[String]("desc") === "known value")
+      assert(r.getAs[String]("uri").contains("linux_kernel"))
+      assert(r.getAs[String]("assigner") === "cve@mitre.org")
+      assert(r.getAs[Long]("pub") ===
+        java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond)
+    }
+  }
+
   test("nvd_ndjson: transform emits NDJSON that round-trips the nested schema") {
     val out = TestSpark.tmpDir("nvd_ndjson")
     NvdEtl.toNdjson(NvdEtl.ingest(spark, fixture), out)
