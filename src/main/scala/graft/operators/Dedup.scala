@@ -826,20 +826,30 @@ object Dedup {
     */
   private[operators] def minhashSketch(spark: SparkSession,
       dir: String): DataFrame = {
-    val cached = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), array_sort(array_distinct(shingles3(toks))).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))
+    val cached = sketchOf(Tables.documents(spark, dir)
+      .repartition(col("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.count()
     cached
   }
 
+  /** The (doc_id, sh, sig) sketch of any (doc_id, text, …) relation —
+    * shingle set + MinHash(128) signature, the per-doc artifact a
+    * warehouse stores. Factored out of [[minhashSketch]] so the
+    * streaming twin ([[graft.streaming.StreamOps.minhashDedupSink]])
+    * sketches arriving micro-batches through the SAME expression tree
+    * the batch operator uses.
+    */
+  private[graft] def sketchOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), array_sort(array_distinct(shingles3(toks))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))
+
   /** 16×8 LSH band table of a (doc_id, …, sig) sketch relation: slim
     * (doc_id, band, bhash) rows — the warehouse-maintained form.
     */
-  private[operators] def bandTable(sketch: DataFrame): DataFrame =
+  private[graft] def bandTable(sketch: DataFrame): DataFrame =
     sketch
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(15)),
@@ -854,7 +864,7 @@ object Dedup {
     * re-sketches the standing corpus — DedupSpec drives exactly that
     * decomposition from disk.
     */
-  private[operators] def incrementalNearDup(whBands: DataFrame,
+  private[graft] def incrementalNearDup(whBands: DataFrame,
       whShingles: DataFrame, feedDocs: DataFrame): DataFrame =
     bandTable(feedDocs)
       .select(col("band"), col("bhash"), col("doc_id").as("f_id"))

@@ -1179,29 +1179,54 @@ object Relational {
     * calendar month, how many orders have been placed but not fully
     * shipped, and the order value tied up in them (the interval→series
     * sweep no plain groupBy expresses: each order contributes to EVERY
-    * month it spans). The order's open interval [order month, last-ship
-    * month) explodes partition-locally into one row per open month —
-    * bounded by the span in months, never quadratic — and a single
-    * map-side-combined aggregate folds the series. Month arithmetic is
-    * calendar-exact on both engines (sequence/range step one month from
-    * the same truncated start).
+    * month it spans). Computed as a DELTA SWEEP, not an interval
+    * explode: each order emits exactly two slim delta rows (+1/+price at
+    * the order month, −1/−price at the last-ship month), a
+    * map-side-combined aggregate folds them to one row per boundary
+    * month, and a running-sum window over that calendar-bounded series
+    * reconstructs the open count/value; gap months an order spans
+    * without bounding re-expand from the TINY aggregated series (each
+    * boundary month carries its level to the next boundary). Shuffle
+    * volume is 2·orders regardless of how long orders stay open — the
+    * per-open-month explode form ships span-in-months rows per order,
+    * which at 100 TB with years-open intervals is an unbounded
+    * multiplier. The single-partition window is safe by construction:
+    * its input is at most one row per calendar month. Decimal deltas
+    * accumulate exactly (negation and summation stay in decimal), so
+    * the sweep is bit-equal to the oracle's per-month interval sum.
     */
   def qOrdersBacklog(spark: SparkSession, dir: String): DataFrame = {
     val lastShip = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(max(col("l_shipdate")).as("last_ship"))
-    Tables.orders(spark, dir)
+    val deltas = Tables.orders(spark, dir)
       .join(lastShip, Seq("o_orderkey"))
       .select(date_trunc("month", col("o_orderdate")).as("m0"),
         date_trunc("month", col("last_ship")).as("m1"),
-        col("o_totalprice"))
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
       .filter(col("m1") > col("m0"))
+      .select(explode(array(
+        struct(col("m0").as("m"), lit(1L).as("dn"), col("p").as("dp")),
+        struct(col("m1").as("m"), lit(-1L).as("dn"), (-col("p")).as("dp"))))
+        .as("d"))
+      .groupBy(col("d.m").as("m"))
+      .agg(sum(col("d.dn")).as("dn"), sum(col("d.dp")).as("dp"))
+    // running levels over the boundary-month series; m_next can only be
+    // null on the final boundary month, whose running count is exactly 0
+    // (every +1 has its −1), so the filter removes it before the
+    // sequence re-expansion ever sees a null end
+    val w = Window.orderBy(col("m"))
+    deltas
+      .select(col("m"),
+        sum(col("dn")).over(w).as("n_open"),
+        sum(col("dp")).over(w).as("open_v"),
+        lead(col("m"), 1).over(w).as("m_next"))
+      .filter(col("n_open") > 0)
       .select(explode(expr(
-        "sequence(m0, m1 - interval 1 month, interval 1 month)")).as("m"),
-        col("o_totalprice"))
-      .groupBy(col("m").cast("date").as("month"))
-      .agg(count(lit(1)).as("n_open"),
-        dsum(col("o_totalprice")).as("open_value"))
+        "sequence(m, m_next - interval 1 month, interval 1 month)"))
+        .as("mm"), col("n_open"), col("open_v"))
+      .select(col("mm").cast("date").as("month"), col("n_open"),
+        col("open_v").cast("double").as("open_value"))
       .orderBy(col("month"))
   }
 

@@ -200,6 +200,51 @@ object StreamOps {
       }
       .start()
 
+  /** stream_minhash_dedup: NEAR-dup dedup applied online — the streaming
+    * twin of dedup_incremental_minhash. Each micro-batch is an
+    * incremental load: arriving docs sketch through the SAME expression
+    * tree the batch operator uses ([[graft.operators.Dedup.sketchOf]]),
+    * band-bucket-join against the STORED warehouse band table, rerank
+    * candidates by exact shingle Jaccard, and only survivors (no
+    * warehouse doc at jac ≥ 0.9) land in the sink — after which their
+    * bands and shingle sets APPEND to the warehouse relations, so later
+    * batches dedup against earlier survivors too. A full replay on a
+    * fresh checkpoint therefore appends nothing: every replayed doc now
+    * matches itself at jac = 1 — exactly-once EFFECT on at-least-once
+    * delivery, the same contract as [[warehouseSink]]. Per-batch cost
+    * tracks the batch, never the standing corpus: the corpus-side
+    * artifacts are read, not re-sketched. Zero-shingle docs (< 3
+    * tokens) can't match anything and always land; replay dedup for
+    * them is upstream exact dedup's job ([[dedupContentStream]]).
+    */
+  def minhashDedupSink(docs: DataFrame, whBandsDir: String,
+      whShinglesDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val sk = graft.operators.Dedup.sketchOf(batch)
+        val dup = graft.operators.Dedup.incrementalNearDup(
+          spark.read.parquet(whBandsDir),
+          spark.read.parquet(whShinglesDir),
+          sk.filter(size(col("sh")) > 0))
+        // same materialization barrier as the warehouse sink: the appends
+        // below write into directories the anti-join lazily reads
+        val surv = sk.join(dup, Seq("doc_id"), "left_anti").checkpoint()
+        if (surv.count() > 0) {
+          val banded = surv.filter(size(col("sh")) > 0)
+          graft.operators.Dedup.bandTable(banded)
+            .write.mode("append").parquet(whBandsDir)
+          banded.select(col("doc_id"), col("sh"))
+            .write.mode("append").parquet(whShinglesDir)
+          surv.select(col("doc_id")).write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   /** stream_dedup: exact dedup by event_id with bounded state —
     * `dropDuplicatesWithinWatermark` keeps an id only until the watermark
     * passes it, so state never grows with the full history (the streaming

@@ -344,4 +344,88 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
     } finally q.stop()
   }
+
+  test("stream_minhash_dedup: online near-dup dedup equals the sequential " +
+      "batch decomposition, accumulates across batches, and replays " +
+      "idempotently") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") < 25)
+    val standingTexts = standing.orderBy(col("doc_id"))
+      .limit(2).select(col("text")).as[String].collect()
+    val arr = docs.filter(col("doc_id") >= 25)
+      .as[(Long, String)].collect().toSeq
+    val (h1, h2) = arr.splitAt(arr.size / 2)
+    // batch 1: half the feed, verbatim copies of two STANDING docs
+    // (must drop: jac = 1 vs the warehouse), and a doc of tokens the
+    // corpus vocabulary can't contain (must survive)
+    val fresh1 = (1999L, (0 until 12).map(i => s"qq$i").mkString(" "))
+    val b1 = h1 ++ standingTexts.zipWithIndex.map {
+      case (t, i) => (1000L + i, t) } :+ fresh1
+    // batch 2: the other half, a verbatim copy of batch 1's fresh
+    // survivor (must drop: batch-1 survivors entered the warehouse) and
+    // a second out-of-vocabulary doc (must survive)
+    val b2 = h2 :+ (2000L, fresh1._2) :+
+      (2001L, (0 until 12).map(i => s"zz$i").mkString(" "))
+
+    val base = TestSpark.tmpDir("mh_stream")
+    val bandsDir = s"$base/bands"
+    val shDir = s"$base/shingles"
+    val outDir = s"$base/survivors"
+    val sk0 = Dedup.sketchOf(standing).filter(size(col("sh")) > 0)
+    Dedup.bandTable(sk0).write.parquet(bandsDir)
+    sk0.select(col("doc_id"), col("sh")).write.parquet(shDir)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.minhashDedupSink(
+      stream.toDF().toDF("doc_id", "text"),
+      bandsDir, shDir, outDir, TestSpark.tmpDir("mh_stream_ck1"))
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).as[Long].collect().toSet
+
+    // sequential reference: the BATCH decomposition applied load by load,
+    // survivors folded into the warehouse relations between loads
+    var whBands = Dedup.bandTable(sk0)
+    var whSh = sk0.select(col("doc_id"), col("sh"))
+    var expected = Set.empty[Long]
+    for (chunk <- Seq(b1, b2)) {
+      val sk = Dedup.sketchOf(chunk.toDF("doc_id", "text"))
+      val dup = Dedup.incrementalNearDup(
+        whBands, whSh, sk.filter(size(col("sh")) > 0))
+      val surv = sk.join(dup, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      expected ++= surv.select(col("doc_id")).as[Long].collect()
+      val banded = surv.filter(size(col("sh")) > 0)
+      whBands = whBands.unionAll(Dedup.bandTable(banded))
+      whSh = whSh.unionAll(banded.select(col("doc_id"), col("sh")))
+    }
+    assert(streamed === expected)
+    // copies of standing docs dropped; fresh docs survived; the copy of
+    // a batch-1 SURVIVOR dropped (cross-batch accumulation)
+    assert(!streamed.contains(1000L) && !streamed.contains(1001L))
+    assert(streamed.contains(1999L) && streamed.contains(2001L))
+    assert(!streamed.contains(2000L))
+
+    // FRESH checkpoint = full replay: every replayed doc now matches
+    // itself in the warehouse at jac = 1, so nothing appends
+    val before = spark.read.parquet(outDir).count()
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.minhashDedupSink(
+      stream2.toDF().toDF("doc_id", "text"),
+      bandsDir, shDir, outDir, TestSpark.tmpDir("mh_stream_ck2"))
+    try {
+      stream2.addData(b1 ++ b2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(outDir).count() === before)
+  }
 }

@@ -32,11 +32,13 @@ def close(a, b):
     return a == b
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -80,4 +82,7 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    # optional 3rd arg: comma-separated query-name filter (used to shard
+    # the heavy sf0.1 exhaustive oracles across parallel processes)
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
