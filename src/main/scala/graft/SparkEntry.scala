@@ -38,6 +38,7 @@ object SparkEntry {
     "q_nvd_child_cpes" -> (Nvd.qNvdChildCpes _),
     "q_nvd_score_corr" -> (Nvd.qNvdScoreCorr _),
     "q_nvd_version_ranges" -> (Nvd.qNvdVersionRanges _),
+    "q_nvd_version_match" -> (Nvd.qNvdVersionMatch _),
     "q_orders_backlog" -> (Relational.qOrdersBacklog _),
     "q_orders_cohort" -> (Relational.qOrdersCohort _),
     "q_events_gini" -> (Relational.qEventsGini _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_dq_audit" -> (Relational.qDqAudit _),
     "q_snapshot_diff" -> (Relational.qSnapshotDiff _),
     "q_events_anomaly" -> (Relational.qEventsAnomaly _),
+    "q_events_changepoint" -> (Relational.qEventsChangepoint _),
     "q_events_groupsets" -> (Relational.qEventsGroupsets _),
     "q11_revenue_share" -> (Relational.q11RevenueShare _),
     "q_customer_first_last" -> (Relational.qCustomerFirstLast _),
@@ -155,6 +157,7 @@ object SparkEntry {
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_dedup" -> (Multimodal.mmDedup _),
     "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
+    "mm_scene_cut" -> (Multimodal.mmSceneCut _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -294,6 +297,53 @@ object SparkEntry {
                 max(m.versionEndExcluding) AS max_end_version
          FROM m GROUP BY vendor
          ORDER BY vendor NULLS LAST""",
+
+    // probe VALUES are the verbatim mirror of Nvd.VersionProbes; version
+    // rank = major*100 + minor in exact integers on both sides
+    "q_nvd_version_match" ->
+      s"""$nvdFeedCte,
+           t AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
+                   unnest(flatten(list_filter(list_transform(
+                     item.configurations.nodes, n -> n.cpe_match),
+                     x -> x IS NOT NULL))) AS m FROM f),
+           c0 AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
+                   unnest(flatten(list_filter(list_transform(
+                     item.configurations.nodes, n -> n.children),
+                     x -> x IS NOT NULL))) AS ch FROM f),
+           c AS (SELECT cve_id, unnest(ch.cpe_match) AS m FROM c0
+                 WHERE ch.cpe_match IS NOT NULL),
+           -- DuckDB infers the CHILD cpe_match struct without
+           -- versionEndExcluding (no child match in the fixture carries
+           -- one), so the branches project their own fields before the
+           -- union; Spark's schema-driven read yields NULL there, which
+           -- the literal mirrors
+           m AS (SELECT cve_id,
+                   string_split(m.cpe23Uri, ':')[5] AS product,
+                   string_split(m.cpe23Uri, ':')[6] AS uver,
+                   m.versionEndExcluding AS vend
+                 FROM t WHERE m.vulnerable
+                 UNION ALL
+                 SELECT cve_id,
+                   string_split(m.cpe23Uri, ':')[5],
+                   string_split(m.cpe23Uri, ':')[6],
+                   CAST(NULL AS VARCHAR)
+                 FROM c WHERE m.vulnerable),
+           p(product, qversion) AS (VALUES
+                 ('product0', '0.5'), ('product4', '2.0'),
+                 ('product5', '2.4'), ('linux_kernel', '5.4'),
+                 ('device1', '1.0')),
+           hit AS (SELECT DISTINCT p.product, p.qversion, m.cve_id
+                 FROM p JOIN m USING (product)
+                 WHERE (m.vend IS NOT NULL AND
+                        CAST(string_split(p.qversion, '.')[1] AS INT) * 100 +
+                        CAST(string_split(p.qversion, '.')[2] AS INT) <
+                        CAST(string_split(m.vend, '.')[1] AS INT) * 100 +
+                        CAST(string_split(m.vend, '.')[2] AS INT))
+                    OR (m.vend IS NULL AND m.uver = p.qversion))
+         SELECT product, qversion, CAST(count(*) AS BIGINT) AS n_cves,
+                min(cve_id) AS first_cve, max(cve_id) AS last_cve
+         FROM hit GROUP BY product, qversion
+         ORDER BY product, qversion""",
 
     "q_nvd_product_top" ->
       s"""$nvdFeedCte,
@@ -1064,6 +1114,37 @@ object SparkEntry {
                 CAST(list_sum(list_transform(range(1, len(fr) + 1),
                        i -> fr[i] * ((i - 1) % 7 + 1))) AS BIGINT) AS feature
          FROM fr ORDER BY doc_id, frame_idx""",
+
+    // same frame/feature CTEs as mm_frame_features; the cut decision is
+    // an all-integer compare, so the oracle replicates it byte-for-byte
+    "mm_scene_cut" ->
+      s"""WITH b AS (SELECT doc_id, ${utf8BytesSql("text")} AS bytes
+                     FROM documents WHERE length(text) > 0),
+               t AS (SELECT doc_id, bytes,
+                         CAST(ceil(len(bytes) / 32.0) AS INTEGER) AS nf
+                     FROM b),
+               e AS (SELECT doc_id, bytes, unnest(range(1, nf + 1)) AS f
+                     FROM t),
+               fr AS (SELECT doc_id, CAST(f - 1 AS BIGINT) AS frame_idx,
+                          bytes[(f - 1) * 32 + 1 : (f - 1) * 32 + 32] AS fr
+                      FROM e),
+               ft AS (SELECT doc_id, frame_idx, len(fr) AS fl,
+                          CAST(list_sum(list_transform(range(1, len(fr) + 1),
+                            i -> fr[i] * ((i - 1) % 7 + 1))) AS BIGINT)
+                            AS feature
+                      FROM fr),
+               d AS (SELECT doc_id, frame_idx, fl, feature,
+                         lag(feature) OVER w AS pf, lag(fl) OVER w AS pfl
+                     FROM ft
+                     WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(sum(CASE WHEN fl = 32 AND pfl = 32
+                              AND abs(feature - pf) > 1000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                min(CASE WHEN fl = 32 AND pfl = 32
+                         AND abs(feature - pf) > 1000
+                         THEN frame_idx END) AS first_cut
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
 
     "pipeline_corpus_filter" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
@@ -1857,6 +1938,29 @@ object SparkEntry {
          FROM events e JOIN m ON e.event_type = m.event_type
          GROUP BY e.event_type, n, mean, std
          ORDER BY e.event_type""",
+
+    // all-integer CUSUM: values scale to 1e-4 units, n·S_k − k·T stays in
+    // BIGINT on both engines (no float ever decides a row or an order)
+    "q_events_changepoint" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) AS tus, event_id,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vu
+              FROM events),
+           s AS (SELECT event_type, tus, event_id,
+                CAST(row_number() OVER w AS BIGINT) AS k,
+                CAST(sum(vu) OVER w AS BIGINT) AS sk,
+                CAST(sum(vu) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+                CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM b
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY tus, event_id)),
+           d AS (SELECT event_type, n, k, tus,
+                abs(n * sk - k * t) AS dabs
+              FROM s WHERE k < n),
+           r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY dabs DESC, k ASC) AS rn FROM d)
+         SELECT event_type, n, k AS split_pos, tus AS split_ts_us,
+                dabs AS dmax_units
+         FROM r WHERE rn = 1 ORDER BY event_type""",
 
     "q_events_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -181,4 +181,41 @@ object Multimodal {
         length(col("frame")).cast("bigint").as("frame_len"),
         expr("graft_byte_feature(frame)").as("feature"))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** §2.4 mm_scene_cut: shot-boundary detection over the frame stream — a
+    * cut wherever consecutive FULL frames' features jump by more than the
+    * threshold (|Δfeature| > 1000 ≈ p90 of within-payload deltas here;
+    * the knob a real decoder calibrates per codec). The scene map is what
+    * a smarter frame sampler consumes — sample per SHOT instead of per
+    * stride (pairs with mm_frame_sample). Same stub feature as
+    * mm_frame_features, so DuckDB replicates the decision byte-for-byte;
+    * outputs (frame count, cut count, first cut index) are all integers —
+    * zero float risk. Plan shape: partition-local frame explode, ONE
+    * shuffle (lag window partitioned by doc_id), map-side-combined final
+    * aggregate riding the same partitioning.
+    */
+  def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val isCut = col("fl") === 32 && col("pfl") === 32 &&
+      abs(col("feature") - col("pf")) > 1000
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, cast(ceil(length(payload) / 32.0) AS INT)),
+             f -> substring(payload, (f - 1) * 32 + 1, 32))""")))
+      .toDF("doc_id", "pos", "frame")
+      .select(col("doc_id"), col("pos").cast("bigint").as("frame_idx"),
+        length(col("frame")).as("fl"),
+        expr("graft_byte_feature(frame)").as("feature"))
+      .select(col("doc_id"), col("frame_idx"), col("fl"), col("feature"),
+        lag(col("feature"), 1).over(w).as("pf"),
+        lag(col("fl"), 1).over(w).as("pfl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(isCut, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(isCut, col("frame_idx"))).as("first_cut"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -229,6 +229,70 @@ object Nvd {
       // so the hash gate can't flip on future fixture regeneration
       .orderBy(col("vendor").asc_nulls_last)
 
+  /** The version-match probe set — plan literals mirrored VERBATIM in the
+    * oracle SQL (the shared-constant contract §2.3's RHP buckets use).
+    * Probes with zero matching CVEs drop out of both engines identically.
+    */
+  private val VersionProbes = Seq(
+    ("product0", "0.5"), ("product4", "2.0"), ("product5", "2.4"),
+    ("linux_kernel", "5.4"), ("device1", "1.0"))
+
+  /** Dotted version as an exact integer rank (major·100 + minor) — the
+    * fixture's versions are all major.minor with minor < 20, so no string
+    * compare or fp ordering can diverge between engines.
+    */
+  private def vnum(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(v, "\\.").getItem(0).cast("int") * 100 +
+      split(v, "\\.").getItem(1).cast("int")
+
+  /** §2.1 q_nvd_version_match: the NVD's core point query — "which CVEs
+    * affect product P at version V" — evaluated for a fixed probe set
+    * against every reachable cpe_match (top-level nodes AND children —
+    * the config tree's AND/OR/negate operators are simplified to a flat
+    * applicability set, the usual first-order reading; reference intent:
+    * the cpe_match range fields at schema.json:198-312). A cpe_match
+    * applies iff it is vulnerable, its product equals the probe's, and
+    * either a range bound governs (versionEndExcluding present and V
+    * strictly below it — "affected = below the fix version") or, with no
+    * range, the URI pins V exactly.
+    *
+    * Scale shape: the probe table broadcasts into the match scan (one
+    * row per reachable cpe_match, never the CVE row multiplied), the
+    * (probe, cve) dedup collapses before counting, and version order is
+    * exact integer arithmetic end to end.
+    */
+  def qNvdVersionMatch(spark: SparkSession, dir: String): DataFrame = {
+    val top = cves(spark)
+      .select(NvdEtl.cveId.as("cve_id"), explode(flatten(filter(
+        transform(col("configurations.nodes"), n => n.getField("cpe_match")),
+        x => x.isNotNull))).as("m"))
+    val child = cves(spark)
+      .select(NvdEtl.cveId.as("cve_id"), explode(flatten(filter(
+        transform(col("configurations.nodes"), n => n.getField("children")),
+        x => x.isNotNull))).as("ch"))
+      .filter(col("ch.cpe_match").isNotNull)
+      .select(col("cve_id"), explode(col("ch.cpe_match")).as("m"))
+    val matches = top.unionAll(child)
+      .filter(col("m.vulnerable"))
+      .select(col("cve_id"),
+        split(col("m.cpe23Uri"), ":").getItem(4).as("product"),
+        split(col("m.cpe23Uri"), ":").getItem(5).as("uver"),
+        col("m.versionEndExcluding").as("vend"))
+    val probes = spark.createDataFrame(VersionProbes)
+      .toDF("product", "qversion")
+    broadcast(probes).join(matches, Seq("product"))
+      .filter((col("vend").isNotNull &&
+          vnum(col("qversion")) < vnum(col("vend"))) ||
+        (col("vend").isNull && col("uver") === col("qversion")))
+      .select(col("product"), col("qversion"), col("cve_id"))
+      .distinct()
+      .groupBy(col("product"), col("qversion"))
+      .agg(count(lit(1)).as("n_cves"),
+        min(col("cve_id")).as("first_cve"),
+        max(col("cve_id")).as("last_cve"))
+      .orderBy(col("product"), col("qversion"))
+  }
+
   /** §2.1 q_nvd_score_corr: CVSS v2↔v3 score agreement — Pearson
     * correlation, sample covariance, and both sample deviations over CVEs
     * carrying both metrics (the "did the v3 rescoring change the ranking"

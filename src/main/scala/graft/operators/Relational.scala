@@ -752,6 +752,46 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 q_events_changepoint: per-series mean-shift detection — the
+    * offline CUSUM split statistic D_k = n·S_k − k·T (S_k the prefix sum
+    * at position k, T the series total), maximized over split positions:
+    * argmax |D_k| is the classic single-changepoint estimate, reported
+    * per event_type with its position and timestamp. Arithmetic is EXACT
+    * end to end: 4dp values scale to integer units, prefix/total sums
+    * and the n·S − k·T cross-multiplication stay in BIGINT (|D| ≤
+    * n²·max|v|·10⁴ ≈ 10¹⁷ per type at sf0.1, under the 9.2·10¹⁸
+    * ceiling; at larger SFs the same formula lifts to DECIMAL(38,0)
+    * unchanged), and the argmax tie-breaks on the earliest position — no
+    * float ever decides a row. Scale shape: ONE shuffle partitioned by
+    * event_type; the running-sum, partition-total, and argmax windows
+    * all share it (per-key sequential scan is inherent to CUSUM — the
+    * partition key is the parallelism unit, never a global window).
+    */
+  def qEventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("vu"))
+      .select(col("event_type"), col("ts"), col("event_id"),
+        row_number().over(wOrd).as("k"),
+        sum(col("vu")).over(wOrd).as("sk"),
+        sum(col("vu")).over(wAll).as("t"),
+        count(lit(1)).over(wAll).as("n"))
+      .filter(col("k") < col("n"))
+      .select(col("event_type"), col("n"), col("k"),
+        unix_micros(col("ts")).as("tus"),
+        abs(col("n") * col("sk") - col("k") * col("t")).as("dabs"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("dabs").desc, col("k").asc)
+    scored.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n"), col("k").as("split_pos"),
+        col("tus").as("split_ts_us"), col("dabs").as("dmax_units"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.2 q_events_groupsets: explicit GROUPING SETS with grouping_id —
     * the custom-subtotal-combination shape rollup/cube can't express
     * ((type), (hour), ()) without the unwanted (type, hour) set. Declared
