@@ -158,6 +158,7 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.mmDedup _),
     "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
     "mm_scene_cut" -> (Multimodal.mmSceneCut _),
+    "mm_cdc_neardup" -> (Multimodal.mmCdcNeardup _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -1145,6 +1146,77 @@ object SparkEntry {
                          AND abs(feature - pf) > 1000
                          THEN frame_idx END) AS first_cut
          FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    // CDC chunking mirrored exactly: base-131 degree-7 rolling hash (the
+    // 131^t literals are full-precision — max sum 8·255·131^7 ≈ 1.35e18
+    // fits BIGINT on both engines), boundary ≡ 0 mod 7, forced boundary at
+    // the last byte, FNV-1a-64 chunk digests (HUGEINT mod 2^64 here ≡
+    // wrapping Long there: digests only feed WITHIN-engine equality, and
+    // FNV collisions — the one way counts could shift — are symmetric
+    // because both engines hash the same bytes with the same function).
+    // The df cap (2..16), the Jaccard threshold (2·inter ≥ union), and the
+    // twin construction (mid-byte replace + 3-byte append) are all
+    // replicated verbatim; every output is an exact integer.
+    "mm_cdc_neardup" ->
+      s"""WITH d0 AS (SELECT doc_id, ${utf8BytesSql("text")} AS bytes
+                      FROM documents WHERE length(text) > 0),
+            u AS (
+              SELECT doc_id, bytes FROM d0
+              UNION ALL
+              SELECT doc_id + 3000000,
+                list_concat(list_concat(list_concat(
+                  list_slice(bytes, 1, greatest(len(bytes)//2, 1) - 1),
+                  [88]),
+                  list_slice(bytes, greatest(len(bytes)//2, 1) + 1,
+                             len(bytes))),
+                  [32, 118, 50])
+              FROM d0),
+            bnd AS (
+              SELECT doc_id, bytes,
+                list_sort(list_distinct(list_concat(
+                  list_filter(range(8, len(bytes) + 1), i ->
+                    (bytes[(i)::INT]::BIGINT * 1
+                     + bytes[(i-1)::INT]::BIGINT * 131
+                     + bytes[(i-2)::INT]::BIGINT * 17161
+                     + bytes[(i-3)::INT]::BIGINT * 2248091
+                     + bytes[(i-4)::INT]::BIGINT * 294499921
+                     + bytes[(i-5)::INT]::BIGINT * 38579489651
+                     + bytes[(i-6)::INT]::BIGINT * 5053913144281
+                     + bytes[(i-7)::INT]::BIGINT * 662062621900811) % 7 = 0),
+                  [len(bytes)::BIGINT]))) AS bs
+              FROM u),
+            ch AS (
+              SELECT doc_id,
+                list_sort(list_distinct(list_transform(range(1, len(bs) + 1),
+                  k -> list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                      list_transform(
+                        list_slice(bytes,
+                          (CASE WHEN k = 1 THEN 0
+                                ELSE bs[(k-1)::INT] END)::INT + 1,
+                          bs[(k)::INT]::INT),
+                        b -> b::HUGEINT)),
+                    (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
+                                   ::HUGEINT * 1099511628211::HUGEINT)
+                                 % 18446744073709551616::HUGEINT)))) AS digs
+              FROM bnd),
+            inv AS (SELECT doc_id, unnest(digs) AS dig FROM ch),
+            buck AS (SELECT dig FROM inv GROUP BY dig
+                     HAVING count(*) BETWEEN 2 AND 16),
+            cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                     FROM inv a JOIN buck USING (dig) JOIN inv b USING (dig)
+                     WHERE a.doc_id < b.doc_id),
+            rr AS (SELECT c.i, c.j,
+                     len(list_intersect(x.digs, y.digs)) AS inter,
+                     len(x.digs) AS na, len(y.digs) AS nb
+                   FROM cand c
+                   JOIN ch x ON x.doc_id = c.i
+                   JOIN ch y ON y.doc_id = c.j)
+         SELECT i, j, CAST(inter AS BIGINT) AS n_shared,
+                CAST(na + nb - inter AS BIGINT) AS n_union,
+                (1000000 * inter) // (na + nb - inter) AS jmil
+         FROM rr WHERE inter * 2 >= na + nb - inter
+         ORDER BY i, j""",
 
     "pipeline_corpus_filter" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,

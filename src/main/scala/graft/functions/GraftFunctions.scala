@@ -49,6 +49,8 @@ object GraftFunctions {
     GraftColumns.bloomMightContain(bloom, hashed64)
   /** Deterministic stub feature over a binary payload (§2.4 multimodal). */
   def byteFeature(payload: Column): Column = GraftColumns.byteFeature(payload)
+
+  def cdcChunks(payload: Column): Column = GraftColumns.cdcChunks(payload)
   /** Per-group bounded top-k of (score, id) — map-side partial, O(k) state. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftAggregates.topKByScore(score, id, k)

@@ -291,6 +291,53 @@ object GraftKernels {
     new GenericArrayData(out)
   }
 
+  /** 131^t for the CDC boundary window (t = 0..7). Full-precision longs:
+    * max rolling sum 8 · 255 · 131^7 ≈ 1.35e18 stays under Long.MaxValue,
+    * so both engines evaluate the identical exact integers (the DuckDB
+    * oracle pastes these literals).
+    */
+  private val CdcPow: Array[Long] = Array.iterate(1L, 8)(_ * 131L)
+
+  /** Content-defined chunking digest set (the LBFS/Venti binary-dedup
+    * shape): a chunk boundary falls wherever the degree-7 polynomial
+    * rolling hash of the trailing 8 bytes (base 131, exact Long) is
+    * ≡ 0 mod 7 — so boundaries are decided by CONTENT, and inserting or
+    * deleting bytes only re-cuts the chunks local to the edit, never the
+    * rest of the payload (a stride/offset scheme loses every downstream
+    * chunk). Each chunk is digested with FNV-1a-64; the DISTINCT digest
+    * set is the payload's signature. The mod-7 target (~7-byte chunks)
+    * matches this corpus's ~500-byte payloads at the production ratio of
+    * ~40-80 chunks per object — at real media scale the same code runs
+    * with a KB-scale target (the modulus is the knob). Digest-set sort
+    * order is engine-local (signed here, unsigned in the oracle): the set
+    * only feeds order-free intersections and bucket joins.
+    */
+  def cdcChunks(payload: Array[Byte]): ArrayData = {
+    val L = payload.length
+    if (L == 0) return new GenericArrayData(Array.empty[Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = 0
+    while (i < L) {
+      var boundary = i == L - 1
+      if (!boundary && i >= 7) {
+        var h = 0L
+        var t = 0
+        while (t < 8) { h += (payload(i - t) & 0xff).toLong * CdcPow(t); t += 1 }
+        boundary = h % 7 == 0
+      }
+      if (boundary) {
+        var hash = 0xcbf29ce484222325L
+        var p = start
+        while (p <= i) { hash = (hash ^ (payload(p) & 0xffL)) * 0x100000001b3L; p += 1 }
+        out += hash
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.distinct.sorted.toArray)
+  }
+
   /** Deterministic stand-in for a decoded-media feature: byte histogram sum.
     * The real decoder (image/audio libs) is intentionally stubbed; the
     * Spark-side plumbing (binary column in, fixed-width feature out) is real.

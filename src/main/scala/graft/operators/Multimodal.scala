@@ -194,6 +194,73 @@ object Multimodal {
     * shuffle (lag window partitioned by doc_id), map-side-combined final
     * aggregate riding the same partitioning.
     */
+  /** §2.4 mm_cdc_neardup: content-defined-chunking near-dup detection over
+    * opaque media payloads — the storage-dedup / fuzzy-hash shape
+    * (LBFS/Venti, ssdeep's ancestor) that catches re-encodes differing by
+    * LOCALIZED byte edits anywhere in the stream. Position-defined schemes
+    * (fixed blocks, strides) lose every chunk downstream of an insertion;
+    * CDC boundaries are decided by content ([[GraftKernels.cdcChunks]]), so
+    * an edit re-cuts only its neighborhood and the rest of the digest set
+    * survives. Verified against a twin corpus: every payload gets a
+    * re-encode twin with one byte REPLACED mid-stream and a 3-byte tail
+    * APPENDED — both perturbations at once, either of which defeats
+    * fixed-offset blocking.
+    *
+    * Pipeline (the 100 TB shape): chunking + digesting is one map-side
+    * pass per payload; only 8-byte digests ever shuffle (payload bytes
+    * stay in the scan); candidates come from a df-capped (2..16) digest
+    * inverted index — the cap kills pathological common-chunk cliques
+    * (the dedup_containment argument) while any truly-similar pair still
+    * shares plenty of rare chunks; exact Jaccard reranks candidates only.
+    * All outputs are exact integers (shared/union counts + millionths by
+    * integer division) — no float crosses engines. Misses are confined to
+    * payloads with ≤~11 chunks (calibrated at sf0.01: 492/500 twins at
+    * J ≥ 0.5), the honest CDC granularity floor — at media scale the
+    * chunk-size knob moves, the code does not.
+    */
+  def mmCdcNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // re-encode twin: replace the middle byte with 'X', append " v2"
+    val twin = base.selectExpr("doc_id + 3000000 AS doc_id",
+      """concat(
+           substring(payload, 1, greatest(length(payload) div 2, 1) - 1),
+           cast('X' as binary),
+           substring(payload, greatest(length(payload) div 2, 1) + 1,
+                     length(payload)),
+           cast(' v2' as binary)) AS payload""")
+    // persist + EAGER count (see dedupMinhashLsh): the inverted index and
+    // both rerank joins consume sigs concurrently; the barrier also stops
+    // CollapseProject duplicating the chunking kernel per consumer.
+    // repartition first: single-row-group testdata parquet would run the
+    // whole per-payload kernel pipeline in one task.
+    val sigs = base.unionAll(twin)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), GraftFunctions.cdcChunks(col("payload")).as("digs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val cand = sigs
+      .select(col("doc_id"), explode(col("digs")).as("dig"))
+      .groupBy(col("dig"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 16))
+      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("i"), col("digs").as("digs_i")), Seq("i"))
+      .join(sigs.select(col("doc_id").as("j"), col("digs").as("digs_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        size(array_intersect(col("digs_i"), col("digs_j"))).as("inter"),
+        size(col("digs_i")).as("na"), size(col("digs_j")).as("nb"))
+      .selectExpr("i", "j", "cast(inter AS bigint) AS n_shared",
+        "cast(na + nb - inter AS bigint) AS n_union")
+      .filter(col("n_shared") * 2 >= col("n_union"))
+      .selectExpr("i", "j", "n_shared", "n_union",
+        "(1000000 * n_shared) div n_union AS jmil")
+      .orderBy(col("i"), col("j"))
+  }
+
   def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))

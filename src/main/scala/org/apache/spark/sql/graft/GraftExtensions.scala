@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_byte_feature", "graft_byte_feature(bin) - deterministic stub media feature"),
       (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_byte_feature"); ByteFeature(c(0)) }))
 
+    ext.injectFunction((FunctionIdentifier("graft_cdc_chunks"),
+      info("graft_cdc_chunks", "graft_cdc_chunks(bin) - content-defined chunk digest set (sorted distinct FNV-1a-64)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_cdc_chunks"); CdcChunks(c(0)) }))
+
     ext.injectFunction((FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(score, id, k) - per-group bounded top-k as array<struct>"),
       (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_top_k"); TopKByScore(c(0), c(1), intLit(c(2), "k")) }))

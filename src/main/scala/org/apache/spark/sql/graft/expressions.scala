@@ -282,6 +282,25 @@ case class ByteFeature(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** cdc_chunks(binary) → array<long>: sorted distinct FNV-1a-64 digests of
+  * the payload's content-defined chunks (§2.4 mm_cdc_neardup). Codegen'd —
+  * the rolling-hash + digest loops run inside WholeStageCodegen via a
+  * static kernel call.
+  */
+case class CdcChunks(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.cdcChunks(v.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.cdcChunks($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** pairs(array<T>) → rows (i: T, j: T), every unordered element pair of a
   * SORTED array with i before j — a custom [[Generator]] that STREAMS the
   * b·(b-1)/2 pairs of a b-element LSH bucket lazily instead of first
@@ -371,4 +390,5 @@ object GraftColumns {
   def histL1(a: Column, b: Column): Column = col(HistL1(ex(a), ex(b)))
   def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
+  def cdcChunks(payload: Column): Column = col(CdcChunks(ex(payload)))
 }

@@ -119,4 +119,41 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(sims.length === 5 && sims.forall(s => math.abs(s - 1.0) < 1e-9))
   }
+
+  test("mm_cdc_neardup: CDC chunk digests are edit-local; fixed blocks are not") {
+    import scala.jdk.CollectionConverters._
+    def digs(p: Array[Byte]): Set[Long] =
+      GraftKernels.cdcChunks(p).toLongArray().toSet
+    val texts = Tables.documents(spark, TestSpark.sfDir)
+      .filter(length(col("text")) > 300)
+      .orderBy(col("doc_id")).limit(20)
+      .select(col("text")).collect().map(_.getString(0))
+    assert(texts.length === 20)
+    for (t <- texts) {
+      val p = t.getBytes("UTF-8")
+      // the operator's twin: one byte replaced mid-stream + 3 appended
+      val mid = math.max(p.length / 2, 1)
+      val twin = (p.take(mid - 1) :+ 'X'.toByte) ++ p.drop(mid) ++
+        " v2".getBytes("UTF-8")
+      val (a, b) = (digs(p), digs(twin))
+      val inter = (a & b).size
+      val union = a.size + b.size - inter
+      // edit-locality: the mid-edit re-cuts its neighborhood, the append
+      // re-cuts the tail; everything else survives → J well above 0.5
+      assert(2 * inter >= union,
+        s"CDC twin Jaccard below 0.5: $inter/$union (n=${a.size})")
+      // an INSERTION shifts all downstream offsets; CDC must not care:
+      // inserting 5 bytes at 1/4 depth still leaves a majority of chunks
+      val q = p.length / 4
+      val ins = p.take(q) ++ "ABCDE".getBytes("UTF-8") ++ p.drop(q)
+      val c = digs(ins)
+      val i2 = (a & c).size
+      val u2 = a.size + c.size - i2
+      assert(2 * i2 >= u2,
+        s"CDC insertion Jaccard below 0.5: $i2/$u2 (n=${a.size})")
+    }
+    // determinism + digest-set shape: sorted distinct longs
+    val one = GraftKernels.cdcChunks(texts.head.getBytes("UTF-8")).toLongArray()
+    assert(one.toSeq === one.sorted.toSeq && one.distinct.length === one.length)
+  }
 }
