@@ -55,6 +55,7 @@ object SparkEntry {
     "q14_promo_share" -> (Relational.q14PromoShare _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q_bloom_semi_join" -> (Relational.qBloomSemiJoin _),
+    "graph_pagerank" -> (Relational.graphPagerank _),
     "q_top_customers_per_nation" -> (Relational.qTopCustomersPerNation _),
     "q_order_priority_exists" -> (Relational.qOrderPriorityExists _),
     "q_customer_no_orders" -> (Relational.qCustomerNoOrders _),
@@ -199,8 +200,44 @@ object SparkEntry {
                          ::HUGEINT * 1099511628211::HUGEINT)
                        % 18446744073709551616::HUGEINT)"""
 
+  /** graph_pagerank's 10 exact-integer power-iteration steps as chained
+    * CTEs (DuckDB's recursive CTEs disallow aggregates in the recursive
+    * term, so the fixed iteration count is unrolled — same arithmetic as
+    * the Spark loop: (85·s) div (100·outdeg) per edge + 150000 teleport).
+    */
+  private def pagerankSteps(n: Int): String =
+    (1 to n).map { k =>
+      s"""pr$k AS (SELECT e.dst AS v,
+                  150000 + CAST(sum((85 * p.s) // (100 * e.outdeg))
+                                AS BIGINT) AS s
+                FROM pr${k - 1} p JOIN e ON e.src = p.v
+                GROUP BY e.dst)"""
+    }.mkString(",\n            ")
+
   /** DuckDB-equivalent SQL per query (the driver's correctness oracle). */
   def oracleSql: Map[String, String] = Map(
+    // node ids: customer 2k, supplier 2k+1; symmetric edges with outdeg
+    // baked in; 10 unrolled integer iterations mirror the Spark loop
+    "graph_pagerank" ->
+      s"""WITH cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+                        l.l_suppkey * 2 + 1 AS s
+                      FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey),
+            e0 AS (SELECT c AS src, s AS dst FROM cs
+                   UNION ALL
+                   SELECT s AS src, c AS dst FROM cs),
+            deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+            e AS (SELECT e0.src, e0.dst, deg.outdeg
+                  FROM e0 JOIN deg USING (src)),
+            pr0 AS (SELECT DISTINCT src AS v, 1000000::BIGINT AS s FROM e0),
+            ${pagerankSteps(10)}
+         SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                  AS node_type,
+                CAST(v // 2 AS BIGINT) AS entity_key,
+                s AS score_ppm
+         FROM pr10
+         ORDER BY score_ppm DESC, node_type, entity_key""",
+
     "q_nvd_count" ->
       s"""$nvdFeedCte
          SELECT count(item.cve.CVE_data_meta.ID) AS cve_count FROM f""",

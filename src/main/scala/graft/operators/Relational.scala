@@ -1351,4 +1351,66 @@ object Relational {
         sum(discPrice).cast("double").as("revenue"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** §2.2 graph_pagerank: PageRank over the symmetric customer↔supplier
+    * commerce graph (an edge wherever a customer's order carries a
+    * supplier's line item) — "which entities anchor the trading network",
+    * the canonical iterative-graph workload (Page et al. 1999; Pregel's
+    * running example) the suite otherwise lacks. Node ids disambiguate
+    * the bipartite sides arithmetically (customer 2k, supplier 2k+1).
+    *
+    * EXACT integer arithmetic end to end: scores live in millionths
+    * (start 1,000,000 per node), each edge contributes
+    * (85·s) div (100·outdeg) — damping 0.85 as integer ratio, floor
+    * division on both engines — plus the 150,000 teleport term, 10
+    * fixed iterations, so no float ever decides a score and the DuckDB
+    * oracle (the same 10 steps as chained CTEs) matches bit-for-bit.
+    * The symmetric edge set means every node has outdeg ≥ 1 — no
+    * dangling-mass correction term to diverge on.
+    *
+    * Scale shape: the edge relation (with outdeg baked in) is computed
+    * once, persisted, and EAGERLY materialized (CLAUDE.md: multi-consumer
+    * cache); each of the 10 rounds is one join (scores × edges on src)
+    * + one map-side-combined groupBy(dst) — the Pregel step — with the
+    * round result cut to O(1) lineage by an EAGER localCheckpoint
+    * (never persist/unpersist chains: see dedupCluster). At 100 TB the
+    * same loop runs with both sides bucketed by node id so the per-round
+    * join is co-located; rounds stay 10 regardless of data size.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    val edges = edges0
+      .join(edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // EAGER: 10 rounds consume this cache
+    var scores = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(1000000L).as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to 10) {
+      scores = scores
+        .join(edges, col("v") === col("src"))
+        .select(col("dst"),
+          expr("(85 * s) div (100 * outdeg)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("contrib"))).as("s"))
+        .select(col("dst").as("v"), col("s"))
+        .localCheckpoint() // round barrier: O(1) lineage per iteration
+    }
+    scores
+      .select(
+        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("v div 2").cast("bigint").as("entity_key"),
+        col("s").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("node_type"), col("entity_key"))
+  }
 }
