@@ -160,6 +160,7 @@ object SparkEntry {
     "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
     "mm_scene_cut" -> (Multimodal.mmSceneCut _),
     "mm_cdc_neardup" -> (Multimodal.mmCdcNeardup _),
+    "mm_cdc_incremental" -> (Multimodal.mmCdcIncremental _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -214,8 +215,61 @@ object SparkEntry {
                 GROUP BY e.dst)"""
     }.mkString(",\n            ")
 
+  /** The CDC chunk-digest CTE pair shared by mm_cdc_neardup and
+    * mm_cdc_incremental: expects a CTE `u(doc_id, bytes)` in scope and
+    * yields `ch(doc_id, digs)` — the exact mirror of
+    * [[graft.functions.GraftKernels.cdcChunks]] (base-131 degree-7
+    * rolling hash, full-precision 131^t literals, boundary ≡ 0 mod 7,
+    * forced boundary at the last byte, FNV-1a-64 digests mod 2^64).
+    */
+  private def cdcDigestsCte: String =
+    s"""bnd AS (
+              SELECT doc_id, bytes,
+                list_sort(list_distinct(list_concat(
+                  list_filter(range(8, len(bytes) + 1), i ->
+                    (bytes[(i)::INT]::BIGINT * 1
+                     + bytes[(i-1)::INT]::BIGINT * 131
+                     + bytes[(i-2)::INT]::BIGINT * 17161
+                     + bytes[(i-3)::INT]::BIGINT * 2248091
+                     + bytes[(i-4)::INT]::BIGINT * 294499921
+                     + bytes[(i-5)::INT]::BIGINT * 38579489651
+                     + bytes[(i-6)::INT]::BIGINT * 5053913144281
+                     + bytes[(i-7)::INT]::BIGINT * 662062621900811) % 7 = 0),
+                  [len(bytes)::BIGINT]))) AS bs
+              FROM u),
+            ch AS (
+              SELECT doc_id,
+                list_sort(list_distinct(list_transform(range(1, len(bs) + 1),
+                  k -> list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                      list_transform(
+                        list_slice(bytes,
+                          (CASE WHEN k = 1 THEN 0
+                                ELSE bs[(k-1)::INT] END)::INT + 1,
+                          bs[(k)::INT]::INT),
+                        b -> b::HUGEINT)),
+                    (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
+                                   ::HUGEINT * 1099511628211::HUGEINT)
+                                 % 18446744073709551616::HUGEINT)))) AS digs
+              FROM bnd)"""
+
   /** DuckDB-equivalent SQL per query (the driver's correctness oracle). */
   def oracleSql: Map[String, String] = Map(
+    // same chunking CTEs as mm_cdc_neardup (no twins); EXHAUSTIVE
+    // feed x warehouse scan - candidate losslessness is the graded claim
+    "mm_cdc_incremental" ->
+      s"""WITH u AS (SELECT doc_id, ${utf8BytesSql("text")} AS bytes
+                     FROM documents WHERE length(text) > 0),
+            $cdcDigestsCte,
+            wh AS (SELECT * FROM ch WHERE doc_id < 250),
+            feed AS (SELECT * FROM ch WHERE doc_id >= 250)
+         SELECT f.doc_id FROM feed f
+         WHERE NOT EXISTS (SELECT 1 FROM wh w
+           WHERE 2 * len(list_intersect(f.digs, w.digs))
+                 >= len(f.digs) + len(w.digs)
+                    - len(list_intersect(f.digs, w.digs)))
+         ORDER BY doc_id""",
+
     // node ids: customer 2k, supplier 2k+1; symmetric edges with outdeg
     // baked in; 10 unrolled integer iterations mirror the Spark loop
     "graph_pagerank" ->
@@ -1208,35 +1262,7 @@ object SparkEntry {
                              len(bytes))),
                   [32, 118, 50])
               FROM d0),
-            bnd AS (
-              SELECT doc_id, bytes,
-                list_sort(list_distinct(list_concat(
-                  list_filter(range(8, len(bytes) + 1), i ->
-                    (bytes[(i)::INT]::BIGINT * 1
-                     + bytes[(i-1)::INT]::BIGINT * 131
-                     + bytes[(i-2)::INT]::BIGINT * 17161
-                     + bytes[(i-3)::INT]::BIGINT * 2248091
-                     + bytes[(i-4)::INT]::BIGINT * 294499921
-                     + bytes[(i-5)::INT]::BIGINT * 38579489651
-                     + bytes[(i-6)::INT]::BIGINT * 5053913144281
-                     + bytes[(i-7)::INT]::BIGINT * 662062621900811) % 7 = 0),
-                  [len(bytes)::BIGINT]))) AS bs
-              FROM u),
-            ch AS (
-              SELECT doc_id,
-                list_sort(list_distinct(list_transform(range(1, len(bs) + 1),
-                  k -> list_reduce(
-                    list_prepend(14695981039346656037::HUGEINT,
-                      list_transform(
-                        list_slice(bytes,
-                          (CASE WHEN k = 1 THEN 0
-                                ELSE bs[(k-1)::INT] END)::INT + 1,
-                          bs[(k)::INT]::INT),
-                        b -> b::HUGEINT)),
-                    (acc, x) -> (xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT))
-                                   ::HUGEINT * 1099511628211::HUGEINT)
-                                 % 18446744073709551616::HUGEINT)))) AS digs
-              FROM bnd),
+            $cdcDigestsCte,
             inv AS (SELECT doc_id, unnest(digs) AS dig FROM ch),
             buck AS (SELECT dig FROM inv GROUP BY dig
                      HAVING count(*) BETWEEN 2 AND 16),

@@ -245,6 +245,44 @@ object StreamOps {
       }
       .start()
 
+  /** stream_cdc_dedup: CDC near-dup dedup applied online — the streaming
+    * twin of mm_cdc_incremental, same contract as [[minhashDedupSink]]:
+    * each micro-batch chunks through the SAME expression tree the batch
+    * operator uses ([[graft.operators.Multimodal.cdcSigs]]), digest-joins
+    * the STORED warehouse inverted index, reranks by exact integer
+    * Jaccard (≥ 0.5) against the stored digest sets, and only survivors
+    * land — after which their digests APPEND to the warehouse relations,
+    * so later batches dedup against earlier survivors too. A fresh-
+    * checkpoint replay appends nothing (every replayed payload matches
+    * itself at J = 1): exactly-once EFFECT on at-least-once delivery.
+    * Candidate recall is 1 by construction (shared-digest ⊇ J ≥ 0.5),
+    * so unlike the minhash twin there is no banding-recall caveat.
+    */
+  def cdcDedupSink(docs: DataFrame, whIndexDir: String, whSigsDir: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val sigs = graft.operators.Multimodal.cdcSigs(batch)
+        val dup = graft.operators.Multimodal.cdcIncrementalDup(
+          spark.read.parquet(whIndexDir), spark.read.parquet(whSigsDir), sigs)
+        // materialization barrier (see warehouseSink): the appends below
+        // write into directories the anti-join lazily reads
+        val surv = sigs.join(dup, Seq("doc_id"), "left_anti").checkpoint()
+        if (surv.count() > 0) {
+          surv.select(explode(col("digs")).as("dig"), col("doc_id"))
+            .write.mode("append").parquet(whIndexDir)
+          surv.select(col("doc_id"), col("digs"))
+            .write.mode("append").parquet(whSigsDir)
+          surv.select(col("doc_id")).write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   /** stream_dedup: exact dedup by event_id with bounded state —
     * `dropDuplicatesWithinWatermark` keeps an id only until the watermark
     * passes it, so state never grows with the full history (the streaming

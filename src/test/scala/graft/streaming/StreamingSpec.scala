@@ -428,4 +428,92 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
     assert(spark.read.parquet(outDir).count() === before)
   }
+
+  test("stream_cdc_dedup: online CDC near-dup dedup equals the sequential " +
+      "batch decomposition, catches perturbed re-encodes, and replays " +
+      "idempotently") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Multimodal
+
+    def payloads(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .filter(length(col("text")) > 300)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") < 25)
+    val standingTexts = standing.orderBy(col("doc_id"))
+      .limit(2).select(col("text")).as[String].collect()
+    // the mm_cdc_neardup twin perturbation: mid char replaced + tail
+    // appended — a re-encode no exact fingerprint catches
+    def perturb(t: String): String = {
+      val m = math.max(t.length / 2, 1)
+      t.substring(0, m - 1) + "X" + t.substring(m) + " v2"
+    }
+    val arr = docs.filter(col("doc_id") >= 25 && col("doc_id") < 60)
+      .as[(Long, String)].collect().toSeq
+    val (h1, h2) = arr.splitAt(arr.size / 2)
+    val fresh1 = (1999L, (0 until 40).map(i => s"qq$i").mkString(" "))
+    // batch 1: half the feed, a verbatim copy AND a perturbed re-encode
+    // of standing docs (both must drop), one fresh doc (must survive)
+    val b1 = h1 ++ Seq((1000L, standingTexts(0)),
+      (1001L, perturb(standingTexts(1))), fresh1)
+    // batch 2: the rest, a PERTURBED copy of batch 1's fresh survivor
+    // (must drop: survivors entered the warehouse) and a fresh doc
+    val b2 = h2 :+ (2000L, perturb(fresh1._2)) :+
+      (2001L, (0 until 40).map(i => s"zz$i").mkString(" "))
+
+    val base = TestSpark.tmpDir("cdc_stream")
+    val idxDir = s"$base/index"
+    val sigsDir = s"$base/sigs"
+    val outDir = s"$base/survivors"
+    val sk0 = Multimodal.cdcSigs(payloads(standing))
+    sk0.select(explode(col("digs")).as("dig"), col("doc_id"))
+      .write.parquet(idxDir)
+    sk0.select(col("doc_id"), col("digs")).write.parquet(sigsDir)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.cdcDedupSink(
+      payloads(stream.toDF().toDF("doc_id", "text")),
+      idxDir, sigsDir, outDir, TestSpark.tmpDir("cdc_stream_ck1"))
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).as[Long].collect().toSet
+
+    // sequential reference: the batch decomposition load by load
+    var whIdx = sk0.select(explode(col("digs")).as("dig"), col("doc_id"))
+    var whSigs = sk0.select(col("doc_id"), col("digs"))
+    var expected = Set.empty[Long]
+    for (chunk <- Seq(b1, b2)) {
+      val sk = Multimodal.cdcSigs(payloads(chunk.toDF("doc_id", "text")))
+      val dup = Multimodal.cdcIncrementalDup(whIdx, whSigs, sk)
+      val surv = sk.join(dup, Seq("doc_id"), "left_anti").localCheckpoint()
+      expected ++= surv.select(col("doc_id")).as[Long].collect()
+      whIdx = whIdx.unionAll(
+        surv.select(explode(col("digs")).as("dig"), col("doc_id")))
+      whSigs = whSigs.unionAll(surv.select(col("doc_id"), col("digs")))
+    }
+    assert(streamed === expected)
+    // verbatim copy AND perturbed re-encode of standing docs dropped;
+    // fresh docs survived; perturbed copy of a batch-1 survivor dropped
+    assert(!streamed.contains(1000L) && !streamed.contains(1001L))
+    assert(streamed.contains(1999L) && streamed.contains(2001L))
+    assert(!streamed.contains(2000L))
+
+    // fresh checkpoint = full replay: nothing appends (J = 1 vs self)
+    val before = spark.read.parquet(outDir).count()
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.cdcDedupSink(
+      payloads(stream2.toDF().toDF("doc_id", "text")),
+      idxDir, sigsDir, outDir, TestSpark.tmpDir("cdc_stream_ck2"))
+    try {
+      stream2.addData(b1 ++ b2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(outDir).count() === before)
+  }
 }
