@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-warehouse helpers (SURVEY §4): pre-shuffle a fact table ONCE at
   * write time so every subsequent equi-join or aggregation on the bucket
@@ -43,6 +44,53 @@ object Warehouse {
       key: (String, String)): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(key._1) === spark.table(right)(key._2))
+
+  /** Morton (Z-order) interleave of two 10-bit bucket columns → a 20-bit
+    * curve position. Pure built-in bit ops, so the whole projection stays
+    * inside WholeStageCodegen — no kernel needed.
+    */
+  private def morton10(a: Column, b: Column): Column =
+    (0 until 10).map { bit =>
+      (shiftleft(shiftrightunsigned(a, bit).bitwiseAND(lit(1)), 2 * bit + 1))
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b, bit).bitwiseAND(lit(1)), 2 * bit))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-order layout rewrite: cluster a table on the Morton interleave of
+    * TWO dimensions so range predicates on EITHER (or both) prune files —
+    * the multi-dimensional complement of `bucketize`'s single-key sort.
+    * A ts-sorted layout answers ts ranges from few files but scatters any
+    * user_id range across ALL of them; the Z-curve keeps both dimensions
+    * coherent per file (each file covers a contiguous curve segment ≈ a
+    * rectangle stack in (a, b) space), which is what lets a 100 TB scan
+    * skip row groups on min/max stats for every leading-dimension-free
+    * predicate. Dimensions are min/max-scaled to 10-bit buckets via one
+    * tiny 1-row aggregate (exact integer arithmetic, `div` both ends);
+    * at production scale the bucket boundaries come from quantiles
+    * instead when a dimension is heavily skewed — the interleave and the
+    * range-partitioned write are unchanged. WarehouseSpec measures the
+    * claim: files whose (min, max) span contains matching rows, z-layout
+    * vs time-sorted layout, on a user-range predicate.
+    */
+  def zorderWrite(df: DataFrame, dimA: String, dimB: String, outDir: String,
+      nFiles: Int): Unit = {
+    val stats = df.agg(
+      min(col(dimA)).cast("long").as("amin"),
+      max(col(dimA)).cast("long").as("amax"),
+      min(col(dimB)).cast("long").as("bmin"),
+      max(col(dimB)).cast("long").as("bmax")).collect()(0)
+    val (amin, amax) = (stats.getLong(0), stats.getLong(1))
+    val (bmin, bmax) = (stats.getLong(2), stats.getLong(3))
+    def bucket(cn: String, lo: Long, hi: Long): Column = expr(
+      s"cast(((cast($cn as bigint) - ${lo}L) * 1024) div ${hi - lo + 1}L as int)")
+    val z = morton10(
+      bucket(dimA, amin, amax), bucket(dimB, bmin, bmax))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
 
   /** Small-file compaction for a parquet directory — the standing
     * maintenance task of any incrementally-appended warehouse (the

@@ -79,4 +79,54 @@ class WarehouseSpec extends AnyFunSuite {
     assert(after.agg(sum(col("event_id")), sum(col("user_id")))
       .collect()(0) === checksumBefore)
   }
+
+  test("zorder: a user-range predicate touches far fewer files than on a " +
+      "time-sorted layout, losslessly") {
+    val events = graft.Tables.events(spark, graft.TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val nFiles = 16
+    val zDir = graft.TestSpark.tmpDir("wh_zorder")
+    val tDir = graft.TestSpark.tmpDir("wh_tsorted")
+    Warehouse.zorderWrite(events, "user_id", "ts", zDir, nFiles)
+    // the 1-D baseline every warehouse starts with: range-sorted by time
+    events.repartitionByRange(nFiles, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(tDir)
+
+    // lossless rewrite
+    val z = spark.read.parquet(zDir)
+    assert(z.count() === events.count())
+    assert(z.agg(sum(col("event_id"))).collect()(0) ===
+      events.agg(sum(col("event_id"))).collect()(0))
+
+    // files whose CONTENT matches a selective user range — the file-skip
+    // proxy (parquet min/max stats prune exactly the non-matching ones)
+    def filesTouched(dir: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col("user_id"))
+        .filter(col("user_id").between(lo, hi))
+        .select(col("f")).distinct().count()
+    val (lo, hi) = (3L, 4L) // 2 of the 15 users at this SF (~13%)
+    val zTouched = filesTouched(zDir, lo, hi)
+    val tTouched = filesTouched(tDir, lo, hi)
+    // time-sort scatters every user across ~all files; the Z-curve keeps
+    // the user dimension coherent per file
+    assert(tTouched >= nFiles - 2,
+      s"baseline should scatter the range over ~all files: $tTouched")
+    assert(zTouched * 2 <= tTouched,
+      s"z-order should halve files touched: z=$zTouched t=$tTouched")
+    // and the time dimension must not be sacrificed: a ~2-day slice still
+    // skips most z-files (curve segments are rectangle stacks, not
+    // time-scattered shuffles)
+    val tsStats = events.agg(min(col("ts")).cast("long"),
+      max(col("ts")).cast("long")).collect()(0)
+    val (t0, t1) = (tsStats.getLong(0), tsStats.getLong(1))
+    val span = t1 - t0
+    val zTs = spark.read.parquet(zDir)
+      .select(input_file_name().as("f"), col("ts"))
+      .filter(col("ts").cast("long").between(t0, t0 + span / 32))
+      .select(col("f")).distinct().count()
+    assert(zTs <= nFiles / 2,
+      s"a 1/32 time slice should skip at least half the z-files: $zTs")
+  }
 }
