@@ -1396,8 +1396,14 @@ object Relational {
       .select(col("v"), lit(1000000L).as("s"))
       .localCheckpoint()
     for (_ <- 1 to 10) {
-      scores = scores
-        .join(edges, col("v") === col("src"))
+      // scores BROADCAST into the stationary edge cache: the per-round
+      // edge relation never moves (a sort-merge join would re-shuffle
+      // every edge every round — 10× the data motion for a table of
+      // |V| slim rows). At crawl scale, where scores outgrow broadcast,
+      // this flips to both sides bucketed by node id — the edges still
+      // move ZERO times; only the partitioner changes.
+      scores = edges
+        .join(broadcast(scores), col("src") === col("v"))
         .select(col("dst"),
           expr("(85 * s) div (100 * outdeg)").as("contrib"))
         .groupBy(col("dst"))

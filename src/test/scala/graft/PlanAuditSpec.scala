@@ -184,6 +184,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "HashAggregate") >= 4, p)
   }
 
+  test("mm_scene_cut / q_events_changepoint: all windows share ONE data shuffle") {
+    // scene_cut: explode + lag + final agg all ride the doc_id
+    // partitioning; changepoint: running-sum, partition-total, and argmax
+    // windows all ride the event_type partitioning. One hash exchange
+    // each (the orderBy adds a range exchange) — a second would mean a
+    // window lost the shared partitioning.
+    for (q <- Seq("mm_scene_cut", "q_events_changepoint")) {
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") === 1, s"$q:\n$p")
+    }
+  }
+
+  test("mm_cdc_neardup / mm_cdc_incremental: payload bytes never shuffle") {
+    // chunking digests map-side out of the cached signature relation;
+    // every exchange carries digests/ids only — payload (binary) and its
+    // source text stay in the scan
+    for (q <- Seq("mm_cdc_neardup", "mm_cdc_incremental")) {
+      val p = plan(q)
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString
+      assert(!exchanges.contains("payload#") && !exchanges.contains("text#"),
+        s"$q exchanges carry payload/text:\n$exchanges")
+    }
+  }
+
   test("custom expressions run inside WholeStageCodegen spans") {
     // the fingerprint kernel is a custom Catalyst expression with
     // doGenCode — its Project must carry the codegen marker (*), proving
