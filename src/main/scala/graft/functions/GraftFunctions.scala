@@ -51,6 +51,9 @@ object GraftFunctions {
   def byteFeature(payload: Column): Column = GraftColumns.byteFeature(payload)
 
   def cdcChunks(payload: Column): Column = GraftColumns.cdcChunks(payload)
+
+  def misraGries(item: Column, k: Int): Column =
+    org.apache.spark.sql.graft.GraftAggregates.misraGries(item, k)
   /** Per-group bounded top-k of (score, id) — map-side partial, O(k) state. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftAggregates.topKByScore(score, id, k)

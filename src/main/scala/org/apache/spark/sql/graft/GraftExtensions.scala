@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_cdc_chunks", "graft_cdc_chunks(bin) - content-defined chunk digest set (sorted distinct FNV-1a-64)"),
       (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_cdc_chunks"); CdcChunks(c(0)) }))
 
+    ext.injectFunction((FunctionIdentifier("graft_misra_gries"),
+      info("graft_misra_gries", "graft_misra_gries(item, k) - Misra-Gries heavy hitters, k-1 counters, n/k error bound"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_misra_gries")
+        MisraGries(c(0), intLit(c(1), "k")).toAggregateExpression() }))
+
     ext.injectFunction((FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(score, id, k) - per-group bounded top-k as array<struct>"),
       (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_top_k"); TopKByScore(c(0), c(1), intLit(c(2), "k")) }))

@@ -62,4 +62,47 @@ class SketchSpec extends AnyFunSuite {
         s"$et p95 rank off by more than $tol of $n")
     }
   }
+
+  test("misra_gries: lower-bound estimates within n/k of exact; every item " +
+      "above n/k frequency surfaces; guarantee survives any partitioning") {
+    import graft.functions.GraftFunctions
+    // a genuinely heavy-tailed stream: document tokens (vocabulary far
+    // larger than the k-1 counters, so decrements really happen)
+    val toks = Tables.documents(spark, TestSpark.sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy(col("tok")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 20
+    for (parts <- Seq(3, 17)) {
+      val mg = toks.repartition(parts)
+        .agg(GraftFunctions.misraGries(col("tok"), k).as("hh"))
+        .selectExpr("inline(hh)")
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(mg.nonEmpty && mg.length <= k - 1)
+      // guarantee 1: estimates are lower bounds, short by at most n/k
+      mg.foreach { case (item, est) =>
+        val t = exact(item)
+        assert(est <= t, s"$item: est $est above true $t")
+        assert(t - est <= n / k, s"$item: est $est short of $t by > n/$k")
+      }
+      // guarantee 2: anything with true frequency > n/k must be present
+      val kept = mg.map(_._1).toSet
+      exact.filter(_._2 > n / k).keys.foreach { hot =>
+        assert(kept.contains(hot), s"heavy item $hot missing (parts=$parts)")
+      }
+    }
+    // SQL surface reaches the same aggregate
+    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("mg_docs")
+    val viaSql = spark.sql(
+      s"""SELECT inline(graft_misra_gries(tok, $k)) FROM (
+            SELECT explode(split(text, ' ')) AS tok FROM mg_docs) t
+          WHERE length(tok) > 0""").collect()
+    assert(viaSql.nonEmpty && viaSql.length <= k - 1)
+    viaSql.foreach { r =>
+      val (item, est) = (r.getString(0), r.getLong(1))
+      assert(est <= exact(item) && exact(item) - est <= n / k)
+    }
+  }
 }
