@@ -72,4 +72,48 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     // nothing in the final corpus is a non-canonical duplicate
     assert(corpus.filter(col("doc_id") =!= col("canonical_id")).count() === 0)
   }
+
+  test("multimodal chain: CDC near-dup pairs agree with incremental drops; " +
+      "scene map bounds per-shot sampling") {
+    import graft.operators.Multimodal
+    // (1) the pairwise operator and the incremental operator must tell
+    // one story: a feed doc dropped by mm_cdc_incremental (J ≥ 0.5 vs
+    // some warehouse doc) must appear in an mm_cdc_neardup-style pair
+    // with a warehouse doc under the SAME threshold, and vice versa
+    val base = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val sigs = Multimodal.cdcSigs(base).localCheckpoint()
+    val wh = sigs.filter(col("doc_id") < 250)
+    val feed = sigs.filter(col("doc_id") >= 250)
+    val dropped = feed.select(col("doc_id"))
+      .join(Multimodal.mmCdcIncremental(spark, dir), Seq("doc_id"),
+        "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val crossPairs = wh.select(col("doc_id").as("w"), col("digs").as("dw"))
+      .crossJoin(feed.select(col("doc_id").as("f"), col("digs").as("df")))
+      .select(col("f"),
+        size(array_intersect(col("dw"), col("df"))).as("i"),
+        (size(col("dw")) + size(col("df"))).as("t"))
+      .filter(col("i") * 2 >= col("t") - col("i"))
+      .select(col("f")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped === crossPairs,
+      s"incremental drops disagree with pairwise: ${dropped.diff(crossPairs)} / ${crossPairs.diff(dropped)}")
+
+    // (2) the scene map is a valid sampling contract: cut indices lie
+    // inside the frame range, and n_cuts ≤ n_frames - 1 (a cut needs a
+    // predecessor); a per-shot sampler taking frame 0 + each first_cut
+    // reads only existing frames
+    val scenes = Multimodal.mmSceneCut(spark, dir)
+    assert(scenes.filter(col("n_cuts") > col("n_frames") - 1).count() === 0)
+    assert(scenes.filter(col("first_cut").isNotNull &&
+      (col("first_cut") < 1 || col("first_cut") >= col("n_frames")))
+      .count() === 0)
+    // frame counts agree with the frame-feature explosion — same framing
+    val ff = Multimodal.mmFrameFeatures(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    assert(scenes.join(ff, Seq("doc_id"))
+      .filter(col("n_frames") =!= col("nf")).count() === 0)
+  }
 }
