@@ -159,6 +159,7 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.mmDedup _),
     "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
     "mm_scene_cut" -> (Multimodal.mmSceneCut _),
+    "mm_shot_sample" -> (Multimodal.mmShotSample _),
     "mm_cdc_neardup" -> (Multimodal.mmCdcNeardup _),
     "mm_cdc_incremental" -> (Multimodal.mmCdcIncremental _),
   )
@@ -1237,6 +1238,43 @@ object SparkEntry {
                          AND abs(feature - pf) > 1000
                          THEN frame_idx END) AS first_cut
          FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    // same frame/cut CTEs as mm_scene_cut + a running cut count: shot_id
+    // at a cut row includes its own cut, so every cut frame OPENS a shot;
+    // keyframes = frame 0 + each cut frame (one row per shot, exactly)
+    "mm_shot_sample" ->
+      s"""WITH b AS (SELECT doc_id, ${utf8BytesSql("text")} AS bytes
+                     FROM documents WHERE length(text) > 0),
+               t AS (SELECT doc_id, bytes,
+                         CAST(ceil(len(bytes) / 32.0) AS INTEGER) AS nf
+                     FROM b),
+               e AS (SELECT doc_id, bytes, unnest(range(1, nf + 1)) AS f
+                     FROM t),
+               fr AS (SELECT doc_id, CAST(f - 1 AS BIGINT) AS frame_idx,
+                          bytes[(f - 1) * 32 + 1 : (f - 1) * 32 + 32] AS fr
+                      FROM e),
+               ft AS (SELECT doc_id, frame_idx, len(fr) AS fl,
+                          CAST(list_sum(list_transform(range(1, len(fr) + 1),
+                            i -> fr[i] * ((i - 1) % 7 + 1))) AS BIGINT)
+                            AS feature
+                      FROM fr),
+               d AS (SELECT doc_id, frame_idx, fl, feature,
+                         lag(feature) OVER w AS pf, lag(fl) OVER w AS pfl
+                     FROM ft
+                     WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+               s AS (SELECT doc_id, frame_idx, feature,
+                         CAST(sum(CASE WHEN fl = 32 AND pfl = 32
+                                       AND abs(feature - pf) > 1000
+                                       THEN 1 ELSE 0 END) OVER w2 AS BIGINT)
+                           AS shot_id,
+                         CASE WHEN (fl = 32 AND pfl = 32
+                                    AND abs(feature - pf) > 1000)
+                                   OR frame_idx = 0
+                              THEN 1 ELSE 0 END AS is_key
+                     FROM d
+                     WINDOW w2 AS (PARTITION BY doc_id ORDER BY frame_idx))
+         SELECT doc_id, shot_id, frame_idx AS key_frame, feature
+         FROM s WHERE is_key = 1 ORDER BY doc_id, shot_id""",
 
     // CDC chunking mirrored exactly: base-131 degree-7 rolling hash (the
     // 131^t literals are full-precision — max sum 8·255·131^7 ≈ 1.35e18

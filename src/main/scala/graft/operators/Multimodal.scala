@@ -329,6 +329,46 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 mm_shot_sample: PER-SHOT frame sampling — the sampler
+    * mm_scene_cut's scene map exists for. A fixed-stride sampler
+    * (mm_frame_sample) over-samples static scenes and skips short ones
+    * entirely; sampling the FIRST frame of every shot yields one
+    * representative per scene regardless of scene length — the standard
+    * keyframe-extraction shape. Shot ids are the running count of cut
+    * flags (same cut decision as mm_scene_cut, |Δfeature| > 1000 between
+    * consecutive full frames), so this operator and the scene map can
+    * never disagree. All-integer outputs; ONE shuffle (the doc_id lag/
+    * running-sum windows share it) and the keyframe filter collapses the
+    * stream to one row per shot before the output sort.
+    */
+  def mmShotSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val isCut = col("fl") === 32 && col("pfl") === 32 &&
+      abs(col("feature") - col("pf")) > 1000
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, cast(ceil(length(payload) / 32.0) AS INT)),
+             f -> substring(payload, (f - 1) * 32 + 1, 32))""")))
+      .toDF("doc_id", "pos", "frame")
+      .select(col("doc_id"), col("pos").cast("bigint").as("frame_idx"),
+        length(col("frame")).as("fl"),
+        expr("graft_byte_feature(frame)").as("feature"))
+      .select(col("doc_id"), col("frame_idx"), col("fl"), col("feature"),
+        lag(col("feature"), 1).over(w).as("pf"),
+        lag(col("fl"), 1).over(w).as("pfl"))
+      .select(col("doc_id"), col("frame_idx"), col("feature"),
+        sum(when(isCut, 1L).otherwise(0L)).over(w).as("shot_id"),
+        when(isCut || col("frame_idx") === 0, lit(1)).otherwise(lit(0))
+          .as("is_key"))
+      .filter(col("is_key") === 1)
+      .select(col("doc_id"), col("shot_id"),
+        col("frame_idx").as("key_frame"), col("feature"))
+      .orderBy(col("doc_id"), col("shot_id"))
+  }
+
   def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
