@@ -170,6 +170,17 @@ object SparkEntry {
          FROM read_json('${graft.sources.NvdEtl.FixtureAbsPath}',
                         maximum_object_size=104857600))"""
 
+  /** DuckDB fragment: dotted version packed to the exact integer rank
+    * major·10⁶ + minor·10³ + patch — the verbatim mirror of
+    * [[graft.operators.Nvd]]'s `vnum` (missing components rank 0, so
+    * "5.4" ≡ "5.4.0"). Applied only to non-NULL well-formed versions;
+    * string_split's out-of-range index is NULL on both engines.
+    */
+  private def dvnum(e: String): String =
+    s"""(COALESCE(CAST(string_split($e, '.')[1] AS BIGINT), 0) * 1000000
+        + COALESCE(CAST(string_split($e, '.')[2] AS BIGINT), 0) * 1000
+        + COALESCE(CAST(string_split($e, '.')[3] AS BIGINT), 0))"""
+
   /** DuckDB fragment: FNV-1a64 fold over the UTF-8 BYTES of `col`.
     * `split(col,'')` yields characters, so a plain `unicode(c)` fold would
     * hash code points while `GraftKernels.fingerprint64` hashes UTF-8
@@ -386,13 +397,23 @@ object SparkEntry {
                    x -> x IS NOT NULL))) AS m FROM f)
          SELECT string_split(m.cpe23Uri, ':')[4] AS vendor,
                 count(*) AS n_matches,
-                count(m.versionEndExcluding) AS n_ranged,
+                sum(CASE WHEN m.versionEndExcluding IS NOT NULL
+                          OR m.versionEndIncluding IS NOT NULL
+                          OR m.versionStartIncluding IS NOT NULL
+                          OR m.versionStartExcluding IS NOT NULL
+                         THEN 1 ELSE 0 END) AS n_ranged,
+                count(m.versionEndExcluding) AS n_end_excl,
+                count(m.versionEndIncluding) AS n_end_incl,
+                count(m.versionStartIncluding) AS n_start_incl,
+                count(m.versionStartExcluding) AS n_start_excl,
                 max(m.versionEndExcluding) AS max_end_version
          FROM m GROUP BY vendor
          ORDER BY vendor NULLS LAST""",
 
     // probe VALUES are the verbatim mirror of Nvd.VersionProbes; version
-    // rank = major*100 + minor in exact integers on both sides
+    // rank = major*10^6 + minor*10^3 + patch in exact integers on both
+    // sides (dvnum ≡ Nvd.vnum); the interval test reads all four
+    // schema.json bounds, each applying only when present
     "q_nvd_version_match" ->
       s"""$nvdFeedCte,
            t AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
@@ -405,34 +426,39 @@ object SparkEntry {
                      x -> x IS NOT NULL))) AS ch FROM f),
            c AS (SELECT cve_id, unnest(ch.cpe_match) AS m FROM c0
                  WHERE ch.cpe_match IS NOT NULL),
-           -- DuckDB infers the CHILD cpe_match struct without
-           -- versionEndExcluding (no child match in the fixture carries
-           -- one), so the branches project their own fields before the
-           -- union; Spark's schema-driven read yields NULL there, which
-           -- the literal mirrors
            m AS (SELECT cve_id,
                    string_split(m.cpe23Uri, ':')[5] AS product,
                    string_split(m.cpe23Uri, ':')[6] AS uver,
-                   m.versionEndExcluding AS vend
+                   m.versionEndExcluding AS ee,
+                   m.versionEndIncluding AS ei,
+                   m.versionStartIncluding AS si,
+                   m.versionStartExcluding AS se
                  FROM t WHERE m.vulnerable
                  UNION ALL
                  SELECT cve_id,
                    string_split(m.cpe23Uri, ':')[5],
                    string_split(m.cpe23Uri, ':')[6],
-                   CAST(NULL AS VARCHAR)
+                   m.versionEndExcluding, m.versionEndIncluding,
+                   m.versionStartIncluding, m.versionStartExcluding
                  FROM c WHERE m.vulnerable),
            p(product, qversion) AS (VALUES
                  ('product0', '0.5'), ('product4', '2.0'),
-                 ('product5', '2.4'), ('linux_kernel', '5.4'),
-                 ('device1', '1.0')),
+                 ('product4', '1.2.0'), ('product5', '5.0.2'),
+                 ('product6', '7.0.5'), ('linux_kernel', '5.4'),
+                 ('device1', '1.0'), ('product2', '2.150.1')),
            hit AS (SELECT DISTINCT p.product, p.qversion, m.cve_id
                  FROM p JOIN m USING (product)
-                 WHERE (m.vend IS NOT NULL AND
-                        CAST(string_split(p.qversion, '.')[1] AS INT) * 100 +
-                        CAST(string_split(p.qversion, '.')[2] AS INT) <
-                        CAST(string_split(m.vend, '.')[1] AS INT) * 100 +
-                        CAST(string_split(m.vend, '.')[2] AS INT))
-                    OR (m.vend IS NULL AND m.uver = p.qversion))
+                 WHERE CASE WHEN m.ee IS NOT NULL OR m.ei IS NOT NULL
+                              OR m.si IS NOT NULL OR m.se IS NOT NULL
+                       THEN (m.si IS NULL OR
+                               ${dvnum("p.qversion")} >= ${dvnum("m.si")})
+                        AND (m.se IS NULL OR
+                               ${dvnum("p.qversion")} > ${dvnum("m.se")})
+                        AND (m.ei IS NULL OR
+                               ${dvnum("p.qversion")} <= ${dvnum("m.ei")})
+                        AND (m.ee IS NULL OR
+                               ${dvnum("p.qversion")} < ${dvnum("m.ee")})
+                       ELSE m.uver = p.qversion END)
          SELECT product, qversion, CAST(count(*) AS BIGINT) AS n_cves,
                 min(cve_id) AS first_cve, max(cve_id) AS last_cve
          FROM hit GROUP BY product, qversion

@@ -207,11 +207,13 @@ object Nvd {
       .orderBy(col("n_refs").desc, col("tag"))
 
   /** §2.1 q_nvd_version_ranges: affected-version analysis — per vendor,
-    * how many cpe_match entries pin an exact version vs carry an open
-    * `versionEndExcluding` range, and the lexical max range bound (THE
+    * how many cpe_match entries pin an exact version vs carry version-range
+    * bounds, split by bound kind across ALL FOUR schema.json leaves
+    * (versionEndExcluding/EndIncluding/StartIncluding/StartExcluding,
+    * schema.json:206-221), plus the lexical max exclusive-end bound (THE
     * practical NVD question: "which products have open-ended exposure
-    * windows"). Touches the optional version-range leaf no other query
-    * reads; the null-safe flatten is the same shape as q_nvd_product_top.
+    * windows"). The null-safe flatten is the same shape as
+    * q_nvd_product_top.
     */
   def qNvdVersionRanges(spark: SparkSession, dir: String): DataFrame =
     cves(spark)
@@ -219,11 +221,20 @@ object Nvd {
         transform(col("configurations.nodes"), n => n.getField("cpe_match")),
         x => x.isNotNull))).as("m"))
       .select(split(col("m.cpe23Uri"), ":").getItem(3).as("vendor"),
-        col("m.versionEndExcluding").as("vend"))
+        col("m.versionEndExcluding").as("ee"),
+        col("m.versionEndIncluding").as("ei"),
+        col("m.versionStartIncluding").as("si"),
+        col("m.versionStartExcluding").as("se"))
       .groupBy(col("vendor"))
       .agg(count(lit(1)).as("n_matches"),
-        count(col("vend")).as("n_ranged"),
-        max(col("vend")).as("max_end_version"))
+        sum(when(col("ee").isNotNull || col("ei").isNotNull ||
+          col("si").isNotNull || col("se").isNotNull, 1L).otherwise(0L))
+          .as("n_ranged"),
+        count(col("ee")).as("n_end_excl"),
+        count(col("ei")).as("n_end_incl"),
+        count(col("si")).as("n_start_incl"),
+        count(col("se")).as("n_start_excl"),
+        max(col("ee")).as("max_end_version"))
       // vendor is parsed from an optional cpe23Uri, so it CAN be null:
       // pin null placement (Spark defaults nulls-first, DuckDB nulls-last)
       // so the hash gate can't flip on future fixture regeneration
@@ -234,16 +245,26 @@ object Nvd {
     * Probes with zero matching CVEs drop out of both engines identically.
     */
   private val VersionProbes = Seq(
-    ("product0", "0.5"), ("product4", "2.0"), ("product5", "2.4"),
-    ("linux_kernel", "5.4"), ("device1", "1.0"))
+    ("product0", "0.5"), ("product4", "2.0"), ("product4", "1.2.0"),
+    ("product5", "5.0.2"), ("product6", "7.0.5"), ("linux_kernel", "5.4"),
+    ("device1", "1.0"), ("product2", "2.150.1"))
 
-  /** Dotted version as an exact integer rank (major·100 + minor) — the
-    * fixture's versions are all major.minor with minor < 20, so no string
-    * compare or fp ordering can diverge between engines.
+  /** Dotted version as an exact integer rank
+    * (major·10⁶ + minor·10³ + patch) — missing components rank as 0, so
+    * "5.4" ≡ "5.4.0" and 2- and 3-component versions order consistently.
+    * Bounds on both engines use the identical packing; minor/patch < 1000
+    * is validated by construction in the fixture (real NVD versions fit —
+    * a minor like 150 mis-ranks under the naive major·100+minor packing
+    * this replaces, and the fixture's x.150.0 bounds prove the difference).
     */
-  private def vnum(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    split(v, "\\.").getItem(0).cast("int") * 100 +
-      split(v, "\\.").getItem(1).cast("int")
+  private def vnum(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // get(), not getItem(): ANSI mode throws on an out-of-bounds index,
+    // and 2-component versions have no patch element
+    val p = split(v, "\\.")
+    coalesce(get(p, lit(0)).cast("bigint"), lit(0L)) * 1000000L +
+      coalesce(get(p, lit(1)).cast("bigint"), lit(0L)) * 1000L +
+      coalesce(get(p, lit(2)).cast("bigint"), lit(0L))
+  }
 
   /** §2.1 q_nvd_version_match: the NVD's core point query — "which CVEs
     * affect product P at version V" — evaluated for a fixed probe set
@@ -251,10 +272,13 @@ object Nvd {
     * the config tree's AND/OR/negate operators are simplified to a flat
     * applicability set, the usual first-order reading; reference intent:
     * the cpe_match range fields at schema.json:198-312). A cpe_match
-    * applies iff it is vulnerable, its product equals the probe's, and
-    * either a range bound governs (versionEndExcluding present and V
-    * strictly below it — "affected = below the fix version") or, with no
-    * range, the URI pins V exactly.
+    * applies iff it is vulnerable, its product equals the probe's, and:
+    *
+    *  - ANY of the four schema.json range bounds present → the full
+    *    interval test: V ≥ versionStartIncluding, V > versionStartExcluding,
+    *    V ≤ versionEndIncluding, V < versionEndExcluding — each bound
+    *    applies only when present, absent bounds leave that side open;
+    *  - NO bound present → the URI pins V exactly.
     *
     * Scale shape: the probe table broadcasts into the match scan (one
     * row per reachable cpe_match, never the CVE row multiplied), the
@@ -277,13 +301,23 @@ object Nvd {
       .select(col("cve_id"),
         split(col("m.cpe23Uri"), ":").getItem(4).as("product"),
         split(col("m.cpe23Uri"), ":").getItem(5).as("uver"),
-        col("m.versionEndExcluding").as("vend"))
+        col("m.versionEndExcluding").as("ee"),
+        col("m.versionEndIncluding").as("ei"),
+        col("m.versionStartIncluding").as("si"),
+        col("m.versionStartExcluding").as("se"))
     val probes = spark.createDataFrame(VersionProbes)
       .toDF("product", "qversion")
+    val q = vnum(col("qversion"))
+    val ranged = col("ee").isNotNull || col("ei").isNotNull ||
+      col("si").isNotNull || col("se").isNotNull
+    val inInterval =
+      (col("si").isNull || q >= vnum(col("si"))) &&
+        (col("se").isNull || q > vnum(col("se"))) &&
+        (col("ei").isNull || q <= vnum(col("ei"))) &&
+        (col("ee").isNull || q < vnum(col("ee")))
     broadcast(probes).join(matches, Seq("product"))
-      .filter((col("vend").isNotNull &&
-          vnum(col("qversion")) < vnum(col("vend"))) ||
-        (col("vend").isNull && col("uver") === col("qversion")))
+      .filter((ranged && inInterval) ||
+        (!ranged && col("uver") === col("qversion")))
       .select(col("product"), col("qversion"), col("cve_id"))
       .distinct()
       .groupBy(col("product"), col("qversion"))

@@ -24,6 +24,14 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *  - k % 11 == 0  → configurations.nodes = [] (empty repeated)
   *  - k % 13 == 0  → impact omitted entirely (NULLABLE record)
   *  - k % 17 == 0  → description/problemtype entries in a second language
+  *  - k even       → the vendor/product match is RANGED ('*' URI version +
+  *                   version bounds, family cycling on k%8 over all four
+  *                   schema.json bounds incl. a minor>=100 bound that
+  *                   mis-ranks under naive major*100+minor packing);
+  *                   k odd → pinned exact 3-component URI version
+  *  - k % 7 == 0   → children also carry ranged entries ([start,end) and
+  *                   (start,end] shapes) so the children-level bounds of
+  *                   schema.json:245-260 are populated
   */
 object NvdFixtureGen {
 
@@ -34,12 +42,23 @@ object NvdFixtureGen {
   private def tsOf(year: Int, k: Int): String =
     s"$year-${pad2((k % 12) + 1)}-${pad2((k % 28) + 1)}T${pad2(k % 24)}:${pad2((k * 7) % 60)}:00Z"
 
+  /** One cpe_match entry carrying any subset of the four NVD range bounds
+    * (schema.json:206-221 at the node level, :245-260 in children) — real
+    * feeds mix pinned-URI matches (no bounds) with half-open and closed
+    * version intervals, and the bounds appear independently.
+    */
   private def cpeMatch(arr: ArrayNode, uri: String, vulnerable: Boolean,
-      versionEnd: Option[String] = None): Unit = {
+      endExcluding: Option[String] = None,
+      endIncluding: Option[String] = None,
+      startIncluding: Option[String] = None,
+      startExcluding: Option[String] = None): Unit = {
     val m = arr.addObject()
     m.put("vulnerable", vulnerable)
     m.put("cpe23Uri", uri)
-    versionEnd.foreach(v => m.put("versionEndExcluding", v))
+    endExcluding.foreach(v => m.put("versionEndExcluding", v))
+    endIncluding.foreach(v => m.put("versionEndIncluding", v))
+    startIncluding.foreach(v => m.put("versionStartIncluding", v))
+    startExcluding.foreach(v => m.put("versionStartExcluding", v))
   }
 
   /** One CVE item in schema.json's exact shape. */
@@ -92,8 +111,34 @@ object NvdFixtureGen {
       val node = nodes.addObject()
       node.put("operator", if (k % 2 == 0) "OR" else "AND")
       val matches = node.putArray("cpe_match")
-      cpeMatch(matches, s"cpe:2.3:a:vendor${k % 5}:product${k % 9}:${k % 4}.${k % 10}:*:*:*:*:*:*:*",
-        vulnerable = true, versionEnd = if (k % 2 == 0) Some(s"${k % 4 + 1}.0") else None)
+      if (k % 2 == 0) {
+        // ranged match: URI version is '*' (the real-feed shape for ranged
+        // entries); the bound FAMILY cycles on k%8 so every one of the four
+        // schema.json bounds governs somewhere, alone and in combination
+        val vp = s"cpe:2.3:a:vendor${k % 5}:product${k % 9}:*:*:*:*:*:*:*:*"
+        (k % 8) match {
+          case 0 => // closed-below half-open-above interval [start, end)
+            cpeMatch(matches, vp, vulnerable = true,
+              startIncluding = Some(s"${k % 3}.0.0"),
+              endExcluding = Some(s"${k % 9 + 1}.0.0"))
+          case 2 => // inclusive upper bound only: (-inf, end]
+            cpeMatch(matches, vp, vulnerable = true,
+              endIncluding = Some(s"${k % 9}.${k % 10}.${k % 3}"))
+          case 4 => // exclusive lower + exclusive upper: (start, end)
+            cpeMatch(matches, vp, vulnerable = true,
+              startExcluding = Some(s"${k % 3}.2.0"),
+              endExcluding = Some(s"${k % 9 + 1}.0.0"))
+          case _ => // minor >= 100: a bound that mis-ranks under any
+            // major*100+minor packing (x.150.0 must sort BELOW (x+1).0.0)
+            cpeMatch(matches, vp, vulnerable = true,
+              endExcluding = Some(s"${k % 9}.150.0"))
+        }
+      } else {
+        // pinned match: exact 3-component version in the URI, no bounds
+        cpeMatch(matches,
+          s"cpe:2.3:a:vendor${k % 5}:product${k % 9}:${k % 4}.${k % 10}.${k % 3}:*:*:*:*:*:*:*",
+          vulnerable = true)
+      }
       if (k % 3 == 0)
         cpeMatch(matches, s"cpe:2.3:o:linux:linux_kernel:${k % 6}.${k % 20}:*:*:*:*:*:*:*",
           vulnerable = true)
@@ -105,6 +150,17 @@ object NvdFixtureGen {
         val cm = child.putArray("cpe_match")
         cpeMatch(cm, s"cpe:2.3:o:linux:linux_kernel:5.${k % 20}:*:*:*:*:*:*:*", vulnerable = true)
         cpeMatch(cm, s"cpe:2.3:h:vendor${k % 5}:device${k % 3}:-:*:*:*:*:*:*:*", vulnerable = false)
+        // ranged child entries — schema.json carries the same four bounds
+        // inside children[].cpe_match[] (:245-260); both interval shapes
+        // appear here so the children path exercises them too
+        cpeMatch(cm, "cpe:2.3:o:linux:linux_kernel:*:*:*:*:*:*:*:*",
+          vulnerable = true,
+          startIncluding = Some("5.0.0"),
+          endExcluding = Some(s"5.${k % 20}.0"))
+        cpeMatch(cm, s"cpe:2.3:h:vendor${k % 5}:device${k % 3}:*:*:*:*:*:*:*:*",
+          vulnerable = true,
+          startExcluding = Some("0.5.0"),
+          endIncluding = Some(s"1.${k % 10}.0"))
       }
       if (k % 5 == 0) {
         // a second top-level node, no children
