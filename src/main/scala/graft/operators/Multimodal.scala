@@ -240,13 +240,7 @@ object Multimodal {
       .select(col("doc_id"), GraftFunctions.cdcChunks(col("payload")).as("digs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    val cand = sigs
-      .select(col("doc_id"), explode(col("digs")).as("dig"))
-      .groupBy(col("dig"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 16))
-      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
-      .distinct()
+    val cand = cdcCandidatePairs(sigs)
     cand
       .join(sigs.select(col("doc_id").as("i"), col("digs").as("digs_i")), Seq("i"))
       .join(sigs.select(col("doc_id").as("j"), col("digs").as("digs_j")), Seq("j"))
@@ -259,6 +253,31 @@ object Multimodal {
       .selectExpr("i", "j", "n_shared", "n_union",
         "(1000000 * n_shared) div n_union AS jmil")
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Candidate (i, j) pairs from a df-capped CDC digest inverted index —
+    * the TWO-PASS shape (the dedupContainment pattern, Dedup.scala): pass
+    * 1 is a count-only groupBy — map-side-combined partial counts,
+    * constant memory per digest — and only digests with df in 2..dfMax
+    * join back for the posting build. Building posting arrays FIRST and
+    * capping after would buffer the ENTIRE posting list of a
+    * pathologically common chunk (an all-zeros block, a shared container
+    * header) in one aggregation buffer before dropping it — at 100 TB
+    * that buffer is the OOM. After the join every surviving posting list
+    * is ≤ dfMax ids, so pair emission is bounded at dfMax·(dfMax−1)/2
+    * per digest.
+    */
+  private[graft] def cdcCandidatePairs(sigs: DataFrame, dfMax: Int = 16): DataFrame = {
+    val posts = sigs.select(col("doc_id"), explode(col("digs")).as("dig"))
+    val rare = posts.groupBy(col("dig"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfMax))
+      .select(col("dig"))
+    posts.join(rare, Seq("dig"))
+      .groupBy(col("dig"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
+      .distinct()
   }
 
   /** The (doc_id, digs) CDC digest-set relation of any (doc_id, payload)

@@ -156,4 +156,40 @@ class MultimodalSpec extends AnyFunSuite {
     val one = GraftKernels.cdcChunks(texts.head.getBytes("UTF-8")).toLongArray()
     assert(one.toSeq === one.sorted.toSeq && one.distinct.length === one.length)
   }
+
+  test("mm_cdc_neardup: hot digest never builds a posting array (two-pass df cap)") {
+    import spark.implicits._
+    // 500 payloads ALL sharing one hot chunk digest (df = 500, way over
+    // the cap) — the all-zeros-block / shared-file-header pathology —
+    // plus one rare digest per adjacent pair (df = 2)
+    val n = 500
+    val sigs = (0 until n)
+      .map(i => (i.toLong, Seq(0L, 1000L + i / 2)))
+      .toDF("doc_id", "digs")
+    val out = Multimodal.cdcCandidatePairs(sigs, dfMax = 16)
+
+    // STRUCTURAL: the df prune must run BEFORE any posting array exists —
+    // the collect_list aggregate sits above a join, and strictly below
+    // that join sits a count-only aggregate (no CollectList anywhere in
+    // the join subtree). If the plan ever regresses to cap-after-collect,
+    // the hot digest's 500-id array materializes in one buffer first.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    val plan = out.queryExecution.optimizedPlan
+    def hasCollectList(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case a: Aggregate => a }.exists(_.aggregateExpressions.exists(
+        _.collectFirst { case _: CollectList => () }.isDefined))
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the df-prune join in the plan")
+    assert(joins.forall(j => !hasCollectList(j)),
+      "posting arrays must not be built below the df-prune join")
+    assert(hasCollectList(plan),
+      "the posting build (collect_list) must exist above the join")
+
+    // BEHAVIORAL: the hot digest emits zero pairs; every adjacent pair
+    // survives via its rare digest
+    val got = out.select("i", "j").as[(Long, Long)].collect().toSet
+    val expected = (0 until n / 2).map(k => (2L * k, 2L * k + 1)).toSet
+    assert(got === expected)
+  }
 }
