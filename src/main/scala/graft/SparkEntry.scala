@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_winnow" -> (Dedup.dedupWinnow _),
     "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhash _),
+    "dedup_lsh_cliques" -> (Dedup.dedupLshCliques _),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
@@ -941,6 +942,27 @@ object SparkEntry {
                       ON a.vec_id < b.vec_id AND ($anyBucket))
          SELECT i, j, sim FROM p WHERE sim >= 0.4
          ORDER BY i, j"""
+    },
+
+    // The over-cap bucket report of the width-capped LSH pipeline: per-
+    // table bucket widths from the same baked-in RHP constants, filtered
+    // above the report cap — widths are exact integers, so the report is
+    // hash-stable by construction.
+    "dedup_lsh_cliques" -> {
+      val buckets = Dedup.embeddingBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val widthUnion = buckets.indices.map(i =>
+        s"""SELECT $i AS tbl, s$i AS bucket,
+                CAST(count(*) AS BIGINT) AS width FROM s GROUP BY 1, 2""")
+        .mkString("\n                UNION ALL\n                ")
+      s"""WITH s AS (SELECT vec_id,
+                $sigSelects
+              FROM embeddings e),
+              w AS ($widthUnion)
+         SELECT tbl, bucket, width FROM w
+         WHERE width > ${Dedup.CliqueReportCap}
+         ORDER BY tbl, bucket"""
     },
 
     // Triangles + clustering coefficient over the dedup_embedding pair

@@ -488,6 +488,43 @@ object Dedup {
   // Input must be sorted (array_sort inside the upstream agg projection)
   // so emitted pairs satisfy i < j.
 
+  /** Production bucket-width cap for the LSH candidate families. Testdata
+    * maxima are 62 (sf0.01) / 193 (sf0.1), so the cap never fires on the
+    * gated corpora; at crawl scale it is the guard that keeps a
+    * POPULAR-CONTENT clique (100k near-identical boilerplate pages that
+    * exact dedup does not collapse) from becoming a 100k-element posting
+    * array and 5·10⁹ emitted pairs in one bucket.
+    */
+  private[graft] val BucketWidthCap = 1024
+
+  /** Width-capped bucket pair emission — the shared candidate core of the
+    * LSH family (minhash bands, simhash bands, RHP embedding buckets).
+    *
+    * TWO-PASS (the cdcCandidatePairs / dedupContainment shape): pass 1 is
+    * a count-only groupBy over the slim posting rows — map-side-combined
+    * partial counts, constant memory per bucket — and only buckets with
+    * width in 2..maxWidth join back for the posting build, so no posting
+    * array for a hot or singleton bucket is ever allocated. Over-cap
+    * buckets return as the SECOND relation (bucket keys + width) — at
+    * crawl scale those buckets ARE the answer ("dup cliques"): report
+    * them, don't enumerate their pairs. Pair emission from surviving
+    * buckets is bounded at maxWidth·(maxWidth−1)/2 per bucket, streamed
+    * by PairsGenerator.
+    */
+  private[graft] def cappedBucketPairs(posts: DataFrame, k1: String, k2: String,
+      v: String, maxWidth: Int = BucketWidthCap): (DataFrame, DataFrame) = {
+    val widths = posts.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("width"))
+    val ok = widths.filter(col("width").between(2, maxWidth))
+      .select(col(k1), col(k2))
+    val cliques = widths.filter(col("width") > maxWidth)
+    val pairs = posts.join(ok, Seq(k1, k2))
+      .groupBy(col(k1), col(k2))
+      .agg(array_sort(collect_list(col(v))).as("ids"))
+      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
+      .distinct()
+    (pairs, cliques)
+  }
+
   /** §2.3 dedup_minhash_lsh: MinHash(128) + LSH banding (16 bands × 8 rows)
     * over word 3-shingles, then exact-Jaccard rerank of candidates only.
     *
@@ -537,12 +574,7 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(15)),
           b => hash(slice(col("sig"), b * 8 + 1, lit(8))))))
       .toDF("doc_id", "band", "bhash")
-    val cand = bands
-      .groupBy(col("band"), col("bhash"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
-      .distinct()
+    val (cand, _) = cappedBucketPairs(bands, "band", "bhash", "doc_id")
     cand
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
       .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
@@ -569,20 +601,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandVals = (0 until 4).map(b =>
       shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val cand = sigs
+    val posts = sigs
       .select(struct(col("doc_id"), col("sig")).as("ds"),
         posexplode(array(bandVals: _*)))
       .toDF("ds", "band", "bval")
-      .groupBy(col("band"), col("bval"))
-      .agg(array_sort(collect_list(col("ds"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(GraftFunctions.pairs(col("members")).as(Seq("pi", "pj")))
-      .select(col("pi.doc_id").as("i"), col("pj.doc_id").as("j"),
-        col("pi.sig").as("sig_i"), col("pj.sig").as("sig_j"))
-      .distinct()
-    cand
-      .select(col("i"), col("j"),
-        bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).as("hamming"))
+    val (pairs, _) = cappedBucketPairs(posts, "band", "bval", "ds")
+    pairs
+      .select(col("i.doc_id").as("i"), col("j.doc_id").as("j"),
+        bit_count(col("i.sig").bitwiseXOR(col("j.sig"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy(col("i"), col("j"))
   }
@@ -679,15 +705,11 @@ object Dedup {
   private def embeddingPairs(spark: SparkSession, dir: String,
       minSim: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cand = e
-      .select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
-        col("embedding"), EmbTables, EmbBits, EmbDim, EmbSeed)))
-      .toDF("vec_id", "tbl", "bucket")
-      .groupBy(col("tbl"), col("bucket"))
-      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
-      .distinct()
+    val (cand, _) = cappedBucketPairs(
+      e.select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
+          col("embedding"), EmbTables, EmbBits, EmbDim, EmbSeed)))
+        .toDF("vec_id", "tbl", "bucket"),
+      "tbl", "bucket", "vec_id")
     cand
       .join(e.select(col("vec_id").as("i"), col("embedding").as("v_i")), Seq("i"))
       .join(e.select(col("vec_id").as("j"), col("embedding").as("v_j")), Seq("j"))
@@ -713,6 +735,32 @@ object Dedup {
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     embeddingPairs(spark, dir).orderBy(col("i"), col("j"))
+
+  /** The clique-report cap used by [[dedupLshCliques]] — deliberately set
+    * BELOW the testdata's max RHP bucket width (62 at sf0.01, 193 at
+    * sf0.1) so the over-cap report path is non-trivially exercised by the
+    * oracle gate; production pipelines use [[BucketWidthCap]].
+    */
+  private[graft] val CliqueReportCap = 48
+
+  /** §2.3 dedup_lsh_cliques: the over-cap side of the width-capped LSH
+    * bucket pipeline — buckets whose membership exceeds the cap surface
+    * as (table, bucket, width) DUP-CLIQUE rows instead of emitting their
+    * quadratic within-bucket pairs. At crawl scale an over-cap bucket IS
+    * the answer (near-identical boilerplate detected wholesale); this
+    * report is what a pipeline triages before deciding to contract or
+    * enumerate. Widths come from the count-only first pass — no posting
+    * array for an over-cap bucket ever exists ([[cappedBucketPairs]]).
+    */
+  def dedupLshCliques(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cliques) = cappedBucketPairs(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
+          col("embedding"), EmbTables, EmbBits, EmbDim, EmbSeed)))
+        .toDF("vec_id", "tbl", "bucket"),
+      "tbl", "bucket", "vec_id", maxWidth = CliqueReportCap)
+    cliques.orderBy(col("tbl"), col("bucket"))
+  }
 
   /** §2.3 dedup_semantic: SemDeDup-style semantic clustering — the
     * embedding-cosine near-dup pair relation closed into connected

@@ -258,16 +258,14 @@ object Similarity {
     */
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cand = e
-      .select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
-        col("embedding"), Dedup.EmbTables, Dedup.EmbBits, Dedup.EmbDim,
-        Dedup.EmbSeed)))
-      .toDF("vec_id", "tbl", "bucket")
-      .groupBy(col("tbl"), col("bucket"))
-      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(GraftFunctions.pairs(col("ids")).as(Seq("i", "j")))
-      .distinct()
+    // width-capped two-pass bucket pipeline (Dedup.cappedBucketPairs):
+    // hot-bucket cliques report instead of emitting quadratic pairs
+    val (cand, _) = Dedup.cappedBucketPairs(
+      e.select(col("vec_id"), posexplode(GraftFunctions.rhpBuckets(
+          col("embedding"), Dedup.EmbTables, Dedup.EmbBits, Dedup.EmbDim,
+          Dedup.EmbSeed)))
+        .toDF("vec_id", "tbl", "bucket"),
+      "tbl", "bucket", "vec_id")
     // persist = plan barrier: the symmetrizing explode references sim_raw
     // from two struct branches, and without the barrier CollapseProject
     // would inline the cosine kernel into both (2× eval per pair).

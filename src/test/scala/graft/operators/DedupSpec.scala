@@ -243,4 +243,42 @@ class DedupSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(replayDup === whIds)
   }
+
+  test("lsh bucket-width guard: a 10k-member hot bucket reports as a clique " +
+      "and emits zero pairs; no posting array builds below the df prune") {
+    import spark.implicits._
+    // 10k near-identical docs all land in ONE bucket (the crawl-scale
+    // boilerplate pathology); 200 normal docs form adjacent pairs in
+    // their own width-2 buckets
+    val n = 10000
+    val hot = (0 until n).map(i => (i.toLong, 0, 777))
+    val normal = (0 until 200).map(i => (100000L + i, 1, i / 2))
+    val posts = (hot ++ normal).toDF("vec_id", "tbl", "bucket")
+    val (pairs, cliques) = Dedup.cappedBucketPairs(
+      posts, "tbl", "bucket", "vec_id", maxWidth = 16)
+
+    // STRUCTURAL: widths come from a count-only aggregate BELOW the
+    // posting-build join — a hot bucket must never materialize its
+    // member array (the cap-after-collect regression would buffer all
+    // 10k ids in one aggregation buffer before dropping them)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    def hasCollectList(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case a: Aggregate => a }.exists(_.aggregateExpressions.exists(
+        _.collectFirst { case _: CollectList => () }.isDefined))
+    val plan = pairs.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the width-prune join in the plan")
+    assert(joins.forall(j => !hasCollectList(j)),
+      "posting arrays must not build below the width-prune join")
+
+    // BEHAVIORAL: bounded completion, clique reported, hot pairs absent
+    val gotCliques = cliques.select("tbl", "bucket", "width")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(gotCliques === Set((0, 777, n.toLong)))
+    val gotPairs = pairs.select("i", "j").as[(Long, Long)].collect().toSet
+    val expected = (0 until 100).map(k =>
+      (100000L + 2 * k, 100000L + 2 * k + 1)).toSet
+    assert(gotPairs === expected)
+  }
 }
