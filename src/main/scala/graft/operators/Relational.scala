@@ -1377,6 +1377,93 @@ object Relational {
     * same loop runs with both sides bucketed by node id so the per-round
     * join is co-located; rounds stay 10 regardless of data size.
     */
+  /** Above this vertex count the per-round score relation stops
+    * broadcasting and the loop flips to the co-partitioned form — ~2M
+    * slim (v, s) rows ≈ 32 MB serialized is the most a forced broadcast
+    * hint should ever ship per round; beyond it the hint would bypass
+    * the size-based planning the rest of the repo relies on.
+    */
+  private[graft] val PagerankBroadcastMaxVertices = 2000000L
+
+  /** General directed-graph integer PageRank — the Pregel loop under
+    * graph_pagerank, correct on graphs with SINKS (dangling nodes) and
+    * SOURCES, not only the symmetric commerce graph:
+    *
+    *  - scores live in millionths; per edge (85·s) div (100·outdeg),
+    *    teleport 150,000, and the DANGLING MASS term: the score mass
+    *    sitting on zero-outdegree nodes redistributes uniformly,
+    *    (85·D) div (100·n) per node — all floor-division integers, so
+    *    any SQL engine replicates bit-for-bit;
+    *  - every round rebuilds scores off the STATIONARY vertex relation
+    *    (left join on contributions): a node with no in-edges keeps
+    *    receiving teleport + dangling share instead of silently
+    *    vanishing from the groupBy(dst) result after round 1;
+    *  - join strategy is SIZE-CONDITIONAL: below
+    *    [[PagerankBroadcastMaxVertices]] the per-round scores broadcast
+    *    into the stationary edge cache; above it scores repartition by
+    *    vertex id instead — the edge cache is persisted ALREADY
+    *    partitioned by src, so in both regimes the edges move ZERO
+    *    times per round, only the slim score rows do;
+    *  - when the graph has no dangling nodes (checked ONCE, driver-side,
+    *    against the cached edge relation) the dangling term compiles
+    *    away entirely — the commerce-graph plan stays minimal;
+    *  - round barriers are eager localCheckpoints (O(1) lineage, the
+    *    CLAUDE.md iterative contract); the stationary relations are
+    *    persisted with eager counts (multi-consumer cache contract).
+    */
+  private[graft] def pagerankCore(edges0: DataFrame, rounds: Int = 10,
+      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
+    val edges = edges0
+      .join(edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // EAGER: 10 rounds + the vertex/dangling builds consume this
+    val vertices = edges0.select(col("src").as("v"))
+      .unionAll(edges0.select(col("dst").as("v")))
+      .distinct()
+      .repartition(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = vertices.count() // EAGER + the uniform-redistribution denominator
+    val dangling = vertices
+      .join(edges.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDangling = dangling.count() // EAGER + the driver-side plan branch
+    val routed: DataFrame => DataFrame =
+      if (n <= broadcastMaxVertices) broadcast else _.repartition(col("v"))
+    var scores = vertices.select(col("v"), lit(1000000L).as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(routed(scores), col("src") === col("v"))
+        .select(col("dst"),
+          expr("(85 * s) div (100 * outdeg)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+      val rebuilt = vertices.join(contrib, col("v") === col("dst"), "left")
+      val next =
+        if (nDangling == 0)
+          rebuilt.select(col("v"),
+            (lit(150000L) + coalesce(col("c"), lit(0L))).as("s"))
+        else {
+          val dm = scores.join(dangling, Seq("v"), "left_semi")
+            .agg(coalesce(sum(col("s")), lit(0L)).as("dm"))
+          rebuilt.crossJoin(broadcast(dm))
+            .select(col("v"),
+              (lit(150000L) + coalesce(col("c"), lit(0L)) +
+                expr(s"(85 * dm) div (100 * $n)")).as("s"))
+        }
+      scores = next.localCheckpoint() // round barrier: O(1) lineage
+    }
+    scores
+  }
+
+  /** §2.2 graph_pagerank over the commerce graph — see [[pagerankCore]]
+    * for the loop; the symmetric edge set has no dangling nodes, so the
+    * core's driver-side branch compiles the dangling term away and the
+    * DuckDB oracle (10 chained CTEs, no dangling arithmetic) matches
+    * bit-for-bit.
+    */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val cs = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
@@ -1387,31 +1474,7 @@ object Relational {
       .distinct()
     val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
-    val edges = edges0
-      .join(edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // EAGER: 10 rounds consume this cache
-    var scores = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), lit(1000000L).as("s"))
-      .localCheckpoint()
-    for (_ <- 1 to 10) {
-      // scores BROADCAST into the stationary edge cache: the per-round
-      // edge relation never moves (a sort-merge join would re-shuffle
-      // every edge every round — 10× the data motion for a table of
-      // |V| slim rows). At crawl scale, where scores outgrow broadcast,
-      // this flips to both sides bucketed by node id — the edges still
-      // move ZERO times; only the partitioner changes.
-      scores = edges
-        .join(broadcast(scores), col("src") === col("v"))
-        .select(col("dst"),
-          expr("(85 * s) div (100 * outdeg)").as("contrib"))
-        .groupBy(col("dst"))
-        .agg((lit(150000L) + sum(col("contrib"))).as("s"))
-        .select(col("dst").as("v"), col("s"))
-        .localCheckpoint() // round barrier: O(1) lineage per iteration
-    }
-    scores
+    pagerankCore(edges0)
       .select(
         when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
