@@ -182,18 +182,6 @@ object Multimodal {
         expr("graft_byte_feature(frame)").as("feature"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** §2.4 mm_scene_cut: shot-boundary detection over the frame stream — a
-    * cut wherever consecutive FULL frames' features jump by more than the
-    * threshold (|Δfeature| > 1000 ≈ p90 of within-payload deltas here;
-    * the knob a real decoder calibrates per codec). The scene map is what
-    * a smarter frame sampler consumes — sample per SHOT instead of per
-    * stride (pairs with mm_frame_sample). Same stub feature as
-    * mm_frame_features, so DuckDB replicates the decision byte-for-byte;
-    * outputs (frame count, cut count, first cut index) are all integers —
-    * zero float risk. Plan shape: partition-local frame explode, ONE
-    * shuffle (lag window partitioned by doc_id), map-side-combined final
-    * aggregate riding the same partitioning.
-    */
   /** §2.4 mm_cdc_neardup: content-defined-chunking near-dup detection over
     * opaque media payloads — the storage-dedup / fuzzy-hash shape
     * (LBFS/Venti, ssdeep's ancestor) that catches re-encodes differing by
@@ -348,6 +336,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** The doc_id-ordered window shared by the frame-stream operators. */
+  private def frameWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+
+  /** The shared cut decision: both frames FULL (32 bytes) and the stub
+    * feature jumping by more than the threshold (|Δ| > 1000 ≈ p90 of
+    * within-payload deltas; the knob a real decoder calibrates per
+    * codec). Defined ONCE so mm_scene_cut and mm_shot_sample cannot
+    * disagree by construction rather than by copy-discipline.
+    */
+  private val isCut = col("fl") === 32 && col("pfl") === 32 &&
+    abs(col("feature") - col("pf")) > 1000
+
+  /** The per-doc frame stream with lagged features — the single relation
+    * both mm_scene_cut and mm_shot_sample consume (the cdcSigs pattern):
+    * partition-local 32-byte frame explode, stub byte-feature per frame,
+    * ONE shuffle (the doc_id lag window) that downstream windows and the
+    * scene aggregate all ride.
+    */
+  private def framesWithLag(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, cast(ceil(length(payload) / 32.0) AS INT)),
+             f -> substring(payload, (f - 1) * 32 + 1, 32))""")))
+      .toDF("doc_id", "pos", "frame")
+      .select(col("doc_id"), col("pos").cast("bigint").as("frame_idx"),
+        length(col("frame")).as("fl"),
+        expr("graft_byte_feature(frame)").as("feature"))
+      .select(col("doc_id"), col("frame_idx"), col("fl"), col("feature"),
+        lag(col("feature"), 1).over(frameWindow).as("pf"),
+        lag(col("fl"), 1).over(frameWindow).as("pfl"))
+
   /** §2.4 mm_shot_sample: PER-SHOT frame sampling — the sampler
     * mm_scene_cut's scene map exists for. A fixed-stride sampler
     * (mm_frame_sample) over-samples static scenes and skips short ones
@@ -360,56 +382,34 @@ object Multimodal {
     * running-sum windows share it) and the keyframe filter collapses the
     * stream to one row per shot before the output sort.
     */
-  def mmShotSample(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val isCut = col("fl") === 32 && col("pfl") === 32 &&
-      abs(col("feature") - col("pf")) > 1000
-    Tables.documents(spark, dir)
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(1, cast(ceil(length(payload) / 32.0) AS INT)),
-             f -> substring(payload, (f - 1) * 32 + 1, 32))""")))
-      .toDF("doc_id", "pos", "frame")
-      .select(col("doc_id"), col("pos").cast("bigint").as("frame_idx"),
-        length(col("frame")).as("fl"),
-        expr("graft_byte_feature(frame)").as("feature"))
-      .select(col("doc_id"), col("frame_idx"), col("fl"), col("feature"),
-        lag(col("feature"), 1).over(w).as("pf"),
-        lag(col("fl"), 1).over(w).as("pfl"))
+  def mmShotSample(spark: SparkSession, dir: String): DataFrame =
+    framesWithLag(spark, dir)
       .select(col("doc_id"), col("frame_idx"), col("feature"),
-        sum(when(isCut, 1L).otherwise(0L)).over(w).as("shot_id"),
+        sum(when(isCut, 1L).otherwise(0L)).over(frameWindow).as("shot_id"),
         when(isCut || col("frame_idx") === 0, lit(1)).otherwise(lit(0))
           .as("is_key"))
       .filter(col("is_key") === 1)
       .select(col("doc_id"), col("shot_id"),
         col("frame_idx").as("key_frame"), col("feature"))
       .orderBy(col("doc_id"), col("shot_id"))
-  }
 
-  def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val isCut = col("fl") === 32 && col("pfl") === 32 &&
-      abs(col("feature") - col("pf")) > 1000
-    Tables.documents(spark, dir)
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(1, cast(ceil(length(payload) / 32.0) AS INT)),
-             f -> substring(payload, (f - 1) * 32 + 1, 32))""")))
-      .toDF("doc_id", "pos", "frame")
-      .select(col("doc_id"), col("pos").cast("bigint").as("frame_idx"),
-        length(col("frame")).as("fl"),
-        expr("graft_byte_feature(frame)").as("feature"))
-      .select(col("doc_id"), col("frame_idx"), col("fl"), col("feature"),
-        lag(col("feature"), 1).over(w).as("pf"),
-        lag(col("fl"), 1).over(w).as("pfl"))
+  /** §2.4 mm_scene_cut: shot-boundary detection over the frame stream — a
+    * cut wherever consecutive FULL frames' features jump by more than the
+    * threshold (|Δfeature| > 1000 ≈ p90 of within-payload deltas here;
+    * the knob a real decoder calibrates per codec). The scene map is what
+    * a smarter frame sampler consumes — sample per SHOT instead of per
+    * stride (pairs with mm_frame_sample). Same stub feature as
+    * mm_frame_features, so DuckDB replicates the decision byte-for-byte;
+    * outputs (frame count, cut count, first cut index) are all integers —
+    * zero float risk. Plan shape: partition-local frame explode, ONE
+    * shuffle (lag window partitioned by doc_id), map-side-combined final
+    * aggregate riding the same partitioning.
+    */
+  def mmSceneCut(spark: SparkSession, dir: String): DataFrame =
+    framesWithLag(spark, dir)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(when(isCut, 1L).otherwise(0L)).as("n_cuts"),
         min(when(isCut, col("frame_idx"))).as("first_cut"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -79,6 +79,12 @@ object Warehouse {
       max(col(dimA)).cast("long").as("amax"),
       min(col(dimB)).cast("long").as("bmin"),
       max(col(dimB)).cast("long").as("bmax")).collect()(0)
+    // empty input / all-null dimension → no curve to sort by: write the
+    // input unchanged instead of NPE-ing on the null min/max
+    if (stats.isNullAt(0) || stats.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     val (amin, amax) = (stats.getLong(0), stats.getLong(1))
     val (bmin, bmax) = (stats.getLong(2), stats.getLong(3))
     def bucket(cn: String, lo: Long, hi: Long): Column = expr(

@@ -129,4 +129,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(zTs <= nFiles / 2,
       s"a 1/32 time slice should skip at least half the z-files: $zTs")
   }
+
+  test("zorder: empty and all-null-dimension inputs write unchanged, no NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val eDir = graft.TestSpark.tmpDir("wh_z_empty")
+    Warehouse.zorderWrite(empty, "a", "b", eDir, 4)
+    assert(spark.read.parquet(eDir).count() === 0)
+
+    val nulls = Seq((Some(1L), Option.empty[Long]), (Some(2L), None))
+      .toDF("a", "b")
+    val nDir = graft.TestSpark.tmpDir("wh_z_nulls")
+    Warehouse.zorderWrite(nulls, "a", "b", nDir, 4)
+    val back = spark.read.parquet(nDir)
+    assert(back.count() === 2)
+    assert(back.agg(sum(col("a"))).collect()(0).getLong(0) === 3L)
+  }
 }
