@@ -120,6 +120,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_topk_lsh" -> ((s: SparkSession, d: String) => Similarity.simTopkLsh(s, d)),
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
+    "sim_ivf_incremental" -> (Similarity.simIvfIncremental _),
     "sim_range_search" -> (Similarity.simRangeSearch _),
     "sim_knn_graph" -> (Similarity.simKnnGraph _),
     "sim_pair_hist" -> (Dedup.simPairHist _),
@@ -170,6 +171,40 @@ object SparkEntry {
     s"""WITH f AS (SELECT unnest(CVE_Items) AS item
          FROM read_json('${graft.sources.NvdEtl.FixtureAbsPath}',
                         maximum_object_size=104857600))"""
+
+  /** The IVF probe oracle — shared verbatim by sim_topk_ivf (fresh
+    * index) and sim_ivf_incremental (stored index + feed delta): the two
+    * plans are deterministic functions of the same centroid table, so
+    * one recompute SQL grades both.
+    */
+  private val simTopkIvfOracle =
+    """WITH e0 AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 16),
+            scored AS (SELECT x.vec_id, x.v, c.cid,
+                           list_cosine_similarity(x.v, c.cv) AS cs
+                       FROM e0 x CROSS JOIN cents c),
+            ranked AS (SELECT vec_id, v, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cs DESC, cid DESC) AS rn
+                       FROM scored),
+            corpus AS (SELECT vec_id AS c_id, v AS cv2, cid AS cell
+                       FROM ranked WHERE rn = 1),
+            queries AS (SELECT vec_id AS q_id, v AS qv, cid AS cell
+                        FROM ranked WHERE vec_id < 10 AND rn <= 6),
+            cand AS (SELECT q.q_id, c.c_id,
+                         list_cosine_similarity(q.qv, c.cv2) AS sim_raw
+                     FROM queries q JOIN corpus c
+                       ON q.cell = c.cell AND c.c_id <> q.q_id),
+            r AS (SELECT q_id, c_id, sim_raw,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim_raw DESC, c_id) AS rk
+                  FROM cand)
+       SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
+              round(sim_raw, 6) AS sim
+       FROM r WHERE rk <= 10
+       ORDER BY q_id, rank"""
 
   /** DuckDB fragment: dotted version packed to the exact integer rank
     * major·10⁶ + minor·10³ + patch — the verbatim mirror of
@@ -1128,34 +1163,14 @@ object SparkEntry {
     // same (cosine desc, cent_id desc) assignment tie-break, same 6-cell
     // probe, same rerank — a corpus vector sits in exactly one cell, so a
     // (q, c) candidate pair is unique and no dedup is needed on either side.
-    "sim_topk_ivf" ->
-      """WITH e0 AS (SELECT vec_id,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-              cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 16),
-              scored AS (SELECT x.vec_id, x.v, c.cid,
-                             list_cosine_similarity(x.v, c.cv) AS cs
-                         FROM e0 x CROSS JOIN cents c),
-              ranked AS (SELECT vec_id, v, cid,
-                             row_number() OVER (PARTITION BY vec_id
-                               ORDER BY cs DESC, cid DESC) AS rn
-                         FROM scored),
-              corpus AS (SELECT vec_id AS c_id, v AS cv2, cid AS cell
-                         FROM ranked WHERE rn = 1),
-              queries AS (SELECT vec_id AS q_id, v AS qv, cid AS cell
-                          FROM ranked WHERE vec_id < 10 AND rn <= 6),
-              cand AS (SELECT q.q_id, c.c_id,
-                           list_cosine_similarity(q.qv, c.cv2) AS sim_raw
-                       FROM queries q JOIN corpus c
-                         ON q.cell = c.cell AND c.c_id <> q.q_id),
-              r AS (SELECT q_id, c_id, sim_raw,
-                        row_number() OVER (PARTITION BY q_id
-                          ORDER BY sim_raw DESC, c_id) AS rk
-                    FROM cand)
-         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
-                round(sim_raw, 6) AS sim
-         FROM r WHERE rk <= 10
-         ORDER BY q_id, rank""",
+    "sim_topk_ivf" -> simTopkIvfOracle,
+
+    // The stored-index decomposition (standing assignments from the
+    // warehouse + map-side feed assignment against the stored centroids)
+    // is deterministic in the centroid table alone, so its probe is
+    // BIT-IDENTICAL to recomputing the whole index: the oracle IS the
+    // recompute SQL — "stored ≡ recompute" is the graded contract.
+    "sim_ivf_incremental" -> simTopkIvfOracle,
 
     "text_tokencount" ->
       """SELECT doc_id,

@@ -125,4 +125,52 @@ class SimilaritySpec extends AnyFunSuite {
     // the bulk of the true neighbors on this corpus
     assert(recall >= 0.8, s"LSH recall $recall below floor")
   }
+
+  test("sim_ivf_incremental: STORED index (centroids + assignments from " +
+      "parquet) probes identically to full recompute; replayed assignment " +
+      "is idempotent") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val wh = TestSpark.tmpDir("ivf_warehouse")
+    val e = graft.Tables.embeddings(spark, dir)
+    def cvecs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+
+    // LOAD 1: the standing corpus materializes its centroid table and
+    // cell-assignment relation as warehouse parquet — the artifacts an
+    // incremental ANN pipeline keeps so later loads never re-assign it
+    val cents = Similarity.sampledCentroids(e, 16)
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$wh/centroids")
+    Similarity.ivfAssign(cvecs(e.filter(col("vec_id") < 400)), cents)
+      .write.mode("overwrite").parquet(s"$wh/cells")
+
+    // LOAD 2: the feed assigns map-side against the STORED centroid
+    // table only, and the probe reads stored ∪ feed
+    val storedCents = spark.read.parquet(s"$wh/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    assert(storedCents.map(_._1).toSeq === cents.map(_._1).toSeq)
+    val feed = Similarity.ivfAssign(
+      cvecs(e.filter(col("vec_id") >= 400)), storedCents)
+    val assigned = spark.read.parquet(s"$wh/cells").unionByName(feed)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val fromDisk = Similarity
+      .ivfProbe(assigned, queries, storedCents, nprobe = 6)
+      .collect().map(_.toSeq).toSeq
+    val recompute = Similarity.simTopkIvf(spark, dir, cells = 16, nprobe = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(fromDisk === recompute)
+
+    // replay idempotence: re-assigning the standing corpus from the
+    // stored centroids reproduces the stored assignment relation exactly
+    val replayed = Similarity
+      .ivfAssign(cvecs(e.filter(col("vec_id") < 400)), storedCents)
+      .select(col("c_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stored = spark.read.parquet(s"$wh/cells")
+      .select(col("c_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(replayed === stored)
+  }
 }
