@@ -211,7 +211,15 @@ object Dedup {
     * DOUBLE multiply rounds differently than DuckDB's exact DECIMAL and
     * could shift the prefix boundary by one.
     */
-  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Returns the pair relation AND its internal caches (t, ids, post) so
+    * each caller applies the right cache scope: dedup_ngram_jaccard's
+    * RETURNED plan reads `ids` in the rerank joins, so its caches must
+    * survive the call (the GraftCaches contract); dedup_cluster consumes
+    * the pairs into its own persisted relation, after which these caches
+    * are dead weight and release inline (see connectedComponents).
+    */
+  private def ngramPairs(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     // repartition: single-row-group testdata parquet would tokenize in ONE
     // task; persist (NOT localCheckpoint — stats, see CLAUDE.md): t feeds
     // the df count and the vocab-id join.
@@ -284,20 +292,21 @@ object Dedup {
           col("b.n") * 10 >= col("a.n") * 9)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    cand
+    val pairs = cand
       .join(ids.select(col("doc_id").as("i"), col("ts").as("ts_i")), Seq("i"))
       .join(ids.select(col("doc_id").as("j"), col("ts").as("ts_j")), Seq("j"))
       .select(col("i"), col("j"),
         round(GraftFunctions.jaccardSortedInt(col("ts_i"), col("ts_j")), 6)
           .as("jac"))
       .filter(col("jac") >= 0.9)
+    (pairs, Seq(t, ids, post))
   }
 
   /** §2.3 dedup_ngram_jaccard: token-set Jaccard near-dup pairs via exact
     * prefix filtering — graded against the EXHAUSTIVE all-pairs oracle.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramPairs(spark, dir).orderBy(col("i"), col("j"))
+    ngramPairs(spark, dir)._1.orderBy(col("i"), col("j"))
 
   /** §2.3 dedup_cluster: near-dup pairs → connected components → one
     * canonical doc per duplicate cluster (the step a pipeline actually
@@ -321,20 +330,28 @@ object Dedup {
     */
   private val DriverFinishEdgeBound = 4000000L
 
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, upstream) = ngramPairs(spark, dir)
     connectedComponents(spark,
-      ngramPairs(spark, dir).select(col("i"), col("j")),
-      Tables.documents(spark, dir).select(col("doc_id").as("id")))
+      pairs.select(col("i"), col("j")),
+      Tables.documents(spark, dir).select(col("doc_id").as("id")),
+      releaseAfterMaterialize = upstream)
       .select(col("id").as("doc_id"), col("canonical_id"))
       .orderBy(col("doc_id"))
+  }
 
   /** Connected components over an undirected (i, j) pair relation:
     * (id, canonical_id = component minimum) for every id in `universe`.
     * Shared by dedup_cluster (token-Jaccard pairs) and dedup_semantic
-    * (embedding-cosine pairs).
+    * (embedding-cosine pairs). Caches in `releaseAfterMaterialize` are
+    * unpersisted as soon as the pair relation's own cache is populated —
+    * they fed the pair subtree and nothing else, so once `p` holds the
+    * rows they are dead weight the session would otherwise carry until
+    * the harness-level GraftCaches.release.
     */
   private def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      universe: DataFrame): DataFrame = {
+      universe: DataFrame,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // persist the UNDIRECTED pair relation once — half the rows of a
     // doubled edge list, and the one evaluation of the (expensive) pair
@@ -349,6 +366,7 @@ object Dedup {
     // already started computing). One count() populates the cache before
     // any consumer launches.
     p.count()
+    releaseAfterMaterialize.foreach(_.unpersist())
     // CONTRACTION pass before the loop: l0(v) = min(v, direct neighbors).
     // Near-dup components are overwhelmingly CLIQUES (c duplicate docs →
     // c²/2 pairs — the 964,854 pairs at sf0.1 live in a handful of dense

@@ -1455,6 +1455,11 @@ object Relational {
         }
       scores = next.localCheckpoint() // round barrier: O(1) lineage
     }
+    // the returned plan is a checkpoint-truncated LogicalRDD — it holds
+    // the final scores and references NONE of the stationary caches, so
+    // they release inline (the dedupCluster pattern) instead of leaning
+    // on the harness-level GraftCaches contract
+    edges.unpersist(); vertices.unpersist(); dangling.unpersist()
     scores
   }
 
