@@ -22,6 +22,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the codegen CLASS cache is a 100-entry LRU by default — sized for
+      // a handful of hot queries, not a 136-query suite (~10-20 generated
+      // classes each). At default size a full suite pass evicts
+      // everything, so the NEXT pass recompiles every stage: measured
+      // +31% on a consecutive full-suite run (78 s → 103 s) with quiet
+      // CPU probes on both sides. A workload this wide legitimately
+      // sizes the cache to hold its classes (static conf — must be set
+      // before the session exists).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // fresh per-JVM warehouse: managed (e.g. bucketed) tables never leak
       // files into the repo or collide with a previous run's leftovers
       // (lazy val: ONE dir per JVM, not one per builder() call)
