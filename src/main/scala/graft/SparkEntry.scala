@@ -56,6 +56,7 @@ object SparkEntry {
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q_bloom_semi_join" -> (Relational.qBloomSemiJoin _),
     "graph_pagerank" -> (Relational.graphPagerank _),
+    "graph_label_propagation" -> (Relational.graphLabelProp _),
     "q_top_customers_per_nation" -> (Relational.qTopCustomersPerNation _),
     "q_order_priority_exists" -> (Relational.qOrderPriorityExists _),
     "q_customer_no_orders" -> (Relational.qCustomerNoOrders _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "pipeline_pack" -> (TextAnalysis.pipelinePack _),
     "pipeline_mixture" -> (TextAnalysis.pipelineMixture _),
     "text_tfidf" -> (TextAnalysis.textTfidf _),
+    "text_bm25" -> (TextAnalysis.textBm25 _),
     "text_vocab_growth" -> (TextAnalysis.textVocabGrowth _),
     "pipeline_interleave" -> (TextAnalysis.pipelineInterleave _),
     "text_rarity" -> (TextAnalysis.textRarity _),
@@ -263,6 +265,28 @@ object SparkEntry {
                 GROUP BY e.dst)"""
     }.mkString(",\n            ")
 
+  /** graph_label_propagation's synchronous vote rounds as chained CTEs
+    * (unrolled like [[pagerankSteps]]): each round unions every
+    * neighbor's label (the symmetric edge set makes that "labels
+    * flowing src→dst") with the node's own, then takes the
+    * all-integer argmax — count desc, label asc — exactly the Spark
+    * loop's min(struct(-cnt, lbl)).
+    */
+  private def lpaSteps(n: Int): String =
+    (1 to n).map { k =>
+      s"""lp$k AS (
+              SELECT dst AS v, lbl FROM (
+                SELECT dst, lbl,
+                       row_number() OVER (PARTITION BY dst
+                         ORDER BY count(*) DESC, lbl ASC) AS rn
+                FROM (SELECT e.dst, p.lbl
+                      FROM e JOIN lp${k - 1} p ON e.src = p.v
+                      UNION ALL
+                      SELECT v AS dst, lbl FROM lp${k - 1})
+                GROUP BY dst, lbl)
+              WHERE rn = 1)"""
+    }.mkString(",\n            ")
+
   /** The CDC chunk-digest CTE pair shared by mm_cdc_neardup and
     * mm_cdc_incremental: expects a CTE `u(doc_id, bytes)` in scope and
     * yields `ch(doc_id, digs)` — the exact mirror of
@@ -339,6 +363,27 @@ object SparkEntry {
                 s AS score_ppm
          FROM pr10
          ORDER BY score_ppm DESC, node_type, entity_key""",
+
+    // same commerce graph; 4 unrolled synchronous vote rounds
+    // (neighbors + self, count desc / label asc tie-break)
+    "graph_label_propagation" ->
+      s"""WITH cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+                        l.l_suppkey * 2 + 1 AS s
+                      FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey),
+            e AS (SELECT c AS src, s AS dst FROM cs
+                  UNION ALL
+                  SELECT s AS src, c AS dst FROM cs),
+            lp0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+            ${lpaSteps(4)}
+         SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                  AS node_type,
+                CAST(v // 2 AS BIGINT) AS entity_key,
+                CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                  AS community_type,
+                CAST(lbl // 2 AS BIGINT) AS community_key
+         FROM lp4
+         ORDER BY node_type, entity_key""",
 
     "q_nvd_count" ->
       s"""$nvdFeedCte
@@ -2266,6 +2311,34 @@ object SparkEntry {
          SELECT doc_id, n_terms, term AS top_term,
                 round(score, 6) AS top_score
          FROM rk WHERE rn = 1 ORDER BY doc_id""",
+
+    // ln-free BM25: both factors are ratios of exact integers (k1=1.2,
+    // b=0.75, avgdl=S/N multiplied through), so each engine computes the
+    // same two correctly-rounded divisions and one multiply — no libm
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents),
+              dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM d),
+              c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(dl) AS BIGINT) AS s_tokens FROM dl),
+              w AS (SELECT doc_id, unnest(tk) AS term FROM d),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM w
+                     WHERE term IN ('dup','spark','join','filter','scan',
+                                    'merge')
+                     GROUP BY doc_id, term),
+              dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY term)
+         SELECT tf.doc_id, tf.term, tf.tf,
+                round(
+                  (CAST(2 * c.n_docs - 2 * dfq.df + 1 AS DOUBLE)
+                     / (2 * dfq.df + 1))
+                  * (CAST(22 * c.s_tokens * tf.tf AS DOUBLE)
+                     / (10 * c.s_tokens * tf.tf + 3 * c.s_tokens
+                        + 9 * dl.dl * c.n_docs)),
+                  6) AS bm25
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+         ORDER BY doc_id, term""",
 
     "q_events_rfm" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus,

@@ -54,6 +54,9 @@ object GraftFunctions {
 
   def misraGries(item: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftAggregates.misraGries(item, k)
+  /** Count-Min sketch (overestimate-only point counts; exact-add merge). */
+  def countMin(item: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.graft.GraftAggregates.countMin(item, depth, width)
   /** Per-group bounded top-k of (score, id) — map-side partial, O(k) state. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftAggregates.topKByScore(score, id, k)

@@ -1487,4 +1487,89 @@ object Relational {
         col("s").as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("node_type"), col("entity_key"))
   }
+
+  /** The synchronous vote loop under graph_label_propagation, on a
+    * general edge list: each round node v's new label is the argmax
+    * (count desc, label asc) over the labels of every u with an edge
+    * (u, v), plus v's own current label. Community semantics expect a
+    * SYMMETRIC edge set (pass both directions, as graphLabelProp does);
+    * on a directed list the votes flow along the edges as given. A
+    * vertex that only ever appears as a src keeps exactly its self-vote.
+    */
+  private[graft] def lpaCore(edges0: DataFrame, rounds: Int = 4,
+      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
+    val edges = edges0
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // EAGER: all rounds consume this cache
+    var labels = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint()
+    val n = labels.count()
+    val routed: DataFrame => DataFrame =
+      if (n <= broadcastMaxVertices) broadcast
+      else _.repartition(col("v"))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(routed(labels), col("src") === col("v"))
+        .select(col("dst"), col("lbl"))
+        .unionAll(labels.select(col("v").as("dst"), col("lbl")))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+          .as("best"))
+      labels = votes.select(col("dst").as("v"), col("best.l").as("lbl"))
+        .localCheckpoint() // round barrier: O(1) lineage
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** §2.2 graph_label_propagation: synchronous label propagation
+    * (Raghavan et al. 2007) over the same symmetric commerce graph —
+    * community detection, the second canonical iterative-graph workload
+    * ("which customer/supplier cliques trade mostly among themselves").
+    * Each round every node adopts the most frequent label among its
+    * neighbors PLUS its own current label (the self-vote damps the
+    * two-coloring oscillation synchronous LPA exhibits on bipartite
+    * graphs), ties broken toward the smallest label. The vote is an
+    * all-integer argmax — count desc, label asc — so the DuckDB oracle
+    * (4 unrolled rounds of the identical vote union) matches
+    * bit-for-bit; no float ever decides a community.
+    *
+    * Scale shape: pagerankCore's exactly — the edge relation persists
+    * pre-partitioned by src with an eager count (multi-consumer cache
+    * contract); the symmetric edge set makes "labels of dst's
+    * neighbors" ≡ "labels flowing src→dst", so each round is one join
+    * of the slim (v, lbl) relation into the stationary edge cache +
+    * one map-side-combined double groupBy. Labels broadcast below
+    * [[PagerankBroadcastMaxVertices]] and repartition by vertex id
+    * above it — the edges move ZERO times per round in both regimes.
+    * Round barriers are eager localCheckpoints (O(1) lineage, the
+    * CLAUDE.md iterative contract), and the returned checkpoint-
+    * truncated plan references no cache, so the edge persist releases
+    * inline.
+    */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    lpaCore(edges0).select(
+      when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type"),
+      expr("v div 2").cast("bigint").as("entity_key"),
+      when(col("lbl") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("community_type"),
+      expr("lbl div 2").cast("bigint").as("community_key"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
 }

@@ -799,4 +799,57 @@ object TextAnalysis {
         size(col("chunk")).cast("bigint").as("n_chunk_tokens"),
         md5(array_join(col("chunk"), " ")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** §2.4 text_bm25: Okapi BM25 relevance of every document against a
+    * fixed query-term set (Robertson & Walker; the retrieval scorer a
+    * curation pipeline uses to mine topical subsets — tf saturation +
+    * length normalization, where text_tfidf's rational idf has neither).
+    *
+    * EXACT cross-engine arithmetic: with k1 = 1.2 and b = 0.75 folded
+    * into integer coefficients, the score factors into two ratios of
+    * exact integers —
+    *   idf_r = (2N − 2df + 1) / (2df + 1)          (the ln-free
+    *     Robertson idf argument; ln is omitted on BOTH engines, so the
+    *     per-(doc,term) value stays a deterministic rational)
+    *   sat   = 22·S·tf / (10·S·tf + 3·S + 9·dl·N)  (tf saturation with
+    *     dl/avgdl length normalization; avgdl = S/N multiplied through,
+    *     so no intermediate float)
+    * — each an IEEE correctly-rounded division of exactly-representable
+    * integers (≤ ~1e10 ≪ 2⁵³ at any tested SF), then one multiply:
+    * bit-identical on Spark and DuckDB with no libm in the compare path
+    * (the text_tfidf precedent). Per (doc, term) rows are emitted rather
+    * than a per-doc float SUM, so no float accumulation order exists to
+    * diverge.
+    *
+    * Scale shape: the term filter prunes the explode before any shuffle;
+    * df and the 1-row corpus aggregate broadcast; the only large join is
+    * tf × doc-length on doc_id. The query set is a literal — at 100 TB
+    * the same plan serves any probe list small enough to broadcast.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("dup", "spark", "join", "filter", "scan", "merge")
+    val dl = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("dl"),
+        col("tk"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("s_tokens"))
+    val tf = dl.select(col("doc_id"), explode(col("tk")).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(
+          ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+            .cast("double") / (lit(2) * col("df") + lit(1))) *
+          ((lit(22) * col("s_tokens") * col("tf")).cast("double") /
+            (lit(10) * col("s_tokens") * col("tf") + lit(3) * col("s_tokens")
+              + lit(9) * col("dl") * col("n_docs"))),
+          6).as("bm25"))
+      .orderBy(col("doc_id"), col("term"))
+  }
 }

@@ -81,6 +81,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_misra_gries")
         MisraGries(c(0), intLit(c(1), "k")).toAggregateExpression() }))
 
+    ext.injectFunction((FunctionIdentifier("graft_count_min"),
+      info("graft_count_min", "graft_count_min(item, depth, width) - Count-Min sketch, overestimate-only point counts"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_count_min")
+        CountMin(c(0), intLit(c(1), "depth"), intLit(c(2), "width"))
+          .toAggregateExpression() }))
+
     ext.injectFunction((FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(score, id, k) - per-group bounded top-k as array<struct>"),
       (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_top_k"); TopKByScore(c(0), c(1), intLit(c(2), "k")) }))

@@ -245,6 +245,133 @@ case class MisraGries(
   override def prettyName: String = "misra_gries"
 }
 
+/** Count-Min sketch buffer: depth × width long counters, flat row-major.
+  * Point estimates read min over rows — overestimates only, never under
+  * (Cormode & Muthukrishnan 2005).
+  */
+final class CMSketch(val depth: Int, val width: Int) {
+  val cells = new Array[Long](depth * width)
+
+  def add(item: String): Unit = {
+    var r = 0
+    while (r < depth) {
+      cells(r * width + CMSketch.bucket(item, r, width)) += 1L
+      r += 1
+    }
+  }
+
+  def mergeIn(other: CMSketch): Unit = {
+    var i = 0
+    while (i < cells.length) { cells(i) += other.cells(i); i += 1 }
+  }
+}
+
+object CMSketch {
+  /** Row-seeded FNV-1a-64 over UTF-8 bytes (the repo's standing digest
+    * family — CdcChunks uses the same constants); the row seed folds in
+    * via a golden-ratio multiple so the d hash functions are pairwise
+    * distinct but individually the familiar FNV walk.
+    */
+  def hash(item: String, row: Int): Long = {
+    var h = 0xcbf29ce484222325L ^ (row.toLong * 0x9e3779b97f4a7c15L)
+    val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < b.length) {
+      h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def bucket(item: String, row: Int, width: Int): Int =
+    java.lang.Math.floorMod(hash(item, row), width.toLong).toInt
+
+  /** Point estimate over an eval()'d sketch matrix: min over rows of the
+    * row's bucket counter. The query side of the sketch — tests and
+    * embedders probe the returned array<array<long>> with this.
+    */
+  def estimate(matrix: Seq[Seq[Long]], item: String): Long =
+    matrix.zipWithIndex.map { case (row, r) =>
+      row(bucket(item, r, row.length))
+    }.min
+}
+
+/** count_min(item string, depth, width): per-group Count-Min sketch as
+  * array<array<long>> (depth rows × width counters). Estimates via
+  * [[CMSketch.estimate]] are NEVER below the true count, and exceed it
+  * by at most ~e·n/width with probability 1 − e^−depth — the dual of
+  * [[MisraGries]] (which bounds UNDERestimates): together they bracket a
+  * frequency from both sides with constant memory.
+  *
+  * The scale story is [[MisraGries]]'s exactly: an exact per-item count
+  * at 100 TB shuffles one row per distinct item; this summary crosses
+  * the exchange as a fixed depth·width counter block per task regardless
+  * of vocabulary size, and the elementwise-add merge is EXACT — the
+  * merged sketch is bit-identical to a single-pass sketch of the same
+  * rows under any partitioning (asserted in SketchSpec), so unlike most
+  * sketches its answer carries no partitioning nondeterminism at all.
+  */
+case class CountMin(
+    item: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CMSketch] with ExpectsInputTypes {
+
+  require(depth >= 1 && depth <= 16,
+    s"count_min depth must be in [1,16], got $depth")
+  require(width >= 2, s"count_min width must be >= 2, got $width")
+
+  override def children: Seq[Expression] = Seq(item)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+
+  override def createAggregationBuffer(): CMSketch = new CMSketch(depth, width)
+
+  override def update(buf: CMSketch, input: InternalRow): CMSketch = {
+    val v = item.eval(input)
+    // toString copies out of the (reused) UTF8String scan buffer
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(buf: CMSketch, other: CMSketch): CMSketch = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: CMSketch): Any =
+    new GenericArrayData((0 until depth).map { r =>
+      new GenericArrayData(
+        java.util.Arrays.copyOfRange(buf.cells, r * width, (r + 1) * width))
+    }.toArray[Any])
+
+  override def serialize(buf: CMSketch): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.cells.length)
+    buf.cells.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CMSketch = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new CMSketch(depth, width)
+    var i = 0
+    while (i < s.cells.length) { s.cells(i) = bb.getLong; i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMin =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMin =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(item = newChildren(0))
+  override def prettyName: String = "count_min"
+}
+
 object GraftAggregates {
   /** Column API: per-group top-k of (score, id), best-first. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
@@ -256,4 +383,10 @@ object GraftAggregates {
   def misraGries(item: Column, k: Int): Column =
     ExpressionUtils.column(
       MisraGries(ExpressionUtils.expression(item), k).toAggregateExpression())
+
+  /** Column API: Count-Min sketch, depth × width counters. */
+  def countMin(item: Column, depth: Int, width: Int): Column =
+    ExpressionUtils.column(
+      CountMin(ExpressionUtils.expression(item), depth, width)
+        .toAggregateExpression())
 }

@@ -105,4 +105,51 @@ class SketchSpec extends AnyFunSuite {
       assert(est <= exact(item) && exact(item) - est <= n / k)
     }
   }
+
+  test("count_min: estimates never below true counts, merged sketch is " +
+      "bit-identical under any partitioning, SQL surface agrees") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.graft.CMSketch
+    val toks = Tables.documents(spark, TestSpark.sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy(col("tok")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val (depth, width) = (4, 64)
+
+    def sketchOf(parts: Int): Vector[Vector[Long]] =
+      toks.repartition(parts)
+        .agg(GraftFunctions.countMin(col("tok"), depth, width).as("cm"))
+        .head().getSeq[scala.collection.Seq[Long]](0)
+        .map(_.toVector).toVector
+
+    val base = sketchOf(1)
+    assert(base.length == depth && base.forall(_.length == width))
+    // total mass per row = n: every update lands exactly once per row
+    base.foreach(row => assert(row.sum == n))
+    exact.foreach { case (item, t) =>
+      val est = CMSketch.estimate(base, item)
+      // the CMS guarantee: overestimate only...
+      assert(est >= t, s"$item: est $est BELOW true $t")
+      // ...and the excess is bounded by the colliding mass of one row
+      // (deterministic on this fixed corpus; e·n/width is the
+      // probabilistic form)
+      assert(est - t <= 3 * n / width,
+        s"$item: est $est exceeds true $t by > 3n/width")
+    }
+    // elementwise-add merge: the sketch is a linear function of the
+    // multiset, so ANY partitioning yields the same matrix bit-for-bit
+    for (parts <- Seq(7, 32)) {
+      assert(sketchOf(parts) == base, s"sketch diverged at parts=$parts")
+    }
+    // SQL surface reaches the same aggregate
+    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("cm_docs")
+    val viaSql = spark.sql(
+      s"""SELECT graft_count_min(tok, $depth, $width) FROM (
+            SELECT explode(split(text, ' ')) AS tok FROM cm_docs) t
+          WHERE length(tok) > 0""").head()
+      .getSeq[scala.collection.Seq[Long]](0).map(_.toVector).toVector
+    assert(viaSql == base)
+  }
 }
