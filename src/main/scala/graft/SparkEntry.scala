@@ -123,6 +123,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.simTopkIvf(s, d)),
     "sim_ivf_incremental" -> (Similarity.simIvfIncremental _),
     "sim_range_search" -> (Similarity.simRangeSearch _),
+    "sim_topk_pq" -> (Similarity.simTopkPq _),
     "sim_knn_graph" -> (Similarity.simKnnGraph _),
     "sim_pair_hist" -> (Dedup.simPairHist _),
     "graph_triangles" -> (Dedup.graphTriangles _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "pipeline_mixture" -> (TextAnalysis.pipelineMixture _),
     "text_tfidf" -> (TextAnalysis.textTfidf _),
     "text_bm25" -> (TextAnalysis.textBm25 _),
+    "pipeline_epoch_shuffle" -> (TextAnalysis.pipelineEpochShuffle _),
     "text_vocab_growth" -> (TextAnalysis.textVocabGrowth _),
     "pipeline_interleave" -> (TextAnalysis.pipelineInterleave _),
     "text_rarity" -> (TextAnalysis.textRarity _),
@@ -1786,6 +1788,46 @@ object SparkEntry {
          FROM s WHERE sim_raw >= 0.28
          ORDER BY q_id, c_id""",
 
+    // PQ mirror: fixed training ids (vec_id < 64, the IVF oracle's
+    // convention); every float op is a sequential left-to-right fold
+    // ((x-y)*(x-y), list_reduce) matching Spark's zip_with+aggregate,
+    // and the encode tie-break is (d2 asc, j asc) on both engines
+    "sim_topk_pq" ->
+      """WITH e0 AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            ss AS (SELECT unnest(range(0, 16)) AS s),
+            sub AS (SELECT vec_id, s,
+                        list_slice(v, s * 4 + 1, s * 4 + 4) AS sv
+                    FROM e0, ss),
+            cbs AS (SELECT s, vec_id AS j, sv AS cw FROM sub
+                    WHERE vec_id < 64),
+            d AS (SELECT x.vec_id, x.s, c.j,
+                      list_reduce(list_transform(range(1, 5),
+                        i -> (x.sv[(i)::INT] - c.cw[(i)::INT])
+                             * (x.sv[(i)::INT] - c.cw[(i)::INT])),
+                        (a, b) -> a + b) AS d2
+                  FROM sub x JOIN cbs c USING (s)),
+            enc AS (SELECT vec_id, s, j AS code FROM d
+                    QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, j ASC) = 1),
+            qd AS (SELECT vec_id AS q_id, s, j, d2 FROM d
+                   WHERE vec_id < 10),
+            ad AS (SELECT q.q_id, x.vec_id AS c_id,
+                       list_reduce(list(q.d2 ORDER BY q.s),
+                         (a, b) -> a + b) AS adist
+                   FROM enc x JOIN qd q ON q.s = x.s AND q.j = x.code
+                   WHERE x.vec_id <> q.q_id
+                   GROUP BY q.q_id, x.vec_id),
+            r AS (SELECT q_id, c_id, adist,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY adist ASC, c_id ASC) AS rk
+                  FROM ad)
+         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
+                round(adist, 6) AS adist
+         FROM r WHERE rk <= 10
+         ORDER BY q_id, rank""",
+
     "text_pii_redact" ->
       """WITH p AS (SELECT doc_id,
                 text || ' contact doc' || CAST(doc_id AS VARCHAR)
@@ -2339,6 +2381,22 @@ object SparkEntry {
                   6) AS bm25
          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN c
          ORDER BY doc_id, term""",
+
+    // two-level (shard, pos) permutation keyed by md5(epoch:doc_id) —
+    // rank exists only within (epoch, shard)
+    "pipeline_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id, epoch,
+                        md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS skey
+                    FROM documents, (SELECT unnest([0, 1, 2]) AS epoch) e),
+              s AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, skey,
+                        CAST(ascii(substring(skey, 1, 1)) % 8 AS BIGINT)
+                          AS shard
+                    FROM k)
+         SELECT epoch, shard,
+                CAST(row_number() OVER (PARTITION BY epoch, shard
+                       ORDER BY skey, doc_id) AS BIGINT) AS pos,
+                doc_id
+         FROM s ORDER BY epoch, shard, pos""",
 
     "q_events_rfm" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus,

@@ -800,6 +800,37 @@ object TextAnalysis {
         md5(array_join(col("chunk"), " ")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** §2.4 pipeline_epoch_shuffle: deterministic multi-epoch shuffle
+    * order — each training epoch sees the corpus in a different but
+    * REPRODUCIBLE permutation (seeded by the epoch number), the data
+    * ordering step between selection and packing in an epoch-based
+    * training run.
+    *
+    * The permutation is two-level, which is the 100 TB form: a doc's
+    * shuffle key is md5(epoch:doc_id); the first key character buckets
+    * it into a shard and its rank materializes only WITHIN (epoch,
+    * shard) — so the window partitions stay bounded by corpus/shards
+    * (at crawl scale the shard count scales out to tens of thousands;
+    * 8 here keeps the gate output readable), and no global rank — the
+    * thing that cannot scale — ever exists. Readers reproduce the
+    * permutation by consuming shards in (epoch, shard, pos) order.
+    * All-integer + md5 hex output: nothing for engines to disagree on.
+    */
+  def pipelineEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
+      .withColumn("skey", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      .withColumn("shard",
+        (ascii(substring(col("skey"), 1, 1)) % 8).cast("bigint"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("skey"), col("doc_id"))).cast("bigint"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   /** §2.4 text_bm25: Okapi BM25 relevance of every document against a
     * fixed query-term set (Robertson & Walker; the retrieval scorer a
     * curation pipeline uses to mine topical subsets — tf saturation +

@@ -86,6 +86,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bm25: df + corpus aggregates broadcast; scans read only doc_id/text; no window") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), p)
+    // every documents scan is column-pruned to the two touched columns
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scans.contains("n_chars") && !scans.contains("source"), scans)
+  }
+
   test("sim_range_search: threshold filters map-side — no shuffle before the output sort") {
     val p = plan("sim_range_search")
     // queries broadcast; corpus never hash-shuffles (only the final sort
