@@ -57,6 +57,7 @@ object SparkEntry {
     "q_bloom_semi_join" -> (Relational.qBloomSemiJoin _),
     "graph_pagerank" -> (Relational.graphPagerank _),
     "graph_label_propagation" -> (Relational.graphLabelProp _),
+    "warehouse_stats" -> (Relational.warehouseStats _),
     "q_top_customers_per_nation" -> (Relational.qTopCustomersPerNation _),
     "q_order_priority_exists" -> (Relational.qOrderPriorityExists _),
     "q_customer_no_orders" -> (Relational.qCustomerNoOrders _),
@@ -386,6 +387,46 @@ object SparkEntry {
                 CAST(lbl // 2 AS BIGINT) AS community_key
          FROM lp4
          ORDER BY node_type, entity_key""",
+
+    // one stats block per analyzed column; epoch(min) ≡ min(epoch)
+    "warehouse_stats" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS col_name,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_nulls,
+                  CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+                  CAST(max(l_orderkey) AS VARCHAR) AS max_val
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT),
+                  CAST(min(l_linenumber) AS VARCHAR),
+                  CAST(max(l_linenumber) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT),
+                  CAST(min(l_returnflag) AS VARCHAR),
+                  CAST(max(l_returnflag) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT),
+                  CAST(min(l_linestatus) AS VARCHAR),
+                  CAST(max(l_linestatus) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT),
+                  CAST(CAST(epoch(min(l_shipdate)) AS BIGINT) AS VARCHAR),
+                  CAST(CAST(epoch(max(l_shipdate)) AS BIGINT) AS VARCHAR)
+           FROM lineitem
+         ) ORDER BY col_name""",
 
     "q_nvd_count" ->
       s"""$nvdFeedCte

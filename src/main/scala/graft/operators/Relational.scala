@@ -1553,6 +1553,26 @@ object Relational {
     * truncated plan references no cache, so the edge persist releases
     * inline.
     */
+  /** §2.1 warehouse_stats: the ANALYZE maintenance pass rendered as a
+    * query — long-format per-column statistics (rows, nulls, min/max)
+    * over the fact table in ONE scan and ONE 1-row aggregate, via
+    * [[graft.sources.Warehouse.stats]] (whose persisted `analyze`
+    * variant adds the HLL++ NDV sketch — approximate by nature, so the
+    * NDV is spec-gated in WarehouseSpec while this query grades the
+    * exact core cross-engine). The timestamp column renders as epoch
+    * seconds; min-over-epoch ≡ epoch-of-min (monotone), so DuckDB's
+    * epoch(min(..)) mirrors exactly.
+    */
+  def warehouseStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    graft.sources.Warehouse.stats(li, Seq(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_linenumber" -> col("l_linenumber"),
+      "l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"),
+      "l_shipdate" -> unix_seconds(col("l_shipdate").cast("timestamp"))))
+  }
+
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
     val cs = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))

@@ -129,4 +129,53 @@ object Warehouse {
       .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
     (dataFiles.length, after)
   }
+
+  /** Long-format column statistics in ONE pass, one 1-row aggregate:
+    * (col_name, n_rows, n_nulls, min_val, max_val[, approx_ndv]) per
+    * analyzed column. Everything but the optional NDV is exact integer/
+    * string arithmetic; the NDV is HLL++ (approx_count_distinct,
+    * rsd 2%) — constant memory at any scale, where an exact distinct
+    * would shuffle one row per key. min/max render via cast-to-string so
+    * one schema serves every column type (callers pick the value
+    * expression — e.g. a timestamp cast to epoch seconds — so the
+    * rendering is engine-portable).
+    */
+  def stats(df: DataFrame, cols: Seq[(String, Column)],
+      withNdv: Boolean = false): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap {
+      case (n, c) =>
+        Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+          min(c).cast("string").as(s"${n}__min"),
+          max(c).cast("string").as(s"${n}__max")) ++
+          (if (withNdv) Seq(approx_count_distinct(c, 0.02).as(s"${n}__ndv"))
+           else Nil)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { case (n, _) =>
+      val base = Seq(lit(n).as("col_name"), col("n_rows"),
+        col(s"${n}__nulls").as("n_nulls"),
+        col(s"${n}__min").as("min_val"), col(s"${n}__max").as("max_val"))
+      struct(base ++ (if (withNdv) Seq(col(s"${n}__ndv").as("approx_ndv"))
+                      else Nil): _*)
+    }
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** ANALYZE for a parquet directory — the third standing maintenance
+    * task beside [[compact]] and [[zorderWrite]]: compute [[stats]]
+    * (with the NDV sketch) over the named columns and persist them as a
+    * `<path>.stats` parquet artifact, so planners and embedders read
+    * row counts / null fractions / bounds / cardinalities without
+    * scanning the table (the reference warehouse's table-metadata role,
+    * schema.json-adjacent). Overwrite-idempotent; returns the stats
+    * read back from disk.
+    */
+  def analyze(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    stats(df, cols.map(c => c -> df(c)), withNdv = true)
+      .coalesce(1).write.mode("overwrite").parquet(path + ".stats")
+    spark.read.parquet(path + ".stats")
+  }
 }

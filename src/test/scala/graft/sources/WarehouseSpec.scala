@@ -145,4 +145,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(back.count() === 2)
     assert(back.agg(sum(col("a"))).collect()(0).getLong(0) === 3L)
   }
+
+  test("analyze: persisted stats artifact is exact on count/nulls/bounds, " +
+      "NDV within the HLL bound, overwrite-idempotent") {
+    val src = Tables.orders(spark, TestSpark.sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val dir = TestSpark.tmpDir("wh_analyze") + "/orders"
+    src.write.mode("overwrite").parquet(dir)
+
+    def check(st: Array[org.apache.spark.sql.Row]): Unit = {
+      val n = src.count()
+      val byCol = st.map(r => r.getString(0) -> r).toMap
+      assert(byCol.keySet === Set("o_orderkey", "o_custkey", "o_orderpriority"))
+      st.foreach { r => assert(r.getLong(1) === n && r.getLong(2) === 0L) }
+      val ok = byCol("o_orderkey")
+      val exact = src.agg(min(col("o_orderkey")).cast("string"),
+        max(col("o_orderkey")).cast("string"),
+        count_distinct(col("o_orderkey"))).head()
+      assert(ok.getString(3) === exact.getString(0))
+      assert(ok.getString(4) === exact.getString(1))
+      val (ndv, trueNdv) = (ok.getLong(5).toDouble, exact.getLong(2).toDouble)
+      assert(math.abs(ndv - trueNdv) / trueNdv <= 0.06,
+        s"o_orderkey NDV $ndv vs exact $trueNdv")
+    }
+    val first = Warehouse.analyze(spark, dir,
+      Seq("o_orderkey", "o_custkey", "o_orderpriority")).collect()
+    check(first)
+    // the artifact lives beside the data and a re-run replaces it in place
+    val again = Warehouse.analyze(spark, dir,
+      Seq("o_orderkey", "o_custkey", "o_orderpriority")).collect()
+    check(again)
+    assert(spark.read.parquet(dir + ".stats").count() === 3)
+  }
 }
