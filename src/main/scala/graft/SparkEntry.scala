@@ -521,11 +521,11 @@ object SparkEntry {
                    x -> x IS NOT NULL))) AS m FROM f)
          SELECT string_split(m.cpe23Uri, ':')[4] AS vendor,
                 count(*) AS n_matches,
-                sum(CASE WHEN m.versionEndExcluding IS NOT NULL
+                CAST(sum(CASE WHEN m.versionEndExcluding IS NOT NULL
                           OR m.versionEndIncluding IS NOT NULL
                           OR m.versionStartIncluding IS NOT NULL
                           OR m.versionStartExcluding IS NOT NULL
-                         THEN 1 ELSE 0 END) AS n_ranged,
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ranged,
                 count(m.versionEndExcluding) AS n_end_excl,
                 count(m.versionEndIncluding) AS n_end_incl,
                 count(m.versionStartIncluding) AS n_start_incl,
