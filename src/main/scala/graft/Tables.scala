@@ -12,18 +12,35 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]) unless the session was built
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` — set once in
-    * [[GraftSession]], never mutated here. We read nanos as raw longs and
-    * truncate to microsecond timestamps — the same ns→µs truncation DuckDB
-    * applies on read, so oracle comparisons stay exact. Integer `div` (not
-    * fp division) because ~1.7e18 ns exceeds double's 53-bit integer range.
+  /** events.parquet has shipped with two physical types for `ts`, so we
+    * dispatch on the schema Spark actually read rather than assuming one:
+    *
+    *  - TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]) unless the session was built with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` — set once in
+    *    [[GraftSession]], never mutated here. The column then surfaces as
+    *    LongType; we truncate nanos to microsecond timestamps — the same
+    *    ns→µs truncation DuckDB applies on read, so oracle comparisons stay
+    *    exact. Integer `div` (not fp division) because ~1.7e18 ns exceeds
+    *    double's 53-bit integer range.
+    *  - timestamp[us] (isAdjustedToUTC=false): surfaces as TIMESTAMP_NTZ;
+    *    we cast to TimestampType (LTZ) so every downstream consumer keeps
+    *    the exact type it was written against. The session timezone is
+    *    pinned to UTC in [[GraftSession]], so the cast is value-preserving
+    *    and matches DuckDB's naive-timestamp read.
+    *
+    * Every other surfaced type (plain TimestampType) passes through as-is.
     */
-  private def eventsRaw(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
   /** Register every table as a temp view so the full surface is reachable
     * from plain `spark.sql(...)` — together with the GraftExtensions
