@@ -529,8 +529,17 @@ object Dedup {
     * buckets is bounded at maxWidth·(maxWidth−1)/2 per bucket, streamed
     * by PairsGenerator.
     */
-  private[graft] def cappedBucketPairs(posts: DataFrame, k1: String, k2: String,
+  private[graft] def cappedBucketPairs(posts0: DataFrame, k1: String, k2: String,
       v: String, maxWidth: Int = BucketWidthCap): (DataFrame, DataFrame) = {
+    // posts feeds TWO consumer stages (the width pass and the pair-emission
+    // join) that the scheduler can run concurrently — persist + EAGER count
+    // per the multi-consumer cache contract, so the caller's bucket kernel
+    // (rhpBuckets / the 16-way band transform / simhash banding) evaluates
+    // exactly once per query instead of once per consumer. The cache is
+    // slim (id, 2×int) posting rows, never payloads; release is the
+    // harness's clearCache-per-query contract.
+    val posts = posts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    posts.count()
     val widths = posts.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("width"))
     val ok = widths.filter(col("width").between(2, maxWidth))
       .select(col(k1), col(k2))
@@ -617,6 +626,8 @@ object Dedup {
       .filter(size(toks) > 0 && length(col("text")) > 0)
       .select(col("doc_id"), GraftFunctions.simhash64(toks).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // EAGER (multi-consumer cache contract): the banding
+    // explode and the final sig-carrying pair projection both read this
     val bandVals = (0 until 4).map(b =>
       shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val posts = sigs

@@ -1394,10 +1394,13 @@ object Relational {
     *    sitting on zero-outdegree nodes redistributes uniformly,
     *    (85·D) div (100·n) per node — all floor-division integers, so
     *    any SQL engine replicates bit-for-bit;
-    *  - every round rebuilds scores off the STATIONARY vertex relation
-    *    (left join on contributions): a node with no in-edges keeps
-    *    receiving teleport + dangling share instead of silently
-    *    vanishing from the groupBy(dst) result after round 1;
+    *  - a node with no in-edges (a SOURCE) must keep receiving
+    *    teleport + dangling share instead of silently vanishing from
+    *    the groupBy(dst) result after round 1 — so when sources exist
+    *    (counted ONCE, driver-side) each round rebuilds scores off the
+    *    STATIONARY vertex relation via a left join on contributions;
+    *    on a source-free graph (the commerce graph is symmetric) that
+    *    rebuild join compiles away entirely, like the dangling term;
     *  - join strategy is SIZE-CONDITIONAL: below
     *    [[PagerankBroadcastMaxVertices]] the per-round scores broadcast
     *    into the stationary edge cache; above it scores repartition by
@@ -1419,8 +1422,12 @@ object Relational {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // EAGER: 10 rounds + the vertex/dangling builds consume this
-    val vertices = edges0.select(col("src").as("v"))
-      .unionAll(edges0.select(col("dst").as("v")))
+    // vertices derive from the CACHED edge relation, not edges0 — the
+    // outdeg inner join preserves every edge row (its build side is
+    // edges0's own groupBy), so the src/dst vertex set is identical and
+    // the possibly-expensive upstream plan evaluates exactly once
+    val vertices = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
       .distinct()
       .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1429,6 +1436,13 @@ object Relational {
       .join(edges.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDangling = dangling.count() // EAGER + the driver-side plan branch
+    // SOURCES (no in-edges) are the mirror of dangling: counted ONCE,
+    // driver-side. With zero sources every vertex appears in the per-round
+    // groupBy(dst), so the stationary-vertex left-join rebuild compiles
+    // away and each round is join + agg, nothing else.
+    val nSources = vertices
+      .join(edges.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
+      .count()
     val routed: DataFrame => DataFrame =
       if (n <= broadcastMaxVertices) broadcast else _.repartition(col("v"))
     var scores = vertices.select(col("v"), lit(1000000L).as("s"))
@@ -1440,7 +1454,9 @@ object Relational {
           expr("(85 * s) div (100 * outdeg)").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("c"))
-      val rebuilt = vertices.join(contrib, col("v") === col("dst"), "left")
+      val rebuilt =
+        if (nSources == 0) contrib.select(col("dst").as("v"), col("c"))
+        else vertices.join(contrib, col("v") === col("dst"), "left")
       val next =
         if (nDangling == 0)
           rebuilt.select(col("v"),

@@ -378,13 +378,13 @@ object Similarity {
     * SFs in SimilaritySpec).
     * Encoding = per-subspace argmin of squared L2 (d2 asc, codeword id
     * asc tie-break — an array_min over struct(d, j), so each distance
-    * evaluates ONCE). ADC score = the 8 per-subspace LUT entries summed
+    * evaluates ONCE). ADC score = the 16 per-subspace LUT entries summed
     * in fixed s order — every float op is a sequential fold mirrored
     * exactly in the oracle, so ranks cannot flip between engines.
     *
-    * Scale shape: the codebook is a 1-row broadcast (8×16 codewords);
-    * encoding and ADC scoring are MAP-SIDE projections over one corpus
-    * pass each (no shuffle touches a float vector — the 8-small-int
+    * Scale shape: the codebook is a 1-row broadcast (16 subspaces × 64
+    * codewords); encoding and ADC scoring are MAP-SIDE projections over
+    * one corpus pass each (no shuffle touches a float vector — the 16-small-int
     * codes relation is what a 100 TB deployment persists as its index
     * artifact, the band-table/centroid-table pattern); the only
     * aggregation is the bounded-heap top-k, shuffling O(queries · k)
@@ -410,12 +410,12 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("s"), col("cws")))).as("scs"))
       .select(transform(col("scs"), _.getField("cws")).as("cb"))
     val withCb = sub.crossJoin(broadcast(cb))
-    // encode: vec → 8 codeword ids, map-side over the broadcast codebook
+    // encode: vec → 16 codeword ids, map-side over the broadcast codebook
     val enc = withCb.select(col("vec_id").as("c_id"),
       zip_with(col("cb"), col("subs"), (cws, sv) =>
         array_min(transform(cws, (cw, j) =>
           struct(d2(sv, cw).as("d"), j.as("j")))).getField("j")).as("codes"))
-    // per-query LUT: 8 arrays of 16 query-subvector→codeword distances
+    // per-query LUT: 16 arrays of 64 query-subvector→codeword distances
     val qs = withCb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"),
         zip_with(col("cb"), col("subs"), (cws, sv) =>
