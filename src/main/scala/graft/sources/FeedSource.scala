@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.io.IOException
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The feed-acquisition seam — the one reference capability
+  * (bq_nvd/download.py:32-54, driven at bq-nvd.py:106-114) that had no
+  * analogue here: resolving a feed NAME ("recent", "modified", "2019")
+  * to its published URL, fetching it to a local staging path, and
+  * failing loudly on a truncated transfer.
+  *
+  * The reference hard-wires `urllib.request.urlretrieve` and surfaces
+  * `ContentTooShortError`; here the transport is a [[FeedFetcher]]
+  * strategy so the name/URL arithmetic and the truncation contract are
+  * unit-testable without network (this sandbox has none), and a
+  * deployment can drop in HTTP, a mirror directory, or a distributed
+  * object-store copy without touching the ETL. Everything downstream of
+  * [[FeedSource.download]] is the existing Spark-first pipeline
+  * ([[NvdEtl.ingest]] onward).
+  */
+trait FeedFetcher {
+
+  /** Copy the resource at `url` to `dest`; return (bytesWritten,
+    * declaredLength) where declaredLength is the transport's own claim
+    * (Content-Length, object size) when it makes one. The TRUNCATION
+    * decision deliberately lives in [[FeedSource]], not in fetchers —
+    * every transport gets the same contract for free.
+    */
+  def fetch(url: String, dest: Path): (Long, Option[Long])
+}
+
+/** `file://`-style fetcher: "fetches" from a local mirror directory —
+  * the sandbox/deployment-bootstrap transport (NVD publishes rsync'able
+  * mirrors), and the one the specs drive end-to-end over the committed
+  * feed fixtures.
+  */
+final class LocalMirrorFetcher(mirrorDir: String) extends FeedFetcher {
+  def fetch(url: String, dest: Path): (Long, Option[Long]) = {
+    val name = url.substring(url.lastIndexOf('/') + 1)
+    val src = Paths.get(mirrorDir).resolve(name)
+    if (!Files.exists(src))
+      throw new IOException(s"feed not in mirror: $src")
+    Files.createDirectories(dest.getParent)
+    Files.copy(src, dest, StandardCopyOption.REPLACE_EXISTING)
+    (Files.size(dest), Some(Files.size(src)))
+  }
+}
+
+/** Plain-JDK HTTP(S) fetcher — the deployment transport, mirroring the
+  * reference's urlretrieve. Untestable in this zero-egress sandbox, so
+  * it stays a thin streaming copy with zero logic of its own: the
+  * truncation check it feeds IS tested, via fake fetchers.
+  */
+object HttpFeedFetcher extends FeedFetcher {
+  def fetch(url: String, dest: Path): (Long, Option[Long]) = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+    val declared = conn.getContentLengthLong match {
+      case n if n >= 0 => Some(n)
+      case _           => None
+    }
+    Files.createDirectories(dest.getParent)
+    val in = conn.getInputStream
+    try {
+      val written = Files.copy(in, dest, StandardCopyOption.REPLACE_EXISTING)
+      (written, declared)
+    } finally in.close()
+  }
+}
+
+/** Raised when a transfer delivers fewer/more bytes than the transport
+  * declared — the analogue of urllib's ContentTooShortError
+  * (download.py:49-51): a partial feed must never reach the parser,
+  * where it would either abort a strict load or silently contribute a
+  * truncated CVE set.
+  */
+final class TruncatedFeedException(val url: String, val got: Long,
+    val declared: Long)
+  extends IOException(
+    s"truncated feed transfer: $url declared $declared bytes, got $got")
+
+/** Feed-name → URL arithmetic + staging, reference config.yml defaults.
+  *
+  * The reference's own docstring calls the scheme brittle ("If NVD
+  * changes their file naming scheme or URL this will break") — hence
+  * every component is a constructor parameter and the resolver is
+  * spec'd, so a scheme change is a one-line config edit caught by
+  * tests, not a silent 404 in a cron loop.
+  */
+final case class FeedSource(
+    urlBase: String = FeedSource.DefaultUrlBase,
+    filePrefix: String = FeedSource.DefaultFilePrefix,
+    fileSuffix: String = FeedSource.DefaultFileSuffix,
+    fetcher: FeedFetcher = HttpFeedFetcher) {
+
+  /** download.py:47 — the desired file name goes between prefix and
+    * suffix: "recent" → "nvdcve-1.1-recent.json.gz".
+    */
+  def feedFileName(name: String): String = filePrefix + name + fileSuffix
+
+  /** download.py:48 — url_base + filename. */
+  def feedUrl(name: String): String = urlBase + feedFileName(name)
+
+  /** Fetch feed `name` into `localDir`, enforcing the truncation
+    * contract; returns the staged file's absolute path (download.py's
+    * return shape, localPath + filename).
+    */
+  def download(name: String, localDir: String): String = {
+    val dest = Paths.get(localDir).resolve(feedFileName(name)).toAbsolutePath
+    val (got, declared) = fetcher.fetch(feedUrl(name), dest)
+    declared.filter(_ != got).foreach { d =>
+      Files.deleteIfExists(dest) // never leave a poisoned staging file
+      throw new TruncatedFeedException(feedUrl(name), got, d)
+    }
+    dest.toString
+  }
+
+  /** Step-1+2 of the reference run loop (bq-nvd.py:106-121): download
+    * then parse — staged file straight into the declarative gz-JSON
+    * ingest; everything after is the shared Spark pipeline.
+    */
+  def ingestFeed(spark: SparkSession, name: String, localDir: String,
+      schemaPath: String = NvdEtl.DefaultSchemaPath,
+      strict: Boolean = false): DataFrame =
+    NvdEtl.ingest(spark, download(name, localDir), schemaPath, strict)
+}
+
+object FeedSource {
+  /** Reference config.yml `url_base`. */
+  val DefaultUrlBase = "https://nvd.nist.gov/feeds/json/cve/1.1/"
+
+  /** Reference config.yml `file_prefix`. */
+  val DefaultFilePrefix = "nvdcve-1.1-"
+
+  /** Reference config.yml `file_suffix`. */
+  val DefaultFileSuffix = ".json.gz"
+}

@@ -23,8 +23,14 @@ import org.apache.spark.sql.types._
   */
 object NvdEtl {
 
-  /** The reference's own BQ schema file — parsed, never hand-copied. */
-  val DefaultSchemaPath = "/root/reference/schema.json"
+  /** The NVD BQ schema, parsed — never hand-translated into Scala. The
+    * file is a committed DATA fixture (`fixtures/nvd/schema.json`), a
+    * verbatim copy of the reference's schema.json (itself public NVD
+    * column metadata, reference config.yml `nvd_schema`): the library
+    * must not carry a RUNTIME dependency on the read-only reference
+    * mount, which may be absent in deployment.
+    */
+  val DefaultSchemaPath = "/root/repo/fixtures/nvd/schema.json"
 
   val FixturePath = "fixtures/nvd/nvdcve-1.1-fixture.json.gz"
   val RecentFixturePath = "fixtures/nvd/nvdcve-1.1-recent.json.gz"
