@@ -483,7 +483,7 @@ object Dedup {
         .select(col("id"),
           least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab"),
           col("old"))
-        .localCheckpoint() // the round barrier: O(1) lineage across rounds
+        .transform(graft.Barriers.roundBarrier) // the round barrier: O(1) lineage across rounds
       changed = next.filter(col("lab") =!= col("old")).count()
       labels = next.select(col("id"), col("lab"))
       iter += 1

@@ -1445,8 +1445,8 @@ object Relational {
       .count()
     val routed: DataFrame => DataFrame =
       if (n <= broadcastMaxVertices) broadcast else _.repartition(col("v"))
-    var scores = vertices.select(col("v"), lit(1000000L).as("s"))
-      .localCheckpoint()
+    var scores = graft.Barriers.roundBarrier(
+      vertices.select(col("v"), lit(1000000L).as("s")))
     for (_ <- 1 to rounds) {
       val contrib = edges
         .join(routed(scores), col("src") === col("v"))
@@ -1469,7 +1469,7 @@ object Relational {
               (lit(150000L) + coalesce(col("c"), lit(0L)) +
                 expr(s"(85 * dm) div (100 * $n)")).as("s"))
         }
-      scores = next.localCheckpoint() // round barrier: O(1) lineage
+      scores = graft.Barriers.roundBarrier(next) // round barrier: O(1) lineage
     }
     // the returned plan is a checkpoint-truncated LogicalRDD — it holds
     // the final scores and references NONE of the stationary caches, so
@@ -1518,11 +1518,11 @@ object Relational {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // EAGER: all rounds consume this cache
-    var labels = edges.select(col("src").as("v"))
-      .unionAll(edges.select(col("dst").as("v")))
-      .distinct()
-      .select(col("v"), col("v").as("lbl"))
-      .localCheckpoint()
+    var labels = graft.Barriers.roundBarrier(
+      edges.select(col("src").as("v"))
+        .unionAll(edges.select(col("dst").as("v")))
+        .distinct()
+        .select(col("v"), col("v").as("lbl")))
     val n = labels.count()
     val routed: DataFrame => DataFrame =
       if (n <= broadcastMaxVertices) broadcast
@@ -1537,8 +1537,9 @@ object Relational {
         .groupBy(col("dst"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
           .as("best"))
-      labels = votes.select(col("dst").as("v"), col("best.l").as("lbl"))
-        .localCheckpoint() // round barrier: O(1) lineage
+      labels = graft.Barriers.roundBarrier(
+        votes.select(col("dst").as("v"), col("best.l").as("lbl"))
+      ) // round barrier: O(1) lineage, reliable under the Barriers conf
     }
     edges.unpersist()
     labels
