@@ -21,6 +21,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // isAdjustedToUTC=false micros columns (the current events.parquet
+      // shape) read as TIMESTAMP_LTZ directly instead of TIMESTAMP_NTZ:
+      // with the session pinned to UTC the values are identical, but the
+      // scan column needs NO cast projection — ts filters push down to
+      // the parquet reader (Tables.eventsRaw's NTZ branch stays as the
+      // fallback for sessions built without this conf)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // the codegen CLASS cache is a 100-entry LRU by default — sized for
       // a handful of hot queries, not a 136-query suite (~10-20 generated
