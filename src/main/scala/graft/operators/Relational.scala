@@ -1414,6 +1414,24 @@ object Relational {
     *    CLAUDE.md iterative contract); the stationary relations are
     *    persisted with eager counts (multi-consumer cache contract).
     */
+  /** One pagerank round's contribution aggregate — the join whose shape
+    * carries the "edges move ZERO times per round" claim: `edges` must
+    * arrive persisted and hash-partitioned by src, so in the broadcast
+    * regime the round is a broadcast hash join straight over the cache
+    * scan, and in the co-partitioned regime only the slim routed scores
+    * shuffle (the cache's src partitioning satisfies the join). Factored
+    * out of the loop so PlanAuditSpec pins BOTH regimes' physical plans
+    * as executable assertions instead of prose.
+    */
+  private[graft] def pagerankContrib(edges: DataFrame, scores: DataFrame,
+      routed: DataFrame => DataFrame): DataFrame =
+    edges
+      .join(routed(scores), col("src") === col("v"))
+      .select(col("dst"),
+        expr("(85 * s) div (100 * outdeg)").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("c"))
+
   private[graft] def pagerankCore(edges0: DataFrame, rounds: Int = 10,
       broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
     val edges = edges0
@@ -1448,12 +1466,7 @@ object Relational {
     var scores = graft.Barriers.roundBarrier(
       vertices.select(col("v"), lit(1000000L).as("s")))
     for (_ <- 1 to rounds) {
-      val contrib = edges
-        .join(routed(scores), col("src") === col("v"))
-        .select(col("dst"),
-          expr("(85 * s) div (100 * outdeg)").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("c"))
+      val contrib = pagerankContrib(edges, scores, routed)
       val rebuilt =
         if (nSources == 0) contrib.select(col("dst").as("v"), col("c"))
         else vertices.join(contrib, col("v") === col("dst"), "left")

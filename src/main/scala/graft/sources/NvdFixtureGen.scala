@@ -32,6 +32,10 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *  - k % 7 == 0   → children also carry ranged entries ([start,end) and
   *                   (start,end] shapes) so the children-level bounds of
   *                   schema.json:245-260 are populated
+  *  - k % 19 == 0  → a NEGATED child (schema.json `negate`) carving the
+  *                   [2.0.0, 3.0.0) series out of the node's own product —
+  *                   the flat-vs-config-tree disagreement case
+  *                   q_nvd_version_match grades
   */
 object NvdFixtureGen {
 
@@ -161,6 +165,24 @@ object NvdFixtureGen {
           vulnerable = true,
           startExcluding = Some("0.5.0"),
           endIncluding = Some(s"1.${k % 10}.0"))
+      }
+      if (k % 19 == 0) {
+        // a NEGATED child: the real-feed "affected EXCEPT this range"
+        // shape (schema.json `negate` on nodes) — the node's own product
+        // is vulnerable everywhere its top-level entry says, MINUS the
+        // [2.0.0, 3.0.0) series this child carves out. Flat applicability
+        // readings count probes inside the carve-out; the config-tree
+        // reading must not (q_nvd_version_match's graded disagreement:
+        // k=76 → CVE-2006-1076, probe product4@2.0).
+        val nchild = children.addObject()
+        nchild.put("operator", "OR")
+        nchild.put("negate", true)
+        val ncm = nchild.putArray("cpe_match")
+        cpeMatch(ncm,
+          s"cpe:2.3:a:vendor${k % 5}:product${k % 9}:*:*:*:*:*:*:*:*",
+          vulnerable = false,
+          startIncluding = Some("2.0.0"),
+          endExcluding = Some("3.0.0"))
       }
       if (k % 5 == 0) {
         // a second top-level node, no children

@@ -217,6 +217,58 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank round moves zero edge bytes in BOTH join regimes") {
+    // the per-round contrib join over a persisted src-partitioned edge
+    // cache: broadcast regime broadcasts scores into the cache scan
+    // (only exchange = the contrib agg); co-partitioned regime shuffles
+    // ONLY the slim routed scores (cache partitioning satisfies the
+    // join) — an exchange on the edge branch in either regime means the
+    // stationary cache stopped being stationary
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    import graft.operators.Relational
+    val ss = spark
+    import ss.implicits._
+    // the toString of an InMemoryTableScan embeds the cached relation's
+    // BUILD plan (exchanges that ran once at persist time, not per
+    // round) — drop everything indented under InMemoryRelation so the
+    // counts below see only the per-round plan
+    def stripCachedBuild(p: String): String = {
+      var skipIndent = -1
+      p.linesIterator.filter { l =>
+        val indent = l.indexWhere(_.isLetter)
+        if (skipIndent >= 0 && (indent > skipIndent || indent < 0)) false
+        else {
+          skipIndent = if (l.contains("InMemoryRelation")) indent else -1
+          true
+        }
+      }.mkString("\n")
+    }
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val edges = edges0
+      .join(edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .repartition(col("src"))
+      .persist()
+    edges.count()
+    try {
+      val scores = Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L))
+        .toDF("v", "s")
+      val pb = stripCachedBuild(Relational
+        .pagerankContrib(edges, scores, broadcast)
+        .queryExecution.executedPlan.toString)
+      assert(pb.contains("BroadcastHashJoin"), pb)
+      assert(pb.contains("InMemoryTableScan"), pb)
+      assert(countOf(pb, "Exchange hashpartitioning") === 1, pb) // agg only
+      val pr = stripCachedBuild(Relational
+        .pagerankContrib(edges, scores, df => df.repartition(col("v")))
+        .queryExecution.executedPlan.toString)
+      assert(pr.contains("InMemoryTableScan"), pr)
+      // scores route + contrib agg — and NOTHING on the edge branch
+      assert(countOf(pr, "Exchange hashpartitioning") === 2, pr)
+    } finally edges.unpersist()
+  }
+
   test("custom expressions run inside WholeStageCodegen spans") {
     // the fingerprint kernel is a custom Catalyst expression with
     // doGenCode — its Project must carry the codegen marker (*), proving
