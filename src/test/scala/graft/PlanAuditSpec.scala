@@ -217,6 +217,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_incremental_antijoin: ts cutoffs reach the events parquet scan") {
+    // the loader passes the scan through untouched (LTZ-infer conf), so
+    // both snapshot cutoffs must land in PushedFilters — a cast or
+    // projection reappearing over ts would silently strip this at 100 TB
+    val p = plan("q_incremental_antijoin")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
+    assert(p.contains("LessThan(ts,"), p)
+    // the warehouse side reads only the anti-join key + cutoff column
+    val whScan = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("events.parquet"))
+      .find(_.contains("struct<event_id:bigint,ts:timestamp>"))
+    assert(whScan.isDefined, p)
+  }
+
   test("pagerank round moves zero edge bytes in BOTH join regimes") {
     // the per-round contrib join over a persisted src-partitioned edge
     // cache: broadcast regime broadcasts scores into the cache scan
