@@ -1450,17 +1450,30 @@ object Relational {
       .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count() // EAGER + the uniform-redistribution denominator
-    val dangling = vertices
-      .join(edges.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDangling = dangling.count() // EAGER + the driver-side plan branch
-    // SOURCES (no in-edges) are the mirror of dangling: counted ONCE,
-    // driver-side. With zero sources every vertex appears in the per-round
-    // groupBy(dst), so the stationary-vertex left-join rebuild compiles
-    // away and each round is join + agg, nothing else.
-    val nSources = vertices
-      .join(edges.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
-      .count()
+    // DANGLING (no out-edges) and SOURCE (no in-edges) counts in ONE pass
+    // over the edge cache: every vertex is a src or a dst, so
+    // |dangling| = n − |distinct src| and |sources| = n − |distinct dst| —
+    // no left-anti jobs for the common well-formed graph. With zero
+    // sources every vertex appears in the per-round groupBy(dst), so the
+    // stationary-vertex left-join rebuild compiles away (the dangling
+    // term's pattern) and each round is join + agg, nothing else.
+    val degRow = edges.agg(
+      countDistinct(col("src")).as("nsrc"),
+      countDistinct(col("dst")).as("ndst")).head()
+    val nDangling = n - degRow.getLong(0)
+    val nSources = n - degRow.getLong(1)
+    // the dangling-vertex relation only exists when the dangling-mass
+    // term does — a no-sink graph never builds or caches it
+    val dangling: DataFrame =
+      if (nDangling == 0) null
+      else {
+        val d = vertices
+          .join(edges.select(col("src").as("v")).distinct(), Seq("v"),
+            "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count() // EAGER: every round's dm aggregate consumes this
+        d
+      }
     val routed: DataFrame => DataFrame =
       if (n <= broadcastMaxVertices) broadcast else _.repartition(col("v"))
     var scores = graft.Barriers.roundBarrier(
@@ -1488,7 +1501,8 @@ object Relational {
     // the final scores and references NONE of the stationary caches, so
     // they release inline (the dedupCluster pattern) instead of leaning
     // on the harness-level GraftCaches contract
-    edges.unpersist(); vertices.unpersist(); dangling.unpersist()
+    edges.unpersist(); vertices.unpersist()
+    if (dangling != null) dangling.unpersist()
     scores
   }
 
