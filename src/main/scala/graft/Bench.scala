@@ -198,8 +198,13 @@ object Bench {
     val runsJson = allWarm.map(w => jmap(w)).mkString("[", ",", "]")
     val detailJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
+    // a SPARK_GRAFT_ONLY dev run must never clobber the committed
+    // full-suite record (r7 postmortem: a 3-query rerun overwrote the
+    // round's only full-suite detail) — filtered runs get their own file
+    val detailPath =
+      if (only.isDefined) "BENCH_DETAIL_ONLY.json" else "BENCH_DETAIL.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailPath),
       (detailJson + "\n").getBytes("UTF-8"))
     println(detailJson)
     val errBrief = errors.map { case (k, v) => (k, v.take(40)) }
