@@ -124,6 +124,31 @@ final case class FeedSource(
       schemaPath: String = NvdEtl.DefaultSchemaPath,
       strict: Boolean = false): DataFrame =
     NvdEtl.ingest(spark, download(name, localDir), schemaPath, strict)
+
+  /** The acquisition half of the reference's cron loop
+    * (cronjob.yml → download → load), feeding the streaming half
+    * ([[graft.streaming.StreamOps.nvdFeedStream]]): fetch each named
+    * feed into the stream's WATCH directory. Each file stages under a
+    * dot-prefixed temp name and then renames into place — a file-watch
+    * source lists completed names only, so the stream can never ingest
+    * a half-written gz (dot-files are invisible to Spark's file index).
+    * Returns the staged paths in input order.
+    */
+  def stageAll(names: Seq[String], watchDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(watchDir))
+    names.map { name =>
+      val tmpDir = Files.createTempDirectory("graft-feed-stage")
+      val fetched = Paths.get(download(name, tmpDir.toString))
+      val dest = Paths.get(watchDir).resolve(feedFileName(name))
+      val hidden = dest.resolveSibling("." + dest.getFileName.toString)
+      // first hop may cross filesystems (temp → watch volume): plain
+      // replace; second hop is same-directory, so the rename is atomic
+      Files.move(fetched, hidden, StandardCopyOption.REPLACE_EXISTING)
+      Files.deleteIfExists(dest)
+      Files.move(hidden, dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toString
+    }
+  }
 }
 
 object FeedSource {

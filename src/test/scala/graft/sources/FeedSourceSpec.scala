@@ -69,6 +69,33 @@ class FeedSourceSpec extends AnyFunSuite {
     assert(Files.size(Paths.get(staged)) === 7L)
   }
 
+  test("stageAll feeds the streaming watch dir: acquisition → stream ingest, deduped") {
+    // the reference cron loop composed end to end: FeedSource acquires
+    // both overlapping feeds into the watch dir, nvdFeedStream parses
+    // and id-dedups them — the staged names are the canonical feed names
+    val mirror = tmpDir()
+    Files.copy(Paths.get(NvdEtl.FixtureAbsPath),
+      Paths.get(mirror).resolve("nvdcve-1.1-2024.json.gz"))
+    Files.copy(Paths.get(NvdEtl.RecentFixtureAbsPath),
+      Paths.get(mirror).resolve("nvdcve-1.1-recent.json.gz"))
+    val watch = tmpDir()
+    val staged = FeedSource(fetcher = new LocalMirrorFetcher(mirror))
+      .stageAll(Seq("2024", "recent"), watch)
+    assert(staged === Seq(s"$watch/nvdcve-1.1-2024.json.gz",
+      s"$watch/nvdcve-1.1-recent.json.gz"))
+    val spark = TestSpark.spark
+    val q = graft.streaming.StreamOps.nvdFeedStream(spark, watch)
+      .select(org.apache.spark.sql.functions.col("cve_id"))
+      .writeStream.format("memory").queryName("feed_stage_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("feed_stage_stream")
+      assert(ids.count() === 120) // 96 bootstrap + 24 unseen recent
+      assert(ids.distinct().count() === 120)
+    } finally q.stop()
+  }
+
   test("download → ingest end-to-end over the committed fixture mirror") {
     // the fixture gz IS a valid recent-feed payload; a mirror dir serving
     // it under the canonical name exercises the full step-1+2 path
