@@ -55,6 +55,18 @@ object Bench {
     * host is ~1.7-1.9M chunks/2s per worker (see BASELINE.md); the signal
     * stays monotone in neighbor-CPU contention either way.
     */
+  /** Committed quiet-window calibration floor for the probe median, in
+    * r7 units (1000-LCG-step chunks per 2 s per worker). Quiet windows
+    * on this host measure ~1.7-1.9M across four rounds; observed storm
+    * windows measure 1.22-1.29M (r9) down to ~0.9M. The floor sits just
+    * under the quiet band so `probe_quiet` is a conservative claim: true
+    * ⇒ every probe sample (before / between runs / after) was within
+    * ~6% of the calibrated quiet floor and the totals are record-valid;
+    * false ⇒ the artifact is direction-valid only (a storm window can
+    * never silently become a committed record again).
+    */
+  val QuietProbeMedianFloor = 1600000L
+
   def probe(workers: Int = 32, seconds: Double = 2.0): (Long, Long, Long) = {
     val counts = new Array[Long](workers)
     val limit = (seconds * 1e9).toLong
@@ -196,8 +208,13 @@ object Bench {
     val worstRatios = ratios.toSeq.sortBy(-_._2).take(5).toMap
     val maxRatio = if (ratios.isEmpty) 0.0 else ratios.values.max
     val runsJson = allWarm.map(w => jmap(w)).mkString("[", ",", "]")
+    // the quiet verdict: EVERY probe sample's median clears the committed
+    // calibration floor — a storm window reads false and the artifact is
+    // self-declared direction-valid only (VERDICT r9 #8)
+    val allProbes = (probeBefore +: midProbes.toSeq) :+ probeAfter
+    val probeQuiet = allProbes.forall(_._2 >= QuietProbeMedianFloor)
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev run must never clobber the committed
     // full-suite record (r7 postmortem: a 3-query rerun overwrote the
     // round's only full-suite detail) — filtered runs get their own file
@@ -215,7 +232,7 @@ object Bench {
     val slowestFirst = warm.toSeq.sortBy(-_._2)
     def finalLine(k: Int, dp: Int): String = {
       val shown = scala.collection.immutable.ListMap(slowestFirst.take(k): _*)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"detail":"BENCH_DETAIL.json","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"probe_quiet":$probeQuiet,"detail":"BENCH_DETAIL.json","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
     }
     // largest slowest-query prefix that fits the capture window at 2dp
     val line = (names.size to 1 by -1).iterator.map(finalLine(_, 2))

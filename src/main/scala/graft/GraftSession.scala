@@ -26,7 +26,13 @@ object GraftSession {
       // with the session pinned to UTC the values are identical, but the
       // scan column needs NO cast projection — ts filters push down to
       // the parquet reader (Tables.eventsRaw's NTZ branch stays as the
-      // fallback for sessions built without this conf)
+      // fallback for sessions built without this conf).
+      // COUPLING: this conf is session-global — EVERY naive parquet
+      // timestamp column anywhere now reads as LTZ, and the values only
+      // stay byte-identical because session.timeZone is pinned UTC two
+      // lines above. Change the timezone pin (or read a genuinely
+      // wall-clock-naive column) and this must move to a per-column cast
+      // in the loader instead.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // the codegen CLASS cache is a 100-entry LRU by default — sized for

@@ -57,6 +57,7 @@ object SparkEntry {
     "q_bloom_semi_join" -> (Relational.qBloomSemiJoin _),
     "graph_pagerank" -> (Relational.graphPagerank _),
     "graph_label_propagation" -> (Relational.graphLabelProp _),
+    "graph_connected_components" -> (Relational.graphConnectedComponents _),
     "warehouse_stats" -> (Relational.warehouseStats _),
     "q_top_customers_per_nation" -> (Relational.qTopCustomersPerNation _),
     "q_order_priority_exists" -> (Relational.qOrderPriorityExists _),
@@ -386,6 +387,38 @@ object SparkEntry {
                   AS community_type,
                 CAST(lbl // 2 AS BIGINT) AS community_key
          FROM lp4
+         ORDER BY node_type, entity_key""",
+
+    // fragmented commerce-graph slice (urgent high-volume flows only);
+    // min-label reachability walk, pruned to labels below the receiving
+    // vertex — the component minimum is below every vertex it must
+    // reach, so the prune never loses it and min(lab) per vertex IS the
+    // component minimum
+    "graph_connected_components" ->
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS i,
+                           l.l_suppkey * 2 + 1 AS j
+                         FROM orders o JOIN lineitem l
+                           ON l.l_orderkey = o.o_orderkey
+                         WHERE l.l_quantity >= 49
+                           AND o.o_orderpriority = '1-URGENT'),
+            e AS (SELECT i AS src, j AS dst FROM pairs
+                  UNION ALL
+                  SELECT j AS src, i AS dst FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            cc AS (
+              WITH RECURSIVE walk(id, lab) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.id
+                WHERE w.lab < e.dst)
+              SELECT id, min(lab) AS canonical FROM walk GROUP BY id)
+         SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                  AS node_type,
+                CAST(id // 2 AS BIGINT) AS entity_key,
+                CASE WHEN canonical % 2 = 0 THEN 'customer'
+                     ELSE 'supplier' END AS component_type,
+                CAST(canonical // 2 AS BIGINT) AS component_key
+         FROM cc
          ORDER BY node_type, entity_key""",
 
     // one stats block per analyzed column; epoch(min) ≡ min(epoch)

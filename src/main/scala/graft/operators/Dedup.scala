@@ -349,9 +349,10 @@ object Dedup {
     * rows they are dead weight the session would otherwise carry until
     * the harness-level GraftCaches.release.
     */
-  private def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      universe: DataFrame,
-      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
+  private[graft] def connectedComponents(spark: SparkSession,
+      pairs: DataFrame, universe: DataFrame,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil,
+      driverFinishEdgeBound: Long = DriverFinishEdgeBound): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // persist the UNDIRECTED pair relation once — half the rows of a
     // doubled edge list, and the one evaluation of the (expensive) pair
@@ -417,7 +418,7 @@ object Dedup {
     // nearly serial (dedup_cluster 4.2 → 8.2 s measured).
     import spark.implicits._
     val nSuperEdges = edges.count()
-    if (nSuperEdges <= DriverFinishEdgeBound) {
+    if (nSuperEdges <= driverFinishEdgeBound) {
       // FINISH ON THE DRIVER: the contracted graph is cluster-adjacency
       // structure, not corpus data — its size tracks how many near-dup
       // clusters chain into each other, which the bound just guarded.

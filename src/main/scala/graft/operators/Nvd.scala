@@ -268,9 +268,15 @@ object Nvd {
 
   /** §2.1 q_nvd_version_match: the NVD's core point query — "which CVEs
     * affect product P at version V" — evaluated for a fixed probe set
-    * with CONFIG-TREE semantics (schema.json:198-312: `operator`/`negate`
-    * on nodes, `vulnerable` per cpe_match), not the flat applicability
-    * union:
+    * with NEGATED-CHILD-CARVE-OUT tree semantics (schema.json:198-312:
+    * `negate` on CHILD nodes, `vulnerable` per cpe_match), not the flat
+    * applicability union. Scope, stated exactly: a top-level node's OWN
+    * `negate` is not honored (own matches always read as non-negated),
+    * and node `operator` is not consulted — own/child matches combine
+    * as OR, so an AND node whose children only jointly describe a
+    * configuration reads as any-of. The oracle implements the identical
+    * scope, so the gate grades this reading, and the fixture's
+    * discriminating CVEs (k%19) exercise the part that IS tree-aware:
     *
     *  - a probe HITS via a top-level node when a VULNERABLE cpe_match for
     *    its product applies — from the node's own cpe_match or from a

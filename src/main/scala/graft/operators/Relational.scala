@@ -1642,4 +1642,54 @@ object Relational {
       expr("lbl div 2").cast("bigint").as("community_key"))
       .orderBy(col("node_type"), col("entity_key"))
   }
+
+  /** §2.2 graph_connected_components: exact connected components over a
+    * FRAGMENTED slice of the commerce graph — which customer/supplier
+    * trading networks are reachable from each other when only urgent
+    * high-volume flows count (o_orderpriority = 1-URGENT, l_quantity ≥
+    * 49). The filter is the point: the full bipartite graph is one
+    * component (nothing to compute), while the slice splits into one
+    * GIANT sparse component (347 of 474 vertices at sf0.01; 3,963 of
+    * 4,840 at sf0.1) plus dozens of small ones — so this query drives
+    * [[Dedup.connectedComponents]]'s contraction + bounded-union-find
+    * core on a graph whose components are long bipartite chains, NOT
+    * the dense near-dup cliques the dedup callers feed it (a clique
+    * collapses in the single neighbor-min contraction pass; a chain is
+    * the worst case the pointer-jump fixpoint and the driver-side
+    * finish exist for).
+    *
+    * Scale shape: the pair relation persists once (digest-slim: two
+    * longs per edge), the contraction collapses it to the inter-
+    * supernode graph, and the driver union-find runs only under the
+    * explicit [[Dedup.DriverFinishEdgeBound]] — above it the
+    * distributed pointer-jump fixpoint takes over, so the plan never
+    * depends on the driver branch (PlanAuditSpec asserts the bound and
+    * both finish regimes agree bit-for-bit). Component ids are exact
+    * integer minima, so the DuckDB recursive-CTE oracle (min-label
+    * walk, pruned to labels below the receiving vertex — the component
+    * minimum always survives the prune) matches bit-for-bit.
+    */
+  def graphConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
+      .distinct()
+    // universe = the slice's endpoints, derived FROM the persisted pair
+    // relation (plan-matches its cache — the join above evaluates once)
+    val universe = pairs.select(col("i").as("id"))
+      .unionAll(pairs.select(col("j").as("id"))).distinct()
+    Dedup.connectedComponents(spark, pairs, universe).select(
+      when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type"),
+      expr("id div 2").cast("bigint").as("entity_key"),
+      when(col("canonical_id") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("component_type"),
+      expr("canonical_id div 2").cast("bigint").as("component_key"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
 }

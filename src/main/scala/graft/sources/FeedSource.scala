@@ -144,6 +144,7 @@ final case class FeedSource(
       // first hop may cross filesystems (temp → watch volume): plain
       // replace; second hop is same-directory, so the rename is atomic
       Files.move(fetched, hidden, StandardCopyOption.REPLACE_EXISTING)
+      Files.deleteIfExists(tmpDir) // cron loop: never leak a dir per feed
       Files.deleteIfExists(dest)
       Files.move(hidden, dest, StandardCopyOption.ATOMIC_MOVE)
       dest.toString
@@ -160,4 +161,54 @@ object FeedSource {
 
   /** Reference config.yml `file_suffix`. */
   val DefaultFileSuffix = ".json.gz"
+
+  private val ConfigKeys = Seq("url_base", "file_prefix", "file_suffix")
+
+  /** Parse the flat `key: 'value'` subset of YAML the reference's
+    * config.yml actually uses (bq-nvd.py:43-47 yaml.safe_load of a flat
+    * mapping; comments, blank lines, single/double-quoted scalars). NOT
+    * a YAML library (deps are frozen) — nesting, lists, and multi-line
+    * scalars are out of scope and simply won't match the `k: v` shape.
+    */
+  def parseFlatYaml(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains(':'))
+      .map { l =>
+        val i = l.indexOf(':')
+        val k = l.substring(0, i).trim
+        val raw = l.substring(i + 1).trim
+        val unq =
+          if (raw.length >= 2 &&
+              ((raw.head == '\'' && raw.last == '\'') ||
+               (raw.head == '"' && raw.last == '"')))
+            raw.substring(1, raw.length - 1)
+          else raw
+        k -> unq
+      }
+      .toMap
+
+  /** Build a [[FeedSource]] the way the reference builds its config
+    * (bq-nvd.py:29-47): if EVERY key is present as an environment
+    * variable, the env wins wholesale; otherwise the yaml file is loaded
+    * and IT wins wholesale (the reference discards partial env sets —
+    * mirrored exactly, quirk and all). Keys absent from both fall back
+    * to the published defaults. Only the three feed-naming keys exist
+    * here — project/dataset/bucket are BigQuery/GCS glue with no
+    * Spark-native meaning.
+    */
+  def fromConfig(configPath: String,
+      env: Map[String, String] = sys.env,
+      fetcher: FeedFetcher = HttpFeedFetcher): FeedSource = {
+    val cfg =
+      if (ConfigKeys.forall(env.contains)) env
+      else parseFlatYaml(new String(
+        Files.readAllBytes(Paths.get(configPath)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    FeedSource(
+      urlBase = cfg.getOrElse("url_base", DefaultUrlBase),
+      filePrefix = cfg.getOrElse("file_prefix", DefaultFilePrefix),
+      fileSuffix = cfg.getOrElse("file_suffix", DefaultFileSuffix),
+      fetcher = fetcher)
+  }
 }

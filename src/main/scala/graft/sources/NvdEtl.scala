@@ -28,9 +28,16 @@ object NvdEtl {
     * verbatim copy of the reference's schema.json (itself public NVD
     * column metadata, reference config.yml `nvd_schema`): the library
     * must not carry a RUNTIME dependency on the read-only reference
-    * mount, which may be absent in deployment.
+    * mount, which may be absent in deployment. Resolved repo-root-
+    * relative first (the forked-JVM cwd convention FixturePath relies
+    * on) so a deployment checkout anywhere works; the sandbox absolute
+    * path is only the fallback for callers with a foreign cwd.
     */
-  val DefaultSchemaPath = "/root/repo/fixtures/nvd/schema.json"
+  val DefaultSchemaPath: String = {
+    val rel = "fixtures/nvd/schema.json"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(rel))) rel
+    else s"/root/repo/$rel"
+  }
 
   val FixturePath = "fixtures/nvd/nvdcve-1.1-fixture.json.gz"
   val RecentFixturePath = "fixtures/nvd/nvdcve-1.1-recent.json.gz"

@@ -107,4 +107,123 @@ class FeedSourceSpec extends AnyFunSuite {
     assert(df.count() === 96)
     assert(df.schema === NvdEtl.itemSchema())
   }
+
+  // ---- HttpFeedFetcher over a loopback server (zero egress): the last
+  // untested reference behavior — download.py:32-54 over real HTTP.
+
+  test("HttpFeedFetcher: loopback server → fetch → ingest end-to-end") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val bytes = Files.readAllBytes(Paths.get(NvdEtl.FixtureAbsPath))
+    server.createContext("/feeds/", { exchange =>
+      assert(exchange.getRequestURI.getPath
+        === "/feeds/nvdcve-1.1-recent.json.gz")
+      exchange.sendResponseHeaders(200, bytes.length.toLong)
+      val os = exchange.getResponseBody
+      os.write(bytes); os.close()
+    })
+    server.start()
+    try {
+      val fs = FeedSource(
+        urlBase = s"http://127.0.0.1:${server.getAddress.getPort}/feeds/",
+        fetcher = HttpFeedFetcher)
+      val df = fs.ingestFeed(TestSpark.spark, "recent", tmpDir())
+      assert(df.count() === 96)
+    } finally server.stop(0)
+  }
+
+  test("HttpFeedFetcher: Content-Length mismatch raises through the real HTTP path") {
+    // com.sun.net.httpserver enforces its own framing, so the lying
+    // transport is a raw socket: declare 9999 bytes, deliver 10, close.
+    // HttpURLConnection surfaces the short body as a silent EOF (no
+    // exception), which is exactly the hole the truncation contract
+    // closes — the same hole urlretrieve's ContentTooShortError covers.
+    val ss = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val serve = new Thread(() => {
+      val s = ss.accept()
+      try {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream))
+        var line = in.readLine()
+        while (line != null && line.nonEmpty) line = in.readLine()
+        val os = s.getOutputStream
+        os.write("HTTP/1.1 200 OK\r\nContent-Length: 9999\r\n\r\n".getBytes)
+        os.write(Array.fill[Byte](10)(1))
+        os.flush()
+      } finally s.close()
+    })
+    serve.start()
+    try {
+      val stage = tmpDir()
+      val fs = FeedSource(
+        urlBase = s"http://127.0.0.1:${ss.getLocalPort}/",
+        fetcher = HttpFeedFetcher)
+      val e = intercept[TruncatedFeedException](fs.download("modified", stage))
+      assert(e.got === 10L && e.declared === 9999L)
+      assert(!Files.exists(
+        Paths.get(stage).resolve("nvdcve-1.1-modified.json.gz")))
+    } finally { serve.join(10000); ss.close() }
+  }
+
+  test("HttpFeedFetcher: chunked transfer (no Content-Length) passes unchecked") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      exchange.sendResponseHeaders(200, 0) // 0 = chunked: no declared size
+      val os = exchange.getResponseBody
+      os.write(Array.fill[Byte](7)(2)); os.close()
+    })
+    server.start()
+    try {
+      val fs = FeedSource(
+        urlBase = s"http://127.0.0.1:${server.getAddress.getPort}/",
+        fetcher = HttpFeedFetcher)
+      val staged = fs.download("recent", tmpDir())
+      assert(Files.size(Paths.get(staged)) === 7L)
+    } finally server.stop(0)
+  }
+
+  // ---- Config-file seam: the reference's config.yml → FeedSource
+  // (bq-nvd.py:29-47; flat-YAML subset, env-wholesale-override quirk).
+
+  test("fromConfig round-trips the reference's own config.yml values") {
+    val fs = FeedSource.fromConfig("fixtures/nvd/config.yml",
+      env = Map.empty)
+    assert(fs.urlBase === FeedSource.DefaultUrlBase)
+    assert(fs.filePrefix === FeedSource.DefaultFilePrefix)
+    assert(fs.fileSuffix === FeedSource.DefaultFileSuffix)
+    assert(fs.feedUrl("recent") ===
+      "https://nvd.nist.gov/feeds/json/cve/1.1/nvdcve-1.1-recent.json.gz")
+  }
+
+  test("fromConfig: custom yaml values, quoting styles, comments, extra keys") {
+    val cfg = tmpDir() + "/config.yml"
+    Files.write(Paths.get(cfg),
+      """# mirror deployment
+        |url_base: "https://mirror.example/v2/"
+        |
+        |file_prefix: nvdcve-2.0-
+        |file_suffix: '.json.zst'
+        |bucket_name: 'ignored-cloud-glue'
+        |""".stripMargin.getBytes)
+    val fs = FeedSource.fromConfig(cfg, env = Map.empty)
+    assert(fs.feedUrl("2024") ===
+      "https://mirror.example/v2/nvdcve-2.0-2024.json.zst")
+  }
+
+  test("fromConfig: complete env set wins wholesale; partial env is discarded") {
+    val cfg = tmpDir() + "/config.yml"
+    Files.write(Paths.get(cfg),
+      "url_base: 'https://yaml.example/'\nfile_prefix: 'yaml-'\nfile_suffix: '.gz'\n".getBytes)
+    val full = Map("url_base" -> "https://env.example/",
+      "file_prefix" -> "env-", "file_suffix" -> ".env.gz")
+    assert(FeedSource.fromConfig(cfg, env = full).feedUrl("x")
+      === "https://env.example/env-x.env.gz")
+    // the reference's quirk, mirrored: ANY missing env key ⇒ yaml wins
+    // wholesale, the partial env values are NOT merged (bq-nvd.py:36-47)
+    val partial = Map("url_base" -> "https://env.example/")
+    assert(FeedSource.fromConfig(cfg, env = partial).feedUrl("x")
+      === "https://yaml.example/yaml-x.gz")
+  }
 }
