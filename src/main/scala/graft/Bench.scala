@@ -232,7 +232,7 @@ object Bench {
     val slowestFirst = warm.toSeq.sortBy(-_._2)
     def finalLine(k: Int, dp: Int): String = {
       val shown = scala.collection.immutable.ListMap(slowestFirst.take(k): _*)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"probe_quiet":$probeQuiet,"detail":"BENCH_DETAIL.json","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"probe_quiet":$probeQuiet,"detail":"$detailPath","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
     }
     // largest slowest-query prefix that fits the capture window at 2dp
     val line = (names.size to 1 by -1).iterator.map(finalLine(_, 2))
