@@ -58,6 +58,9 @@ object SparkEntry {
     "graph_pagerank" -> (Relational.graphPagerank _),
     "graph_label_propagation" -> (Relational.graphLabelProp _),
     "graph_connected_components" -> (Relational.graphConnectedComponents _),
+    "graph_shortest_paths" -> (Relational.graphShortestPaths _),
+    "q_part_skyline" -> (Relational.qPartSkyline _),
+    "q_basket_pairs" -> (Relational.qBasketPairs _),
     "warehouse_stats" -> (Relational.warehouseStats _),
     "q_top_customers_per_nation" -> (Relational.qTopCustomersPerNation _),
     "q_order_priority_exists" -> (Relational.qOrderPriorityExists _),
@@ -128,6 +131,8 @@ object SparkEntry {
     "sim_topk_pq" -> (Similarity.simTopkPq _),
     "sim_knn_graph" -> (Similarity.simKnnGraph _),
     "sim_pair_hist" -> (Dedup.simPairHist _),
+    "pipeline_coreset" ->
+      ((s: SparkSession, d: String) => Similarity.pipelineCoreset(s, d)),
     "graph_triangles" -> (Dedup.graphTriangles _),
     // §2.4 text analysis + multimodal
     "text_tokencount" -> (TextAnalysis.textTokencount _),
@@ -420,6 +425,75 @@ object SparkEntry {
                 CAST(canonical // 2 AS BIGINT) AS component_key
          FROM cc
          ORDER BY node_type, entity_key""",
+
+    // multi-source BFS over the same urgent-flow slice; UNION (not ALL)
+    // dedups (id, d) states so the depth-bounded walk terminates, and
+    // min(d) per id IS the BFS hop distance
+    "graph_shortest_paths" ->
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS i,
+                           l.l_suppkey * 2 + 1 AS j
+                         FROM orders o JOIN lineitem l
+                           ON l.l_orderkey = o.o_orderkey
+                         WHERE l.l_quantity >= 49
+                           AND o.o_orderpriority = '1-URGENT'),
+            e AS (SELECT i AS src, j AS dst FROM pairs
+                  UNION ALL
+                  SELECT j AS src, i AS dst FROM pairs),
+            seeds AS (SELECT DISTINCT src AS id FROM e WHERE src % 2 = 0
+                      ORDER BY id LIMIT 3),
+            walk AS (
+              WITH RECURSIVE w(id, d) AS (
+                SELECT id, 0 FROM seeds
+                UNION
+                SELECT e.dst, w.d + 1 FROM w JOIN e ON e.src = w.id
+                WHERE w.d < ${graft.operators.Relational.BfsMaxHops})
+              SELECT id, min(d) AS hops FROM w GROUP BY id)
+         SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                  AS node_type,
+                CAST(id // 2 AS BIGINT) AS entity_key,
+                CAST(hops AS BIGINT) AS hops
+         FROM walk
+         ORDER BY hops, node_type, entity_key""",
+
+    // groupwise Pareto frontier: same O(n log n) sweep as the Spark plan —
+    // (brand, price) group max, brand-partitioned prefix max over strictly
+    // cheaper prices, membership by two comparisons; equal (price, size)
+    // twins both survive on both engines
+    "q_part_skyline" ->
+      """WITH g AS (SELECT p_brand, p_retailprice, max(p_size) AS gmax
+                    FROM part GROUP BY p_brand, p_retailprice),
+              r AS (SELECT p_brand, p_retailprice, gmax,
+                        max(gmax) OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS prevmax
+                    FROM g)
+         SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p JOIN r ON p.p_brand = r.p_brand
+           AND p.p_retailprice = r.p_retailprice
+         WHERE p.p_size = r.gmax
+           AND (r.prevmax IS NULL OR r.prevmax < p.p_size)
+         ORDER BY p.p_brand, p.p_retailprice, p.p_partkey""",
+
+    // top-50 co-occurring product pairs with integer ppm lift; the
+    // (support DESC, pa, pb) order is total so LIMIT 50 is deterministic
+    "q_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+              n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+              s AS (SELECT pk, count(*) AS c FROM b GROUP BY pk),
+              p AS (SELECT a.pk AS pa, c.pk AS pb, count(*) AS cab
+                    FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+                    GROUP BY a.pk, c.pk)
+         SELECT p.pa, p.pb, CAST(p.cab AS BIGINT) AS support,
+                CAST(sa.c AS BIGINT) AS support_a,
+                CAST(sb.c AS BIGINT) AS support_b,
+                CAST((1000000 * n.n_orders * p.cab) // (sa.c * sb.c)
+                     AS BIGINT) AS lift_ppm
+         FROM p JOIN s sa ON sa.pk = p.pa
+                JOIN s sb ON sb.pk = p.pb
+                CROSS JOIN n
+         ORDER BY support DESC, pa, pb LIMIT 50""",
 
     // one stats block per analyzed column; epoch(min) ≡ min(epoch)
     "warehouse_stats" ->
@@ -1290,6 +1364,37 @@ object SparkEntry {
          SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id, round(sim_raw, 6) AS sim
          FROM r WHERE rk <= 10
          ORDER BY q_id, rank""",
+
+    // k-center greedy (farthest-point) selection replicated literally: the
+    // recursive CTE carries the chosen-id list; each step's argmin over
+    // (max cosine to chosen, vec_id) is a correlated struct-min — the same
+    // raw-double compare as the Spark loop's incremental greatest fold
+    "pipeline_coreset" ->
+      s"""WITH RECURSIVE
+            v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+            sel AS (
+              SELECT 1 AS step,
+                     (SELECT min(vec_id) FROM v) AS id,
+                     CAST(NULL AS DOUBLE) AS cover,
+                     [(SELECT min(vec_id) FROM v)] AS ids
+              UNION ALL
+              SELECT step + 1, best['id'], best['s'],
+                     list_append(ids, best['id'])
+              FROM (
+                SELECT step, ids,
+                    (SELECT min({'s': (SELECT max(list_cosine_similarity(c.v, ch.v))
+                                       FROM v ch
+                                       WHERE list_contains(sel.ids, ch.vec_id)),
+                                 'id': c.vec_id})
+                     FROM v c
+                     WHERE NOT list_contains(sel.ids, c.vec_id)) AS best
+                FROM sel
+                WHERE step < ${graft.operators.Similarity.CoresetK}))
+         SELECT CAST(step AS BIGINT) AS rank, id AS vec_id,
+                round(cover, 6) AS cover_sim
+         FROM sel ORDER BY rank""",
 
     // Replicates the whole IVF dataflow: same 16 centroids (vec_id < 16),
     // same (cosine desc, cent_id desc) assignment tie-break, same 6-cell

@@ -1670,15 +1670,7 @@ object Relational {
     * minimum always survives the prune) matches bit-for-bit.
     */
   def graphConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir)
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .filter(col("l_quantity") >= 49)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
-      .distinct()
+    val pairs = urgentSlicePairs(spark, dir)
     // universe = the slice's endpoints, derived FROM the persisted pair
     // relation (plan-matches its cache — the join above evaluates once)
     val universe = pairs.select(col("i").as("id"))
@@ -1691,5 +1683,187 @@ object Relational {
         .otherwise(lit("supplier")).as("component_type"),
       expr("canonical_id div 2").cast("bigint").as("component_key"))
       .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** The fragmented commerce-graph slice shared by the reachability
+    * queries (connected components, shortest paths): urgent high-volume
+    * flows only — o_orderpriority = 1-URGENT ∧ l_quantity ≥ 49. Vertex
+    * ids interleave customers (2k) and suppliers (2k+1) so one long key
+    * space carries both sides of the bipartite graph.
+    */
+  private def urgentSlicePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
+      .distinct()
+
+  /** §2.2 graph_shortest_paths: multi-source BFS hop distances over the
+    * same fragmented urgent-flow slice [[urgentSlicePairs]] drives the
+    * component query on — "how many trading hops from the hub customers
+    * does each reachable counterparty sit". Seeds are the slice's three
+    * smallest customer ids (deterministic, always present); unreached
+    * vertices and vertices beyond [[BfsMaxHops]] hops are absent from
+    * the result, so the answer is well-defined on any diameter.
+    *
+    * Scale shape: the frontier algorithm, not the closure — each round
+    * joins only the CURRENT frontier (what changed last round) into the
+    * stationary edge cache, never the whole visited set, so total work
+    * is O(edges · 1) across the loop on any graph the frontier sweeps
+    * once (a recursive-closure rewrite re-expands every visited vertex
+    * every round). Edges persist pre-partitioned by src with an eager
+    * count (the multi-consumer cache contract); the frontier broadcasts
+    * below [[PagerankBroadcastMaxVertices]] and falls back to a
+    * src-co-partitioned shuffle join above it; newly-found vertices
+    * leave via one left-anti join against the visited relation per
+    * round; every round lands in a [[graft.Barriers.roundBarrier]]
+    * (O(1) lineage — the CLAUDE.md iterative contract) and the loop
+    * exits early on an empty frontier (a cheap count on checkpointed
+    * rows). Hop minimality is BFS order — all integers, so the DuckDB
+    * recursive-CTE oracle (min-hops walk, depth-bounded) matches
+    * bit-for-bit.
+    */
+  def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = urgentSlicePairs(spark, dir)
+    val edges0 = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+    bfsCore(edges0, 3, BfsMaxHops).select(
+      when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type"),
+      expr("id div 2").cast("bigint").as("entity_key"),
+      col("hops"))
+      .orderBy(col("hops"), col("node_type"), col("entity_key"))
+  }
+
+  private[graft] val BfsMaxHops = 8L
+
+  /** The frontier BFS loop under graph_shortest_paths, on a general
+    * DIRECTED edge list (pass both directions for undirected semantics,
+    * as graphShortestPaths does). Seeds are the `nSeeds` smallest
+    * even-numbered vertex ids appearing as a src (the query's hub rule);
+    * returns (id, hops) for every vertex within `maxHops` of a seed.
+    */
+  private[graft] def bfsCore(edges0: DataFrame, nSeeds: Int,
+      maxHops: Long,
+      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
+    val edges = edges0
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // EAGER: seeds + every BFS round consume this cache
+    val seeds = edges.filter(col("src") % 2 === 0)
+      .select(col("src").as("id")).distinct()
+      .orderBy(col("id")).limit(nSeeds)
+    var visited = graft.Barriers.roundBarrier(
+      seeds.select(col("id"), lit(0).cast("bigint").as("hops")))
+    var frontier = visited
+    var hop = 1L
+    var done = false
+    while (hop <= maxHops && !done) {
+      val routed =
+        if (frontier.count() <= broadcastMaxVertices) broadcast(frontier)
+        else frontier.repartition(col("id"))
+      val candidates = edges
+        .join(routed, col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+      val fresh = graft.Barriers.roundBarrier(
+        candidates.join(visited.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), lit(hop).as("hops")))
+      if (fresh.isEmpty) done = true
+      else {
+        visited = graft.Barriers.roundBarrier(visited.unionAll(fresh))
+        frontier = fresh
+        hop += 1
+      }
+    }
+    edges.unpersist()
+    visited
+  }
+
+  /** §2.2 q_part_skyline: the groupwise Pareto frontier — per brand, the
+    * parts no other part of that brand dominates (price ≤ ∧ size ≥,
+    * strict in at least one): the "best value at every size point"
+    * catalog query. Equal (price, size) twins dominate neither side, so
+    * both survive — the window formulation below preserves that.
+    *
+    * Scale shape: the classic NOT-EXISTS self-join is O(n²); this is the
+    * O(n log n) sweep, fully keyed by brand so every step distributes:
+    * ONE map-side-combined aggregate collapses the fact to (brand,
+    * price, max size) groups, a brand-partitioned prefix-max window
+    * (never a global sort) computes the best size at any STRICTLY
+    * cheaper price, and membership is two comparisons — a part is on
+    * the frontier iff its size equals its price-group max (nothing
+    * bigger at equal price) and exceeds the prefix max (nothing as big
+    * strictly cheaper). The join back to recover part identity is
+    * co-keyed on (brand, price). All comparisons, no float arithmetic —
+    * bit-exact against the oracle's identical window.
+    */
+  def qPartSkyline(spark: SparkSession, dir: String): DataFrame =
+    skylineCore(Tables.part(spark, dir))
+
+  /** The groupwise-skyline sweep under q_part_skyline, on any relation
+    * with (p_brand, p_partkey, p_retailprice, p_size) columns.
+    */
+  private[graft] def skylineCore(part: DataFrame): DataFrame = {
+    val groups = part
+      .groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("gmax"))
+    val ranked = groups.withColumn("prevmax",
+      max(col("gmax")).over(Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    part.join(ranked, Seq("p_brand", "p_retailprice"))
+      .filter(col("p_size") === col("gmax") &&
+        (col("prevmax").isNull || col("prevmax") < col("p_size")))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size"))
+      .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+  }
+
+  /** §2.2 q_basket_pairs: market-basket co-occurrence mining — the top-50
+    * product pairs bought together in one order, with supports and
+    * integer lift (how much more often the pair co-occurs than its
+    * members' popularities predict). The canonical "customers also
+    * bought" feeder.
+    *
+    * Scale shape: the (order, part) bridge dedups once and persists
+    * (eager count — THREE consumers: the pair self-join's both sides,
+    * the singles aggregate, the order count); the pair enumeration is an
+    * equi-self-join co-partitioned on the order key whose per-order cost
+    * is bounded by basket width (TPC-H: ≤ 7 lines/order — never the
+    * corpus-quadratic blowup), collapsed map-side into (pa, pb) counts.
+    * Popularity joins happen AFTER the top-50 cut: the bounded
+    * TakeOrdered result broadcasts into the singles relation, so the
+    * full pair table never carries payload columns. Lift is served in
+    * parts-per-million by exact integer division — no float ever enters
+    * the result, so DuckDB matches bit-for-bit.
+    */
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.count() // EAGER: pair join (both sides), singles, order count
+    val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+    val pairCounts = b.as("a")
+      .join(b.as("c"), col("a.ok") === col("c.ok") && col("a.pk") < col("c.pk"))
+      .groupBy(col("a.pk").as("pa"), col("c.pk").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("pa"), col("pb"))
+      .limit(50)
+    val singles = b.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val out = pairCounts
+      .join(singles.select(col("pk").as("pa"), col("c").as("support_a")), Seq("pa"))
+      .join(singles.select(col("pk").as("pb"), col("c").as("support_b")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("support"),
+        col("support_a"), col("support_b"),
+        expr("(1000000 * n_orders * support) div (support_a * support_b)")
+          .cast("bigint").as("lift_ppm"))
+      .orderBy(col("support").desc, col("pa"), col("pb"))
+    out
   }
 }

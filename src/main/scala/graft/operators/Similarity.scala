@@ -433,4 +433,74 @@ object Similarity {
         col("col.c_id").as("c_id"), round(-col("col.sim"), 6).as("adist"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  private[graft] val CoresetK = 8
+
+  /** §2.3 pipeline_coreset: k-center greedy (farthest-point) diversity
+    * sampling over the embedding corpus — the coreset-selection primitive
+    * under "pick k maximally-diverse exemplars" (Sener & Savarese 2018's
+    * core-set active learning; Gonzalez 1985's 2-approximation). Seeded
+    * at the smallest vec_id; each round selects the vector whose MAXIMUM
+    * cosine similarity to the already-chosen set is smallest (the
+    * farthest point under cosine), ties toward the smaller id. `cover_sim`
+    * reports that selection-time similarity — the radius curve a curator
+    * reads to pick k — NULL for the seed.
+    *
+    * Scale shape: greedy selection is inherently sequential in k, but
+    * each of the k rounds is ONE map-side scan: the state relation
+    * carries (vec_id, vec, smax = max cosine to chosen so far), the new
+    * center folds in as `greatest(smax, cosine(vec, center))` against a
+    * 256-byte broadcast literal — min over the chosen set never
+    * recomputes — and the argmin is a 1-row struct-min aggregate
+    * (smax asc, vec_id asc), the same k·dim bounded driver result per
+    * round the k-means trainer already owns. Rounds land in
+    * [[graft.Barriers.roundBarrier]] (O(1) lineage, the CLAUDE.md
+    * iterative contract). The selection compares raw doubles computed by
+    * the identical sequential fold on both engines (incremental
+    * greatest ≡ max over the set), so the DuckDB recursive-CTE oracle
+    * matches bit-for-bit; only the reported cover_sim rounds to 6dp.
+    */
+  def pipelineCoreset(spark: SparkSession, dir: String): DataFrame = {
+    pipelineCoreset(spark, dir, CoresetK)
+  }
+
+  def pipelineCoreset(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy(col("vec_id")).limit(1)
+      .collect()(0) // 1 row: the deterministic seed center
+    val seedId = seed.getLong(0)
+    val seedVec = seed.getSeq[Float](1)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+      (1L, seedId, None))
+    var state = graft.Barriers.roundBarrier(
+      e.filter(col("vec_id") =!= seedId)
+        .select(col("vec_id"), col("embedding"),
+          GraftFunctions.cosine(col("embedding"), typedlit(seedVec)).as("smax")))
+    var step = 2
+    while (step <= k) {
+      val best = state
+        .agg(min(struct(col("smax"), col("vec_id"), col("embedding"))).as("b"))
+        .select(col("b.smax"), col("b.vec_id"), col("b.embedding"))
+        .collect()(0) // 1 row: this round's center (+ its 256-byte vector)
+      val cover = best.getDouble(0)
+      val id = best.getLong(1)
+      val vec = best.getSeq[Float](2)
+      chosen += ((step.toLong, id, Some(cover)))
+      if (step < k) {
+        state = graft.Barriers.roundBarrier(
+          state.filter(col("vec_id") =!= id)
+            .select(col("vec_id"), col("embedding"),
+              greatest(col("smax"),
+                GraftFunctions.cosine(col("embedding"), typedlit(vec)))
+                .as("smax")))
+      }
+      step += 1
+    }
+    chosen.toSeq.toDF("rank", "vec_id", "cover_raw")
+      .select(col("rank"), col("vec_id"),
+        round(col("cover_raw"), 6).as("cover_sim"))
+      .orderBy(col("rank"))
+  }
 }

@@ -13,6 +13,9 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+case class Pt(p_brand: String, p_partkey: Long, p_retailprice: Double,
+    p_size: Int)
+
 /** §2.5 gates: stream_windowed_agg (batch/stream parity on the real events
   * table) and stream_dedup (bounded-state exact dedup by key).
   */
@@ -226,6 +229,58 @@ class StreamingSpec extends AnyFunSuite {
             col("event_type"), col("value")))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(batchRun === expected)
+  }
+
+  test("stream_skyline: incremental frontier converges to the batch sweep " +
+      "across permuted micro-batch splits") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val part = Tables.part(spark, TestSpark.sfDir)
+    val expected = graft.operators.Relational.skylineCore(part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+    // the same code path runs in batch (empty initial state, one group call)
+    val batchRun = StreamOps.skylineStream(part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(batchRun === expected)
+
+    // streaming: arrival order must not matter — shuffle the catalog, feed
+    // it in three micro-batches, then trigger a re-emission of every
+    // brand's converged frontier with a dominated sentinel batch and read
+    // exactly that final emission via a before/after multiset diff
+    val rows = new scala.util.Random(11)
+      .shuffle(part.collect().map(r =>
+        Pt(r.getString(2), r.getLong(0), r.getDouble(5), r.getInt(4))).toSeq)
+    val stream = MemoryStream[Pt]
+    val q = StreamOps.skylineStream(stream.toDF())
+      .writeStream.format("memory").queryName("skyline_stream")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      def counts(): Map[(String, Long, Double, Int), Int] =
+        spark.table("skyline_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      val before = counts()
+      val brands = rows.map(_.p_brand).distinct
+      // huge price + size 0: dominated by every real member, so state is
+      // untouched but each brand re-emits its full current frontier
+      stream.addData(brands.map(b => Pt(b, -1L, 1e9, 0)))
+      q.processAllAvailable()
+      val after = counts()
+      val converged = after.map { case (row, n) =>
+        row -> (n - before.getOrElse(row, 0))
+      }.filter(_._2 > 0)
+      assert(converged.values.forall(_ == 1)) // one final emission per row
+      assert(converged.keySet === expected)
+    } finally q.stop()
   }
 
   test("stream_topk: custom bounded-heap aggregate carries state across micro-batches") {
