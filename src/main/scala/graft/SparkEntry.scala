@@ -106,6 +106,7 @@ object SparkEntry {
     "q_events_rfm" -> (Relational.qEventsRfm _),
     "q_events_wau" -> (Relational.qEventsWau _),
     "q_orders_mom" -> (Relational.qOrdersMom _),
+    "q_abc_analysis" -> (Relational.qAbcAnalysis _),
     "q_events_dow_profile" -> (Relational.qEventsDowProfile _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "text_pii_redact" -> (TextAnalysis.textPiiRedact _),
     "pipeline_length_hist" -> (TextAnalysis.pipelineLengthHist _),
     "text_window_chunk" -> (TextAnalysis.textWindowChunk _),
+    "text_block_dedup" -> (TextAnalysis.textBlockDedup _),
     "pipeline_dataset_card" -> (TextAnalysis.pipelineDatasetCard _),
     "pipeline_stratified_sample" -> (TextAnalysis.pipelineStratifiedSample _),
     "text_code_detect" -> (TextAnalysis.textCodeDetect _),
@@ -1685,6 +1687,29 @@ object SparkEntry {
          FROM b GROUP BY lang, split
          ORDER BY lang, split""",
 
+    // ABC class cuts compare scaled decimals (100·cum_before < 70·total):
+    // no float decides a class; the boundary part counts toward the class
+    // it completes
+    "q_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey AS pk,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+              FROM lineitem GROUP BY l_partkey),
+              tot AS (SELECT sum(r) AS trev FROM rev),
+              ranked AS (SELECT pk, r,
+                  coalesce(sum(r) OVER (ORDER BY r DESC, pk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cumb
+                FROM rev),
+              classed AS (SELECT pk, r,
+                  CASE WHEN 100 * cumb < 70 * trev THEN 'A'
+                       WHEN 100 * cumb < 90 * trev THEN 'B'
+                       ELSE 'C' END AS cls
+                FROM ranked CROSS JOIN tot)
+         SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(r) AS DOUBLE) AS revenue
+         FROM classed GROUP BY cls ORDER BY cls""",
+
     "q_orders_mom" ->
       """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
                 CAST(count(*) AS BIGINT) AS n_orders,
@@ -1936,6 +1961,35 @@ object SparkEntry {
          FROM documents
          GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
          ORDER BY gid, lang, source""",
+
+    // keep-FIRST block dedup replicated literally: same 10-token cut, the
+    // winner per block CONTENT is the (doc_id, idx) lexicographic min;
+    // the oracle groups by the full block string (not the engine-side
+    // xxhash digest), so a digest collision on the Spark side would
+    // surface as a dropped-block mismatch here
+    "text_block_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+              blocks AS (
+                SELECT doc_id, i AS idx,
+                       array_to_string(t[i * ${graft.operators.TextAnalysis.BlockTokens} + 1 :
+                         i * ${graft.operators.TextAnalysis.BlockTokens} +
+                         ${graft.operators.TextAnalysis.BlockTokens}], ' ') AS block
+                FROM toks,
+                     unnest(range((len(t) + ${graft.operators.TextAnalysis.BlockTokens} - 1)
+                       // ${graft.operators.TextAnalysis.BlockTokens})) AS u(i)),
+              firsts AS (SELECT block,
+                             min(struct_pack(d := doc_id, i := idx)) AS w
+                         FROM blocks GROUP BY block),
+              kept AS (SELECT b.doc_id, b.idx, b.block
+                       FROM blocks b JOIN firsts f ON f.block = b.block
+                       WHERE f.w.d = b.doc_id AND f.w.i = b.idx)
+         SELECT d.doc_id,
+                coalesce(string_agg(k.block, ' ' ORDER BY k.idx), '')
+                  AS clean_text,
+                CAST(count(k.idx) AS BIGINT) AS n_kept_blocks
+         FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     "text_window_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -1823,6 +1823,45 @@ object Relational {
       .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
   }
 
+  /** §2.2 q_abc_analysis: ABC / Pareto revenue classification — parts
+    * ranked by revenue, class A until 70% of cumulative revenue is
+    * covered, B until 90%, C for the tail (a part's class is decided by
+    * the share covered STRICTLY BEFORE it, so the part straddling a
+    * boundary counts toward the class it completes). The inventory-
+    * planning standard: how many SKUs carry the business.
+    *
+    * Scale shape: the fact table collapses to a per-part decimal rollup
+    * first (ONE map-side-combined shuffle) — the cumulative-share window
+    * runs over the PART-LEVEL relation, whose size is the catalog
+    * (200k/SF unit), never order volume; its single-partition global
+    * order is the price of an exact corpus-wide Pareto curve and is
+    * bounded by the dimension. The grand total broadcasts as a 1-row
+    * relation; class cuts compare scaled DECIMALS (100·cum < 70·total) —
+    * no float ever decides a class, and only the 3-row class rollup
+    * leaves as double.
+    */
+  def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount").cast(dec))).as("r"))
+    val tot = rev.agg(sum(col("r")).as("trev"))
+    val cumWin = Window.orderBy(col("r").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rev
+      .withColumn("cumb", coalesce(sum(col("r")).over(cumWin), lit(0)))
+      .crossJoin(broadcast(tot))
+      .select(col("r"),
+        when(col("cumb") * 100 < col("trev") * 70, lit("A"))
+          .when(col("cumb") * 100 < col("trev") * 90, lit("B"))
+          .otherwise(lit("C")).as("cls"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("r")).cast("double").as("revenue"))
+      .orderBy(col("cls"))
+  }
+
   /** §2.2 q_basket_pairs: market-basket co-occurrence mining — the top-50
     * product pairs bought together in one order, with supports and
     * integer lift (how much more often the pair co-occurs than its

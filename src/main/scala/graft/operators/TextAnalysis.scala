@@ -883,4 +883,74 @@ object TextAnalysis {
           6).as("bm25"))
       .orderBy(col("doc_id"), col("term"))
   }
+
+  private[graft] val BlockTokens = 10
+
+  /** The (doc_id, idx, block) relation under text_block_dedup: documents
+    * cut into fixed [[BlockTokens]]-token non-overlapping blocks (the
+    * last block keeps its remainder).
+    */
+  private[graft] def docBlocks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0),
+            expr(s"(size(t) - 1) div $BlockTokens").cast("int")),
+          i => concat_ws(" ", slice(col("t"), i * BlockTokens + 1,
+            lit(BlockTokens))))))
+      .select(col("doc_id"), col("pos").cast("bigint").as("idx"),
+        col("col").as("block"))
+
+  /** §2.4 text_block_dedup: corpus-rewrite boilerplate removal — the
+    * CCNet paragraph-dedup shape (Wenzek et al. 2020) on fixed 10-token
+    * blocks (the corpus carries no paragraph marks): every block that
+    * already occurred anywhere earlier in the corpus — (doc_id, idx)
+    * lexicographic, keep-FIRST — is dropped, and each document is
+    * re-emitted as its surviving blocks in order. The only operator
+    * family member that REWRITES the corpus rather than reporting pairs;
+    * repeated headers/footers/license banners vanish while one canonical
+    * copy survives.
+    *
+    * Scale shape: the dedup decision never shuffles text — the exploded
+    * block relation reduces to (doc_id, idx, 64-bit xxhash digest),
+    * persists once (eager count — the winner aggregate and the
+    * reconstruct join both consume it), and keep-first is ONE
+    * map-side-combined min(struct(doc_id, idx)) per digest. Winners come
+    * back as slim (doc_id, idx) pairs into a co-keyed join against the
+    * re-derived block text, and the final per-document concat groups by
+    * doc_id — bounded by document length, never corpus-wide. The xxhash
+    * digest is collision-managed the dedup_substring way: the digest
+    * only GROUPS candidates, and the reconstruct emits the block text of
+    * the winning (doc_id, idx) itself, so a collision can only drop a
+    * block (flagged by the oracle comparing full strings), never emit
+    * wrong text.
+    */
+  def textBlockDedup(spark: SparkSession, dir: String): DataFrame =
+    blockDedupCore(Tables.documents(spark, dir))
+
+  /** The keep-first rewrite under text_block_dedup, on any relation with
+    * (doc_id, text) columns.
+    */
+  private[graft] def blockDedupCore(docs: DataFrame): DataFrame = {
+    val blocks = docBlocks(docs)
+    val slim = blocks
+      .select(col("doc_id"), col("idx"), xxhash64(col("block")).as("dig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    slim.count() // EAGER: winner aggregate + reconstruct join consume this
+    val winners = slim
+      .groupBy(col("dig"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"))
+    val kept = docBlocks(docs).join(winners, Seq("doc_id", "idx"))
+    docs.select(col("doc_id")).join(kept, Seq("doc_id"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("idx"), col("block")))),
+            b => b.getField("block"))),
+          lit("")).as("clean_text"),
+        count(col("idx")).as("n_kept_blocks"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -305,6 +305,57 @@ object StreamOps {
       }
       .start()
 
+  /** stream_block_dedup: corpus-rewrite boilerplate removal ONLINE — the
+    * streaming twin of text_block_dedup, same stored-index contract as
+    * [[minhashDedupSink]]: each micro-batch cuts its documents through
+    * the batch operator's own block path
+    * ([[graft.operators.TextAnalysis.docBlocks]]), keeps first
+    * occurrences within the batch (min (doc_id, idx) per digest), drops
+    * every block whose digest already sits in the stored warehouse index,
+    * re-emits each document as its surviving blocks in order, and appends
+    * the fresh digests back — so later batches dedup against earlier
+    * ones. Only documents keeping ≥ 1 block land in the output (a
+    * replayed document keeps nothing — every block matches its own
+    * stored digest), so a fresh-checkpoint replay appends NOTHING:
+    * exactly-once EFFECT on at-least-once delivery. When batches arrive
+    * in doc_id order the emitted corpus equals the batch operator's
+    * non-empty rows — asserted by StreamingSpec.
+    */
+  def blockDedupSink(docs: DataFrame, whBlocksDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val blocks = graft.operators.TextAnalysis.docBlocks(batch)
+        val slim = blocks.select(col("doc_id"), col("idx"),
+          xxhash64(col("block")).as("dig"))
+        val winners = slim.groupBy(col("dig"))
+          .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+          .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"),
+            col("dig"))
+        // materialization barrier (see minhashDedupSink): the appends
+        // below write into the directory the anti-join lazily reads
+        val fresh = winners
+          .join(spark.read.parquet(whBlocksDir), Seq("dig"), "left_anti")
+          .checkpoint()
+        if (fresh.count() > 0) {
+          val kept = blocks.join(fresh.select(col("doc_id"), col("idx")),
+            Seq("doc_id", "idx"))
+          kept.groupBy(col("doc_id"))
+            .agg(
+              concat_ws(" ", transform(
+                array_sort(collect_list(struct(col("idx"), col("block")))),
+                b => b.getField("block"))).as("clean_text"),
+              count(col("idx")).as("n_kept_blocks"))
+            .write.mode("append").parquet(outDir)
+          fresh.select(col("dig")).write.mode("append").parquet(whBlocksDir)
+        }
+        ()
+      }
+      .start()
+
   /** stream_cdc_dedup: CDC near-dup dedup applied online — the streaming
     * twin of mm_cdc_incremental, same contract as [[minhashDedupSink]]:
     * each micro-batch chunks through the SAME expression tree the batch

@@ -484,6 +484,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === before)
   }
 
+  test("stream_block_dedup: online keep-first block rewrite equals the " +
+      "batch operator on ordered arrivals and replays idempotently") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextAnalysis
+
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") < 5)
+    val arriving = docs.filter(col("doc_id") >= 5)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (h1, h2raw) = arriving.splitAt(arriving.size / 2)
+    // batch 2 re-crawls a batch-1 doc's bytes under a fresh id: every
+    // block matches a stored digest, so the doc must NOT be emitted
+    val recrawl = (9000L, h1.head._2)
+    val h2 = h2raw :+ recrawl
+
+    val base = TestSpark.tmpDir("block_stream")
+    val whDir = s"$base/blocks"
+    val outDir = s"$base/cleaned"
+    TextAnalysis.docBlocks(standing)
+      .select(xxhash64(col("block")).as("dig")).distinct()
+      .write.parquet(whDir)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.blockDedupSink(stream.toDF().toDF("doc_id", "text"),
+      whDir, outDir, TestSpark.tmpDir("block_stream_ck1"))
+    try {
+      stream.addData(h1)
+      q.processAllAvailable()
+      stream.addData(h2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // ordered arrival + lowest-id standing set ⇒ streamed result equals
+    // the batch keep-first rewrite over the WHOLE corpus, restricted to
+    // arriving docs that kept at least one block (the recrawl id is
+    // beyond every original id, so its blocks never win)
+    val expected = TextAnalysis.blockDedupCore(
+        standing.unionAll(arriving.toDF("doc_id", "text")))
+      .filter(col("n_kept_blocks") >= 1 && col("doc_id") >= 5)
+      .as[(Long, String, Long)].collect().toSet
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === expected)
+    assert(!streamed.exists(_._1 == 9000L))
+    assert(streamed.nonEmpty)
+
+    // FRESH checkpoint = full replay: every block matches its own stored
+    // digest, so nothing appends
+    val before = spark.read.parquet(outDir).count()
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.blockDedupSink(stream2.toDF().toDF("doc_id", "text"),
+      whDir, outDir, TestSpark.tmpDir("block_stream_ck2"))
+    try {
+      stream2.addData(h1 ++ h2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(outDir).count() === before)
+  }
+
   test("stream_cdc_dedup: online CDC near-dup dedup equals the sequential " +
       "batch decomposition, catches perturbed re-encodes, and replays " +
       "idempotently") {
