@@ -108,6 +108,7 @@ object SparkEntry {
     "q_orders_mom" -> (Relational.qOrdersMom _),
     "q_abc_analysis" -> (Relational.qAbcAnalysis _),
     "q_events_dow_profile" -> (Relational.qEventsDowProfile _),
+    "q_events_attribution" -> (Relational.qEventsAttribution _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_editdistance" -> (Dedup.dedupEditdistance _),
@@ -132,6 +133,9 @@ object SparkEntry {
     "sim_topk_pq" -> (Similarity.simTopkPq _),
     "sim_knn_graph" -> (Similarity.simKnnGraph _),
     "sim_pair_hist" -> (Dedup.simPairHist _),
+    "sim_recall_report" -> (Similarity.simRecallReport _),
+    "pipeline_contrastive_pairs" ->
+      (TextAnalysis.pipelineContrastivePairs _),
     "pipeline_coreset" ->
       ((s: SparkSession, d: String) => Similarity.pipelineCoreset(s, d)),
     "graph_triangles" -> (Dedup.graphTriangles _),
@@ -218,6 +222,107 @@ object SparkEntry {
               round(sim_raw, 6) AS sim
        FROM r WHERE rk <= 10
        ORDER BY q_id, rank"""
+
+  private val simTopkBruteforceOracle =
+    """WITH q AS (SELECT vec_id AS q_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id AS c_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                    FROM embeddings),
+              s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS sim_raw
+                    FROM q CROSS JOIN c WHERE c_id <> q_id),
+              r AS (SELECT q_id, c_id, sim_raw,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim_raw DESC, c_id) AS rk
+                    FROM s)
+         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id, round(sim_raw, 6) AS sim
+         FROM r WHERE rk <= 10
+         ORDER BY q_id, rank"""
+
+  private val simTopkLshOracle = {
+      val buckets = graft.operators.Similarity.lshBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"q.s$i = c.s$i").mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
+              q AS (SELECT * FROM s WHERE vec_id < 10),
+              cand AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                           list_cosine_similarity(q.v, c.v) AS sim_raw
+                       FROM q JOIN s c
+                         ON c.vec_id <> q.vec_id AND ($anyBucket)),
+              r AS (SELECT q_id, c_id, sim_raw,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim_raw DESC, c_id) AS rk
+                    FROM cand)
+         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
+                round(sim_raw, 6) AS sim
+         FROM r WHERE rk <= 10
+         ORDER BY q_id, rank"""
+  }
+
+  private val simTopkPqOracle =
+      """WITH e0 AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            ss AS (SELECT unnest(range(0, 16)) AS s),
+            sub AS (SELECT vec_id, s,
+                        list_slice(v, s * 4 + 1, s * 4 + 4) AS sv
+                    FROM e0, ss),
+            cbs AS (SELECT s, vec_id AS j, sv AS cw FROM sub
+                    WHERE vec_id < 64),
+            d AS (SELECT x.vec_id, x.s, c.j,
+                      list_reduce(list_transform(range(1, 5),
+                        i -> (x.sv[(i)::INT] - c.cw[(i)::INT])
+                             * (x.sv[(i)::INT] - c.cw[(i)::INT])),
+                        (a, b) -> a + b) AS d2
+                  FROM sub x JOIN cbs c USING (s)),
+            enc AS (SELECT vec_id, s, j AS code FROM d
+                    QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, j ASC) = 1),
+            qd AS (SELECT vec_id AS q_id, s, j, d2 FROM d
+                   WHERE vec_id < 10),
+            ad AS (SELECT q.q_id, x.vec_id AS c_id,
+                       list_reduce(list(q.d2 ORDER BY q.s),
+                         (a, b) -> a + b) AS adist
+                   FROM enc x JOIN qd q ON q.s = x.s AND q.j = x.code
+                   WHERE x.vec_id <> q.q_id
+                   GROUP BY q.q_id, x.vec_id),
+            r AS (SELECT q_id, c_id, adist,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY adist ASC, c_id ASC) AS rk
+                  FROM ad)
+         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
+                round(adist, 6) AS adist
+         FROM r WHERE rk <= 10
+         ORDER BY q_id, rank"""
+
+  /** Exact-L2 top-k — PQ's ground truth (ADC ranks by L2, not cosine);
+    * the squared distance is the same left-to-right fold the Spark d2
+    * kernel runs, so the two engines rank identical doubles.
+    */
+  private val simExactL2Oracle =
+    """WITH e0 AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e0 WHERE vec_id < 10),
+          d AS (SELECT q.q_id, c.vec_id AS c_id,
+                    list_reduce(list_transform(range(1, 65),
+                      i -> (q.qv[(i)::INT] - c.v[(i)::INT])
+                           * (q.qv[(i)::INT] - c.v[(i)::INT])),
+                      (a, b) -> a + b) AS dl2
+                FROM q CROSS JOIN e0 c WHERE c.vec_id <> q.q_id),
+          r AS (SELECT q_id, c_id, dl2,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY dl2 ASC, c_id ASC) AS rk
+                FROM d)
+       SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id
+       FROM r WHERE rk <= 10
+       ORDER BY q_id, rank"""
+
 
   /** DuckDB fragment: dotted version packed to the exact integer rank
     * major·10⁶ + minor·10³ + patch — the verbatim mirror of
@@ -1270,29 +1375,7 @@ object SparkEntry {
 
     // Same coordinate-difference RHP blocking as the Spark plan (identical
     // baked-in hyperplane constants) — candidate generation itself is gated.
-    "sim_topk_lsh" -> {
-      val buckets = graft.operators.Similarity.lshBucketSqlExprs("e")
-      val sigSelects = buckets.zipWithIndex
-        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
-      val anyBucket = buckets.indices.map(i => s"q.s$i = c.s$i").mkString(" OR ")
-      s"""WITH s AS (SELECT vec_id,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                $sigSelects
-              FROM embeddings e),
-              q AS (SELECT * FROM s WHERE vec_id < 10),
-              cand AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-                           list_cosine_similarity(q.v, c.v) AS sim_raw
-                       FROM q JOIN s c
-                         ON c.vec_id <> q.vec_id AND ($anyBucket)),
-              r AS (SELECT q_id, c_id, sim_raw,
-                        row_number() OVER (PARTITION BY q_id
-                          ORDER BY sim_raw DESC, c_id) AS rk
-                    FROM cand)
-         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
-                round(sim_raw, 6) AS sim
-         FROM r WHERE rk <= 10
-         ORDER BY q_id, rank"""
-    },
+    "sim_topk_lsh" -> simTopkLshOracle,
 
     // Transitive components over the RHP-blocked embedding pair relation
     // (same constants as dedup_embedding) — proves the contraction +
@@ -1350,27 +1433,48 @@ object SparkEntry {
          ORDER BY vec_id, rank"""
     },
 
-    "sim_topk_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS q_id,
-                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-                    FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id AS c_id,
-                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-                    FROM embeddings),
-              s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS sim_raw
-                    FROM q CROSS JOIN c WHERE c_id <> q_id),
-              r AS (SELECT q_id, c_id, sim_raw,
-                        row_number() OVER (PARTITION BY q_id
-                          ORDER BY sim_raw DESC, c_id) AS rk
-                    FROM s)
-         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id, round(sim_raw, 6) AS sim
-         FROM r WHERE rk <= 10
-         ORDER BY q_id, rank""",
+    "sim_topk_bruteforce" -> simTopkBruteforceOracle,
 
     // k-center greedy (farthest-point) selection replicated literally: the
     // recursive CTE carries the chosen-id list; each step's argmin over
     // (max cosine to chosen, vec_id) is a correlated struct-min — the same
     // raw-double compare as the Spark loop's incremental greatest fold
+    // anchors/positives from the SAME exhaustive AllPairs pair relation
+    // dedup_ngram_jaccard grades; negatives are md5-seeded dense-rank
+    // draws with two (mod n) collision probes — 3 distinct ranks, at most
+    // 2 exclusions, so a negative always resolves and never equals the
+    // anchor or positive
+    "pipeline_contrastive_pairs" ->
+      """WITH t AS (SELECT doc_id,
+                        list_distinct(string_split(text, ' ')) AS tset
+                    FROM documents),
+              pp AS (SELECT a.doc_id AS i, b.doc_id AS j
+                     FROM t a JOIN t b ON a.doc_id < b.doc_id
+                     WHERE round(CAST(len(list_intersect(a.tset, b.tset))
+                             AS DOUBLE)
+                           / len(list_distinct(list_concat(a.tset, b.tset))),
+                           6) >= 0.9),
+              sym AS (SELECT i AS anchor, j AS pos FROM pp
+                      UNION ALL SELECT j, i FROM pp),
+              best AS (SELECT anchor, min(pos) AS pos_id FROM sym
+                       GROUP BY anchor),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              ids AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY doc_id) - 1 AS rk
+                      FROM documents),
+              probes AS (SELECT b.anchor, b.pos_id, u.prio,
+                             ((('0x' || substring(md5(CAST(b.anchor AS VARCHAR)),
+                                 1, 8))::BIGINT % n.n_docs) + u.prio)
+                               % n.n_docs AS rk
+                         FROM best b CROSS JOIN n
+                              CROSS JOIN (SELECT unnest([0, 1, 2]) AS prio) u)
+         SELECT pr.anchor AS anchor_id, pr.pos_id,
+                min(struct_pack(p := pr.prio, d := i2.doc_id))['d'] AS neg_id
+         FROM probes pr JOIN ids i2 ON i2.rk = pr.rk
+         WHERE i2.doc_id <> pr.anchor AND i2.doc_id <> pr.pos_id
+         GROUP BY pr.anchor, pr.pos_id
+         ORDER BY anchor_id""",
+
     "pipeline_coreset" ->
       s"""WITH RECURSIVE
             v AS (SELECT vec_id,
@@ -1690,6 +1794,58 @@ object SparkEntry {
     // ABC class cuts compare scaled decimals (100·cum_before < 70·total):
     // no float decides a class; the boundary part counts toward the class
     // it completes
+    // linear multi-touch attribution: integer ppm credit, purchases with
+    // no 7-day click window stay direct; (1e6 div n) * n reconstructs the
+    // exact distributed total
+    "q_events_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS pt
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS ct
+                    FROM events WHERE event_type = 'click'),
+              touch AS (SELECT p.user_id, p.p_id, count(*) AS n_touch
+                        FROM p JOIN c ON c.user_id = p.user_id
+                          AND c.ct < p.pt
+                          AND c.ct >= p.pt - 604800000000
+                        GROUP BY p.user_id, p.p_id),
+              credit AS (SELECT p.user_id,
+                             t.n_touch,
+                             CASE WHEN t.n_touch IS NULL THEN 0
+                                  ELSE (1000000 // t.n_touch) * t.n_touch
+                             END AS attributed_ppm
+                         FROM p LEFT JOIN touch t
+                           ON t.p_id = p.p_id AND t.user_id = p.user_id)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CASE WHEN n_touch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_attributed,
+                CAST(sum(attributed_ppm) AS BIGINT) AS click_credit_ppm
+         FROM credit GROUP BY user_id ORDER BY user_id""",
+
+    // linear multi-touch attribution: integer ppm credit, purchases with
+    // no 7-day click window stay direct; (1e6 div n) * n reconstructs the
+    // exact distributed total
+    "q_events_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS pt
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS ct
+                    FROM events WHERE event_type = 'click'),
+              touch AS (SELECT p.user_id, p.p_id, count(*) AS n_touch
+                        FROM p JOIN c ON c.user_id = p.user_id
+                          AND c.ct < p.pt
+                          AND c.ct >= p.pt - 604800000000
+                        GROUP BY p.user_id, p.p_id),
+              credit AS (SELECT p.user_id,
+                             t.n_touch,
+                             CASE WHEN t.n_touch IS NULL THEN 0
+                                  ELSE (1000000 // t.n_touch) * t.n_touch
+                             END AS attributed_ppm
+                         FROM p LEFT JOIN touch t
+                           ON t.p_id = p.p_id AND t.user_id = p.user_id)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CASE WHEN n_touch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_attributed,
+                CAST(sum(attributed_ppm) AS BIGINT) AS click_credit_ppm
+         FROM credit GROUP BY user_id ORDER BY user_id""",
+
     "q_abc_analysis" ->
       """WITH rev AS (SELECT l_partkey AS pk,
                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -2036,41 +2192,31 @@ object SparkEntry {
     // convention); every float op is a sequential left-to-right fold
     // ((x-y)*(x-y), list_reduce) matching Spark's zip_with+aggregate,
     // and the encode tie-break is (d2 asc, j asc) on both engines
-    "sim_topk_pq" ->
-      """WITH e0 AS (SELECT vec_id,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-            ss AS (SELECT unnest(range(0, 16)) AS s),
-            sub AS (SELECT vec_id, s,
-                        list_slice(v, s * 4 + 1, s * 4 + 4) AS sv
-                    FROM e0, ss),
-            cbs AS (SELECT s, vec_id AS j, sv AS cw FROM sub
-                    WHERE vec_id < 64),
-            d AS (SELECT x.vec_id, x.s, c.j,
-                      list_reduce(list_transform(range(1, 5),
-                        i -> (x.sv[(i)::INT] - c.cw[(i)::INT])
-                             * (x.sv[(i)::INT] - c.cw[(i)::INT])),
-                        (a, b) -> a + b) AS d2
-                  FROM sub x JOIN cbs c USING (s)),
-            enc AS (SELECT vec_id, s, j AS code FROM d
-                    QUALIFY row_number() OVER (PARTITION BY vec_id, s
-                              ORDER BY d2 ASC, j ASC) = 1),
-            qd AS (SELECT vec_id AS q_id, s, j, d2 FROM d
-                   WHERE vec_id < 10),
-            ad AS (SELECT q.q_id, x.vec_id AS c_id,
-                       list_reduce(list(q.d2 ORDER BY q.s),
-                         (a, b) -> a + b) AS adist
-                   FROM enc x JOIN qd q ON q.s = x.s AND q.j = x.code
-                   WHERE x.vec_id <> q.q_id
-                   GROUP BY q.q_id, x.vec_id),
-            r AS (SELECT q_id, c_id, adist,
-                      row_number() OVER (PARTITION BY q_id
-                        ORDER BY adist ASC, c_id ASC) AS rk
-                  FROM ad)
-         SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id,
-                round(adist, 6) AS adist
-         FROM r WHERE rk <= 10
-         ORDER BY q_id, rank""",
+    "sim_topk_pq" -> simTopkPqOracle,
+
+    // recall@10 of each ANN path vs ITS exact metric, composed from the
+    // SAME SQL texts the component queries are graded with — truth and
+    // approximation cannot drift apart
+    "sim_recall_report" ->
+      s"""WITH ex AS (SELECT q_id, c_id FROM ($simTopkBruteforceOracle)),
+              lshq AS (SELECT q_id, c_id FROM ($simTopkLshOracle)),
+              ivfq AS (SELECT q_id, c_id FROM ($simTopkIvfOracle)),
+              pqq AS (SELECT q_id, c_id FROM ($simTopkPqOracle)),
+              exl2 AS (SELECT q_id, c_id FROM ($simExactL2Oracle))
+         SELECT method, n_truth, matched,
+                (1000000 * matched) // n_truth AS recall_ppm
+         FROM (
+           SELECT 'ivf' AS method,
+                  (SELECT count(*) FROM ex) AS n_truth,
+                  (SELECT count(*) FROM ex JOIN ivfq USING (q_id, c_id))
+                    AS matched
+           UNION ALL
+           SELECT 'lsh', (SELECT count(*) FROM ex),
+                  (SELECT count(*) FROM ex JOIN lshq USING (q_id, c_id))
+           UNION ALL
+           SELECT 'pq', (SELECT count(*) FROM exl2),
+                  (SELECT count(*) FROM exl2 JOIN pqq USING (q_id, c_id)))
+         ORDER BY method""",
 
     "text_pii_redact" ->
       """WITH p AS (SELECT doc_id,

