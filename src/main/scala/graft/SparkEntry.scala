@@ -82,6 +82,8 @@ object SparkEntry {
     "q16_supplier_cnt" -> (Relational.q16SupplierCnt _),
     "q20_dominant_supplier" -> (Relational.q20DominantSupplier _),
     "q_events_markov" -> (Relational.qEventsMarkov _),
+    "q_events_paths" -> (Relational.qEventsPaths _),
+    "q_events_dwell" -> (Relational.qEventsDwell _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q8_market_share" -> (Relational.q8MarketShare _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -2174,6 +2176,38 @@ object SparkEntry {
          FROM l WHERE prev IS NOT NULL
          GROUP BY prev, cur
          ORDER BY prev, cur""",
+
+    "q_events_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+                        CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+                    FROM events),
+              l AS (SELECT event_type,
+                        lag(event_type, 1) OVER w AS p1,
+                        lag(event_type, 2) OVER w AS p2,
+                        lag(event_type, 3) OVER w AS p3
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY tus, event_id))
+         SELECT concat_ws('>', p3, p2, p1) AS path,
+                count(*) AS n_purchases
+         FROM l WHERE event_type = 'purchase'
+         GROUP BY path
+         ORDER BY n_purchases DESC, path""",
+
+    "q_events_dwell" ->
+      """WITH e AS (SELECT user_id, event_type,
+                        CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+                    FROM events),
+              l AS (SELECT event_type, tus,
+                        lead(tus, 1) OVER (PARTITION BY user_id
+                                           ORDER BY tus, event_id) AS nxt
+                    FROM e)
+         SELECT event_type,
+                count(*) AS n_intervals,
+                CAST(sum(nxt - tus) AS BIGINT) AS dwell_us
+         FROM l WHERE nxt IS NOT NULL
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "sim_range_search" ->
       """WITH q AS (SELECT vec_id AS q_id,

@@ -1948,4 +1948,63 @@ object Relational {
       .orderBy(col("support").desc, col("pa"), col("pb"))
     out
   }
+
+  /** §2.2 q_events_paths: pre-conversion path mining — for every
+    * purchase, the exact sequence of the (up to) three immediately
+    * preceding events in the same user's timeline, rendered as
+    * "a>b>c" and counted corpus-wide. The sequence-analysis question
+    * q_events_markov's one-step transition matrix cannot answer: which
+    * multi-step journeys actually end in a purchase. Ties in ts break
+    * on event_id so the neighbor sequence is total and both engines see
+    * identical paths; concat_ws drops absent (NULL) predecessors, so a
+    * user's first purchase yields the shorter true prefix.
+    *
+    * Scale shape: ONE user-co-partitioned window shuffle produces all
+    * three lags in a single pass (shared window frame, no self-join,
+    * no per-purchase range scan); the path histogram is map-side
+    * combined into at most |event_types|³ rows. Nothing downstream of
+    * the window carries more than the path string.
+    */
+  def qEventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .withColumn("p3", lag(col("event_type"), 3).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(concat_ws(">", col("p3"), col("p2"), col("p1")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("n_purchases").desc, col("path"))
+  }
+
+  /** §2.2 q_events_dwell: per-state dwell time — how long the user
+    * timeline sits in each event_type before the NEXT event arrives
+    * (lead(ts) − ts summed per type; each user's final event is open-
+    * ended and excluded). The state-duration complement of
+    * q_events_markov's transition counts: Markov says where flows go,
+    * dwell says how long they sit. All arithmetic is exact integer
+    * micros end to end — no interval type, no float.
+    *
+    * Scale shape: the same single user-co-partitioned window shuffle as
+    * the other timeline queries (lead is one pass over the sorted
+    * partition), then a map-side-combined aggregate into
+    * |event_types| rows.
+    */
+  def qEventsDwell(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("nxt") - col("tus")).cast("bigint").as("dwell_us"))
+      .orderBy(col("event_type"))
+  }
 }
