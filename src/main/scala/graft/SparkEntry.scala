@@ -59,6 +59,7 @@ object SparkEntry {
     "graph_label_propagation" -> (Relational.graphLabelProp _),
     "graph_connected_components" -> (Relational.graphConnectedComponents _),
     "graph_shortest_paths" -> (Relational.graphShortestPaths _),
+    "graph_kcore" -> (Relational.graphKcore _),
     "q_part_skyline" -> (Relational.qPartSkyline _),
     "q_basket_pairs" -> (Relational.qBasketPairs _),
     "warehouse_stats" -> (Relational.warehouseStats _),
@@ -374,6 +375,32 @@ object SparkEntry {
     * term, so the fixed iteration count is unrolled — same arithmetic as
     * the Spark loop: (85·s) div (100·outdeg) per edge + 150000 teleport).
     */
+  /** graph_kcore's oracle peels this many unrolled rounds. Rounds past
+    * the fixpoint are no-ops, so chain-peel ≡ the Spark loop's
+    * fixpoint-peel whenever the fixpoint lands within the chain;
+    * KcoreSpec asserts ≥2× margin on both shipped SFs (fixpoint = 13
+    * rounds at sf0.01 AND sf0.1).
+    */
+  private[graft] val kcoreOracleRounds = 30
+
+  /** graph_kcore's simultaneous-removal peel as chained CTEs (unrolled
+    * like [[pagerankSteps]]): each round keeps only edges whose BOTH
+    * endpoints still have degree ≥ k in the previous round's survivor
+    * set — identical semantics to the Spark loop's two left-semi joins.
+    */
+  private def kcorePeelSteps(n: Int, k: Int): String =
+    (1 to n).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT i, j FROM c${r - 1}
+               WHERE i IN (SELECT v
+                           FROM (SELECT i AS v FROM c${r - 1}
+                                 UNION ALL SELECT j AS v FROM c${r - 1})
+                           GROUP BY v HAVING count(*) >= $k)
+                 AND j IN (SELECT v
+                           FROM (SELECT i AS v FROM c${r - 1}
+                                 UNION ALL SELECT j AS v FROM c${r - 1})
+                           GROUP BY v HAVING count(*) >= $k))"""
+    }.mkString(",\n            ")
+
   private def pagerankSteps(n: Int): String =
     (1 to n).map { k =>
       s"""pr$k AS (SELECT e.dst AS v,
@@ -533,6 +560,26 @@ object SparkEntry {
                      ELSE 'supplier' END AS component_type,
                 CAST(canonical // 2 AS BIGINT) AS component_key
          FROM cc
+         ORDER BY node_type, entity_key""",
+
+    // simultaneous-removal 2-core peel over the same urgent-flow slice,
+    // unrolled to kcoreOracleRounds chained CTEs (no-op past the
+    // fixpoint — KcoreSpec asserts the margin on both shipped SFs)
+    "graph_kcore" ->
+      s"""WITH c0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS i,
+                        l.l_suppkey * 2 + 1 AS j
+                      FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey
+                      WHERE l.l_quantity >= 49
+                        AND o.o_orderpriority = '1-URGENT'),
+            ${kcorePeelSteps(kcoreOracleRounds, 2)}
+         SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                  AS node_type,
+                CAST(v // 2 AS BIGINT) AS entity_key,
+                count(*) AS core_degree
+         FROM (SELECT i AS v FROM c$kcoreOracleRounds
+               UNION ALL SELECT j AS v FROM c$kcoreOracleRounds)
+         GROUP BY node_type, entity_key
          ORDER BY node_type, entity_key""",
 
     // multi-source BFS over the same urgent-flow slice; UNION (not ALL)

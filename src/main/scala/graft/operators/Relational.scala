@@ -1783,6 +1783,72 @@ object Relational {
     visited
   }
 
+  /** §2.2 graph_kcore: the 2-core of the urgent-flow commerce slice —
+    * iteratively peel every vertex with fewer than k=2 surviving
+    * neighbors until nothing changes; what remains is the cyclic
+    * backbone of the trading network (every tree-like tendril the BFS
+    * and component queries still traverse is gone). Output is each
+    * surviving vertex with its WITHIN-CORE degree — the resilience
+    * question ("who still has ≥2 urgent counterparties after the
+    * periphery collapses") that component membership can't answer.
+    * Completes the graph family: reachability (components, BFS),
+    * centrality (pagerank), community (LPA), local density (triangles),
+    * global density backbone (k-core).
+    *
+    * Scale shape: simultaneous-removal peeling — each round is ONE
+    * degree aggregate over the surviving edge list plus two
+    * co-partitioned left-semi joins (never a broadcast of the O(V) keep
+    * set), landed in a [[graft.Barriers.roundBarrier]] (the CLAUDE.md
+    * iterative contract); the loop exits on the first round that
+    * removes no edge, and every round's input SHRINKS — total work is
+    * O(rounds · surviving edges), 13 rounds to fixpoint on this slice
+    * at both shipped SFs. The DuckDB oracle unrolls the identical peel
+    * as a [[SparkEntry.kcoreOracleRounds]]-deep CTE chain; rounds past
+    * the fixpoint are no-ops, so chain-peel ≡ fixpoint-peel whenever
+    * the fixpoint arrives within the chain — KcoreSpec asserts that
+    * margin (≥2×) on both shipped SFs, so the engines agree by
+    * construction.
+    */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val (core, _) = kCoreCore(urgentSlicePairs(spark, dir), 2)
+    core.select(
+      when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type"),
+      expr("v div 2").cast("bigint").as("entity_key"),
+      col("core_degree"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** The simultaneous-removal k-core peel under graph_kcore, on an
+    * UNDIRECTED distinct (i, j) pair relation. Returns the surviving
+    * per-vertex within-core degrees and the number of peel rounds the
+    * fixpoint took (0 = the input already was its own k-core).
+    */
+  private[graft] def kCoreCore(pairs: DataFrame, k: Int)
+      : (DataFrame, Int) = {
+    var edges = graft.Barriers.roundBarrier(
+      pairs.select(col("i"), col("j")))
+    var n = edges.count()
+    var rounds = 0
+    var done = n == 0L
+    while (!done) {
+      val deg = edges.select(col("i").as("v"))
+        .unionAll(edges.select(col("j").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("v"))
+      val next = graft.Barriers.roundBarrier(edges
+        .join(keep.select(col("v").as("i")), Seq("i"), "left_semi")
+        .join(keep.select(col("v").as("j")), Seq("j"), "left_semi")
+        .select(col("i"), col("j")))
+      val m = next.count()
+      if (m == n) done = true
+      else { edges = next; n = m; rounds += 1; done = n == 0L }
+    }
+    (edges.select(col("i").as("v")).unionAll(edges.select(col("j").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast("bigint").as("core_degree")),
+      rounds)
+  }
+
   /** §2.2 q_part_skyline: the groupwise Pareto frontier — per brand, the
     * parts no other part of that brand dominates (price ≤ ∧ size ≥,
     * strict in at least one): the "best value at every size point"
