@@ -154,6 +154,47 @@ object Warehouse {
     (parts.length, parts.length - drop.length)
   }
 
+  /** Zero-copy snapshot of a parquet table directory — the fifth
+    * standing maintenance task (compact ✓, z-order ✓, analyze ✓,
+    * retention ✓, snapshot ✓): publish a read-only point-in-time view
+    * before a risky rewrite, for a reproducible training run, or as the
+    * "yesterday" side of q_snapshot_diff. Every data file HARDLINKS
+    * into the destination (O(files) metadata ops, zero bytes moved —
+    * the POSIX equivalent of a manifest-only snapshot; object-store
+    * deployments would swap the link call for a server-side copy), and
+    * because parquet files are immutable-by-convention the link is
+    * safe: compact/retain REPLACE files (the snapshot's inode link
+    * survives the source's unlink) rather than mutating them in place.
+    * Directory structure (hive partitions) is mirrored recursively;
+    * filesystems without hardlink support fall back to a byte copy per
+    * file. Returns (files linked, files copied).
+    */
+  def snapshot(spark: SparkSession, path: String, dest: String): (Int, Int) = {
+    import java.nio.file.{Files, Paths, Path => JPath}
+    var linked = 0
+    var copied = 0
+    def walk(src: JPath, dst: JPath): Unit = {
+      Files.createDirectories(dst)
+      val listing = Files.list(src)
+      try listing.forEach { p =>
+        val t = dst.resolve(p.getFileName)
+        if (Files.isDirectory(p)) walk(p, t)
+        else if (!p.getFileName.toString.startsWith("_")) {
+          try { Files.createLink(t, p); linked += 1 }
+          catch { case _: UnsupportedOperationException |
+                       _: java.nio.file.FileSystemException =>
+            Files.copy(p, t); copied += 1 }
+        }
+      } finally listing.close()
+    }
+    val srcRoot = Paths.get(path)
+    require(Files.isDirectory(srcRoot), s"not a table directory: $path")
+    require(!Files.exists(Paths.get(dest)),
+      s"snapshot destination exists: $dest") // never silently overlay
+    walk(srcRoot, Paths.get(dest))
+    (linked, copied)
+  }
+
   /** Long-format column statistics in ONE pass, one 1-row aggregate:
     * (col_name, n_rows, n_nulls, min_val, max_val[, approx_ndv]) per
     * analyzed column. Everything but the optional NDV is exact integer/

@@ -103,6 +103,44 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.retain(spark, dir, minYear = 2022) === ((4, 4)))
   }
 
+  test("snapshot: zero-copy hardlink clone survives source compaction and " +
+      "retention, never overlays an existing destination") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap")
+    val dir = root.resolve("warehouse").toString
+    val snap = root.resolve("snap_v1").toString
+    val src = graft.Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"),
+        (lit(2019) + col("event_id") % 4).cast("int").as("cve_year"))
+    // several small appends per partition → compaction has work to do
+    (0 until 3).foreach { i =>
+      src.filter(col("user_id") % 3 === i).coalesce(1)
+        .write.partitionBy("cve_year").mode("append").parquet(dir)
+    }
+    val checksum = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+
+    val (linked, copied) = Warehouse.snapshot(spark, dir, snap)
+    assert(linked > 0 && copied === 0, // POSIX tmpfs: links, not copies
+      s"expected pure hardlink snapshot, got linked=$linked copied=$copied")
+    assert(spark.read.parquet(snap)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0) === checksum)
+
+    // maintenance on the SOURCE must not disturb the snapshot: compact
+    // rewrites+unlinks the source files (snapshot inodes survive) and
+    // retention unlinks whole partitions
+    (2019 to 2022).foreach { y =>
+      Warehouse.compact(spark, s"$dir/cve_year=$y", 512L << 20)
+    }
+    Warehouse.retain(spark, dir, minYear = 2021)
+    assert(spark.read.parquet(snap)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0) === checksum)
+
+    // a second snapshot refuses to overlay the existing one
+    assertThrows[IllegalArgumentException] {
+      Warehouse.snapshot(spark, dir, snap)
+    }
+  }
+
   test("zorder: a user-range predicate touches far fewer files than on a " +
       "time-sorted layout, losslessly") {
     val events = graft.Tables.events(spark, graft.TestSpark.sfDir)
