@@ -148,6 +148,74 @@ object StreamOps {
       .toDF()
   }
 
+  /** Keyed attribution state: one user's click timestamps (epoch
+    * micros) still inside the 7-day lookback of any FUTURE purchase —
+    * pruned against the newest event seen, so state is bounded by the
+    * window's click volume, never the user's history.
+    */
+  case class AttributionState(clicks: Seq[Long], maxTs: Long)
+
+  /** One attributed purchase: touches in the window and the exact
+    * integer ppm credit the batch operator assigns ((1e6 div n)·n;
+    * 0 for an untouched "direct" purchase).
+    */
+  case class AttributedPurchase(user_id: Long, p_id: Long,
+      n_touch: Long, attributed_ppm: Long)
+
+  /** stream_attribution: linear multi-touch attribution ONLINE — the
+    * streaming twin of the batch q_events_attribution. One
+    * [[AttributionState]] per user rides `flatMapGroupsWithState`
+    * across micro-batches: clicks enter the state, each purchase emits
+    * its touch count and exact-integer ppm credit THE MOMENT IT
+    * ARRIVES, and clicks older than 7 days behind the newest event are
+    * evicted — the marketing dashboard sees credit in real time instead
+    * of at the nightly batch. The built-ins can't express this: the
+    * emission joins each purchase against an ORDER-dependent,
+    * self-pruning set of prior events, not a window or key equality.
+    *
+    * Events are processed in (time, event_id) order within each batch;
+    * with time-ordered arrival the per-purchase emissions aggregate to
+    * EXACTLY the batch operator's per-user rollup (asserted by
+    * StreamingSpec). State is O(clicks in any 7-day window) per user;
+    * in batch mode the same code runs with empty initial state and one
+    * group invocation per user.
+    */
+  def attributionStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val windowUs = 604800000000L // 7 days
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), unix_micros(col("ts")))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[AttributionState]) =>
+          var s = state.getOption.getOrElse(AttributionState(Nil, Long.MinValue))
+          var clicks = s.clicks
+          var maxTs = s.maxTs
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributedPurchase]
+          it.toSeq.sortBy(e => (e._4, e._2)).foreach { case (_, eid, et, t) =>
+            maxTs = math.max(maxTs, t)
+            if (et == "click") clicks = clicks :+ t
+            else if (et == "purchase") {
+              val n = clicks.count(ct => ct < t && ct >= t - windowUs)
+              out += AttributedPurchase(uid, eid, n,
+                if (n == 0) 0L else (1000000L / n) * n)
+            }
+          }
+          // evict clicks no future purchase can ever see (events arrive
+          // in watermark order across batches: nothing older than
+          // maxTs − 7d attributes again)
+          clicks = clicks.filter(_ >= maxTs - windowUs)
+          state.update(AttributionState(clicks, maxTs))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Keyed incremental Pareto frontier: one brand's current skyline
     * members as (part key, price, size) triples.
     */

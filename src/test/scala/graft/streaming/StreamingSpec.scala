@@ -231,6 +231,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRun === expected)
   }
 
+  test("stream_attribution: per-purchase emissions roll up to the batch " +
+      "attribution across micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // expected per-user rollup from the batch operator:
+    // (user, n_purchases, n_attributed, click_credit_ppm)
+    val expected = graft.operators.Relational
+      .qEventsAttribution(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // time-ordered arrival in three micro-batches: the 7-day click
+    // window must survive batch boundaries through the keyed state
+    val evs = eventsAsCase().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.attributionStream(stream.toDF())
+      .writeStream.format("memory").queryName("attribution_stream")
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.size / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      val got = spark.table("attribution_stream")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("n_touch") > 0, 1).otherwise(0)).cast("bigint")
+            .as("n_attributed"),
+          sum(col("attributed_ppm")).cast("bigint").as("click_credit_ppm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected)
+    } finally q.stop()
+
+    // the same code path runs in batch (empty initial state, one group call)
+    val batchRun = StreamOps.attributionStream(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("n_touch") > 0, 1).otherwise(0)).cast("bigint")
+          .as("n_attributed"),
+        sum(col("attributed_ppm")).cast("bigint").as("click_credit_ppm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batchRun === expected)
+  }
+
   test("stream_skyline: incremental frontier converges to the batch sweep " +
       "across permuted micro-batch splits") {
     import spark.implicits._
