@@ -1795,12 +1795,15 @@ object Relational {
     * centrality (pagerank), community (LPA), local density (triangles),
     * global density backbone (k-core).
     *
-    * Scale shape: simultaneous-removal peeling — each round is ONE
-    * degree aggregate over the surviving edge list plus two
-    * co-partitioned left-semi joins (never a broadcast of the O(V) keep
-    * set), landed in a [[graft.Barriers.roundBarrier]] (the CLAUDE.md
-    * iterative contract); the loop exits on the first round that
-    * removes no edge, and every round's input SHRINKS — total work is
+    * Scale shape: simultaneous-removal peeling, two-regime like
+    * [[Dedup.connectedComponents]] — an edge list at or under
+    * [[KcoreDriverEdgeBound]] peels in driver memory (rounds are hash-
+    * map sweeps, free); above it each distributed round is ONE degree
+    * aggregate over the surviving edge list plus two co-partitioned
+    * left-semi joins (never a broadcast of the O(V) keep set), landed
+    * in a [[graft.Barriers.roundBarrier]] (the CLAUDE.md iterative
+    * contract); the loop exits on the first round that removes no
+    * edge, and every round's input SHRINKS — total work is
     * O(rounds · surviving edges), 13 rounds to fixpoint on this slice
     * at both shipped SFs. The DuckDB oracle unrolls the identical peel
     * as a [[SparkEntry.kcoreOracleRounds]]-deep CTE chain; rounds past
@@ -1819,16 +1822,51 @@ object Relational {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
+  /** graph_kcore's driver-finish bound, the [[Dedup.connectedComponents]]
+    * pattern: an edge list at or under this collects to the driver (≤
+    * ~64 MB of longs) and peels in memory — rounds are FREE there,
+    * while each distributed round pays scheduling + a barrier; above
+    * it, the distributed loop runs. The bound gates WHICH engine peels,
+    * never the answer (KcoreSpec asserts both regimes bit-identical).
+    */
+  private[graft] val KcoreDriverEdgeBound = 4000000L
+
   /** The simultaneous-removal k-core peel under graph_kcore, on an
     * UNDIRECTED distinct (i, j) pair relation. Returns the surviving
     * per-vertex within-core degrees and the number of peel rounds the
     * fixpoint took (0 = the input already was its own k-core).
     */
-  private[graft] def kCoreCore(pairs: DataFrame, k: Int)
-      : (DataFrame, Int) = {
+  private[graft] def kCoreCore(pairs: DataFrame, k: Int,
+      driverEdgeBound: Long = KcoreDriverEdgeBound): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     var edges = graft.Barriers.roundBarrier(
       pairs.select(col("i"), col("j")))
     var n = edges.count()
+    if (n <= driverEdgeBound) {
+      // bounded finishing step, not corpus data: peel in memory where a
+      // round is a hash-map sweep instead of a scheduled stage
+      import spark.implicits._
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      edges.unpersist()
+      var rounds = 0
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (v, nb) if nb.size < k => v }.toSeq
+        if (drop.isEmpty) changed = false
+        else {
+          rounds += 1
+          drop.foreach { v => adj(v).foreach(u => adj(u) -= v); adj -= v }
+        }
+      }
+      val out = adj.iterator.map { case (v, nb) => (v, nb.size.toLong) }
+        .toSeq.toDF("v", "core_degree")
+      return (out, rounds)
+    }
     var rounds = 0
     var done = n == 0L
     while (!done) {

@@ -47,10 +47,12 @@ class KcoreSpec extends AnyFunSuite {
     (adj.map { case (v, n) => v -> n.size.toLong }.toMap, rounds)
   }
 
-  private def run(pairs: Seq[(Long, Long)], k: Int)
+  private def run(pairs: Seq[(Long, Long)], k: Int,
+      bound: Long = Relational.KcoreDriverEdgeBound)
       : (Map[Long, Long], Int) = {
     import spark.implicits._
-    val (core, rounds) = Relational.kCoreCore(pairs.toDF("i", "j"), k)
+    val (core, rounds) = Relational.kCoreCore(pairs.toDF("i", "j"), k,
+      driverEdgeBound = bound)
     (core.as[(Long, Long)].collect().toMap, rounds)
   }
 
@@ -101,6 +103,30 @@ class KcoreSpec extends AnyFunSuite {
     val (ref4, refRounds4) = reference(bridgedCliques, 4)
     assert(core4 === ref4 && core4.isEmpty)
     assert(rounds4 === refRounds4 && rounds4 === 2)
+  }
+
+  test("driver and distributed peel regimes agree bit-for-bit") {
+    // bound = 0 forces the distributed loop; the default takes the
+    // driver finish. The bound gates WHICH engine peels, never the
+    // answer. (Round COUNTS may legitimately differ by one between
+    // regimes: the driver's vertex peel spends a final round dropping
+    // a vertex whose last edge already vanished, an edge-list no-op.)
+    for (g <- Seq(cycleTendril, bridgedCliques); k <- Seq(2, 3, 4)) {
+      assert(run(g, k, bound = 0L)._1 === run(g, k)._1,
+        s"regimes disagree on k=$k")
+    }
+    import spark.implicits._
+    val slice = spark.sql(
+      """SELECT DISTINCT o.o_custkey * 2 AS i, l.l_suppkey * 2 + 1 AS j
+         FROM parquet.`/root/testdata/sf0.01/orders.parquet` o
+         JOIN parquet.`/root/testdata/sf0.01/lineitem.parquet` l
+           ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_quantity >= 49 AND o.o_orderpriority = '1-URGENT'""")
+    val dist = Relational.kCoreCore(slice, 2, driverEdgeBound = 0L)
+      ._1.as[(Long, Long)].collect().toMap
+    val drv = Relational.kCoreCore(slice, 2)
+      ._1.as[(Long, Long)].collect().toMap
+    assert(dist === drv && drv.nonEmpty)
   }
 
   test("oracle margin: fixpoint ≤ half the unrolled chain on both shipped SFs") {
