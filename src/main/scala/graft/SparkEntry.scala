@@ -84,6 +84,7 @@ object SparkEntry {
     "q20_dominant_supplier" -> (Relational.q20DominantSupplier _),
     "q_events_markov" -> (Relational.qEventsMarkov _),
     "q_events_paths" -> (Relational.qEventsPaths _),
+    "text_zipf" -> (TextAnalysis.textZipf _),
     "q_events_dwell" -> (Relational.qEventsDwell _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q8_market_share" -> (Relational.q8MarketShare _),
@@ -1591,6 +1592,23 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          SELECT term, count(*) AS n FROM t
          GROUP BY term ORDER BY n DESC, term LIMIT 50""",
+
+    // the regression runs over exactly the top-100 cut on both engines;
+    // ln() ulp noise sits far below the 6dp round
+    "text_zipf" ->
+      """WITH tf AS (SELECT term, count(*) AS n
+                     FROM (SELECT unnest(string_split(text, ' ')) AS term
+                           FROM documents)
+                     GROUP BY term),
+              top AS (SELECT term, n FROM tf
+                      ORDER BY n DESC, term LIMIT 100),
+              r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term)
+                        AS rank
+                    FROM top)
+         SELECT count(*) AS n_terms,
+                round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+                round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept
+         FROM r""",
 
     "text_vocab_growth" ->
       """WITH tk AS (SELECT doc_id,

@@ -102,6 +102,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term"))
       .limit(50)
 
+  /** §2.4 text_zipf: how Zipfian is the corpus — least-squares slope and
+    * intercept of ln(frequency) over ln(rank) across the top-100 terms
+    * (natural text sits near slope −1; a far-off slope flags boilerplate
+    * floods, template spam, or tokenizer damage before the corpus ships
+    * to training). The one corpus-health scalar the term histograms
+    * (top_terms, rarity, vocab_growth) don't provide.
+    *
+    * Scale shape: identical to text_top_terms up to the bounded cut —
+    * explode collapses map-side into the term histogram, ONE shuffle,
+    * then the top-100 TakeOrdered; the ranking window and the
+    * regression moments run over exactly 100 rows (single tiny
+    * partition — bounded by the cut, never the vocabulary). The only
+    * floats are the two ln()s feeding Welford moments over 100 points,
+    * rounded to 6dp on both engines (libm ulp noise sits ~9 orders
+    * below the round).
+    */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(toks).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(100)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("term"))))
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(ln(n), ln(rank))"), 6).as("zipf_slope"),
+        round(expr("regr_intercept(ln(n), ln(rank))"), 6)
+          .as("zipf_intercept"))
+  }
+
   /** §2.4 text_normalize: canonical text form for downstream dedup/
     * tokenization — lowercase, strip non-alphanumerics, collapse runs of
     * whitespace, trim. Pure codegen'd string ops, scan-bound.
