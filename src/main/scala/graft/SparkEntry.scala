@@ -144,6 +144,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.pipelineCoreset(s, d)),
     "graph_triangles" -> (Dedup.graphTriangles _),
     // §2.4 text analysis + multimodal
+    "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _),
     "text_tokencount" -> (TextAnalysis.textTokencount _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
@@ -2591,6 +2592,43 @@ object SparkEntry {
                  sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT
                           ELSE 0::HUGEINT END)::UBIGINT AS su
                FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS i, b.doc_id AS j,
+                CAST(bit_count(xor(a.su, b.su)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.su, b.su)) <= 3
+         ORDER BY i, j""",
+
+    // average-hash perceptual near-dup: the oracle rebuilds the kernel's
+    // 8×8 slice grid over UTF-8 BYTES (the utf8BytesSql/FNV precedent —
+    // unicode() code points would diverge on non-ASCII), then grades the
+    // banded candidate path against the EXHAUSTIVE all-pairs join; sig
+    // bits accumulate in UBIGINT (1::BIGINT << 63 overflows DuckDB)
+    "mm_phash_neardup" ->
+      s"""WITH d0 AS (SELECT doc_id, ${utf8BytesSql("text")} AS b
+                      FROM documents WHERE length(text) > 0),
+            tw AS (SELECT doc_id + 4000000 AS doc_id,
+                       b[1 : greatest(len(b) // 2, 1) - 1] || [88]
+                         || b[greatest(len(b) // 2, 1) + 1 : len(b)] AS b
+                   FROM d0),
+            c AS (SELECT doc_id, b FROM d0
+                  UNION ALL SELECT doc_id, b FROM tw),
+            byt AS (SELECT doc_id,
+                       unnest(list_transform(b, (x, i) ->
+                         {'v': x,
+                          's': CAST(((i - 1) * 64) // len(b) AS INT)}))
+                         AS e
+                    FROM c),
+            sl AS (SELECT doc_id, e.s AS s,
+                       CAST(sum(e.v) AS BIGINT) // count(*) AS avg
+                   FROM byt GROUP BY doc_id, e.s),
+            m AS (SELECT doc_id, CAST(sum(avg) AS BIGINT) // 64 AS mean
+                  FROM sl GROUP BY doc_id),
+            sig AS (SELECT sl.doc_id,
+                       sum(CASE WHEN avg > mean
+                                THEN (1::UBIGINT << s)::HUGEINT
+                                ELSE 0::HUGEINT END)::UBIGINT AS su
+                    FROM sl JOIN m USING (doc_id)
+                    GROUP BY sl.doc_id)
          SELECT a.doc_id AS i, b.doc_id AS j,
                 CAST(bit_count(xor(a.su, b.su)) AS INTEGER) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id

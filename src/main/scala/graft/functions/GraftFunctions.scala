@@ -50,6 +50,9 @@ object GraftFunctions {
   /** Deterministic stub feature over a binary payload (§2.4 multimodal). */
   def byteFeature(payload: Column): Column = GraftColumns.byteFeature(payload)
 
+  /** Average-hash perceptual fingerprint (8×8 slice grid vs grid mean). */
+  def avgHash64(payload: Column): Column = GraftColumns.avgHash64(payload)
+
   def cdcChunks(payload: Column): Column = GraftColumns.cdcChunks(payload)
 
   def misraGries(item: Column, k: Int): Column =

@@ -351,4 +351,42 @@ object GraftKernels {
     }
     acc
   }
+
+  /** Average-hash perceptual fingerprint (aHash): the payload is cut
+    * into 64 equal slices (the stand-in for "resize to an 8×8 grid" —
+    * a real image decoder would hand pixel luma here), each slice
+    * averages its bytes, and bit b is set iff slice b's average beats
+    * the global average. Small local edits flip only the bits of the
+    * slices they touch, so perceptual near-dups sit at low Hamming
+    * distance — unlike a cryptographic digest, where one byte flips
+    * half the bits. Payloads shorter than 64 bytes index sparsely
+    * (empty slices average 0). Deterministic, allocation-free, runs
+    * inside WholeStageCodegen via the static call.
+    */
+  def avgHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      // slice index by proportional position — stable under length drift
+      val s = ((i.toLong * 64L) / n).toInt
+      sums(s) += (payload(i) & 0xff)
+      cnts(s) += 1
+      i += 1
+    }
+    var total = 0L
+    var b = 0
+    while (b < 64) { total += (if (cnts(b) == 0) 0L else sums(b) / cnts(b)); b += 1 }
+    val mean = total / 64L
+    var hash = 0L
+    b = 0
+    while (b < 64) {
+      val avg = if (cnts(b) == 0) 0L else sums(b) / cnts(b)
+      if (avg > mean) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
 }

@@ -243,6 +243,60 @@ object Multimodal {
       .orderBy(col("i"), col("j"))
   }
 
+  /** §2.4 mm_phash_neardup: perceptual-hash near-dup detection over
+    * opaque media payloads — the pHash/aHash family every image-dedup
+    * pipeline runs BEFORE expensive pixel-space comparison. Where
+    * mm_cdc_neardup matches shared CONTENT RUNS (chunk digests),
+    * the perceptual hash matches GLOBAL APPEARANCE: a 64-bit
+    * [[GraftKernels.avgHash64]] fingerprint (8×8 slice-average grid
+    * thresholded at the grid mean — a real decoder would hand pixel
+    * luma to the same grid) in which small local edits flip only the
+    * bits of the slices they touch. Verified against a twin corpus:
+    * every payload gets a re-encode twin with one byte REPLACED
+    * mid-stream (length-preserving, the perceptual-edit analogue).
+    *
+    * Pipeline (the 100 TB shape): one codegen'd kernel pass per payload
+    * in the scan, then ONLY the 8-byte fingerprint shuffles; candidates
+    * come from 4×16-bit band buckets through the width-capped
+    * [[Dedup.cappedBucketPairs]] core — pigeonhole makes banding
+    * LOSSLESS for Hamming ≤ 3 (a pair within 3 flipped bits agrees on
+    * ≥1 of 4 bands), MultimodalSpec asserts exhaustive-equality; the
+    * rerank is one xor+popcount per candidate. All-integer outputs.
+    */
+  def mmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // re-encode twin: one byte replaced mid-stream, length preserved
+    val twin = base.selectExpr("doc_id + 4000000 AS doc_id",
+      """concat(
+           substring(payload, 1, greatest(length(payload) div 2, 1) - 1),
+           cast('X' as binary),
+           substring(payload, greatest(length(payload) div 2, 1) + 1,
+                     length(payload))) AS payload""")
+    // persist + EAGER count (the multi-consumer cache contract): the
+    // banding explode and the pair rerank both read sigs; the barrier
+    // also stops CollapseProject re-running the kernel per band.
+    val sigs = base.unionAll(twin)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), GraftFunctions.avgHash64(col("payload")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val bandVals = (0 until 4).map(b =>
+      shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val posts = sigs
+      .select(struct(col("doc_id"), col("sig")).as("ds"),
+        posexplode(array(bandVals: _*)))
+      .toDF("ds", "band", "bval")
+    val (pairs, _) = Dedup.cappedBucketPairs(posts, "band", "bval", "ds")
+    val out = pairs
+      .select(col("i.doc_id").as("i"), col("j.doc_id").as("j"),
+        bit_count(col("i.sig").bitwiseXOR(col("j.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("i"), col("j"))
+    out
+  }
+
   /** Candidate (i, j) pairs from a df-capped CDC digest inverted index —
     * the TWO-PASS shape (the dedupContainment pattern, Dedup.scala): pass
     * 1 is a count-only groupBy — map-side-combined partial counts,

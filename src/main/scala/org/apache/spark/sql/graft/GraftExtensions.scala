@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_byte_feature", "graft_byte_feature(bin) - deterministic stub media feature"),
       (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_byte_feature"); ByteFeature(c(0)) }))
 
+    ext.injectFunction((FunctionIdentifier("graft_avg_hash64"),
+      info("graft_avg_hash64", "graft_avg_hash64(bin) - average-hash perceptual fingerprint (8x8 slice grid vs grid mean)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_avg_hash64"); AvgHash64(c(0)) }))
+
     ext.injectFunction((FunctionIdentifier("graft_cdc_chunks"),
       info("graft_cdc_chunks", "graft_cdc_chunks(bin) - content-defined chunk digest set (sorted distinct FNV-1a-64)"),
       (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_cdc_chunks"); CdcChunks(c(0)) }))

@@ -282,6 +282,24 @@ case class ByteFeature(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** avg_hash64(binary) → long: average-hash perceptual fingerprint (§2.4
+  * mm_phash_neardup) — 8×8 slice-average grid thresholded at the grid
+  * mean; near-identical payloads land at low Hamming distance. Codegen'd.
+  */
+case class AvgHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.avgHash64(v.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.avgHash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** cdc_chunks(binary) → array<long>: sorted distinct FNV-1a-64 digests of
   * the payload's content-defined chunks (§2.4 mm_cdc_neardup). Codegen'd —
   * the rolling-hash + digest loops run inside WholeStageCodegen via a
@@ -390,5 +408,6 @@ object GraftColumns {
   def histL1(a: Column, b: Column): Column = col(HistL1(ex(a), ex(b)))
   def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
+  def avgHash64(payload: Column): Column = col(AvgHash64(ex(payload)))
   def cdcChunks(payload: Column): Column = col(CdcChunks(ex(payload)))
 }
