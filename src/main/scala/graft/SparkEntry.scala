@@ -86,6 +86,7 @@ object SparkEntry {
     "q_events_paths" -> (Relational.qEventsPaths _),
     "text_zipf" -> (TextAnalysis.textZipf _),
     "q_events_dwell" -> (Relational.qEventsDwell _),
+    "q_events_autocorr" -> (Relational.qEventsAutocorr _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q8_market_share" -> (Relational.q8MarketShare _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -2242,6 +2243,21 @@ object SparkEntry {
          FROM l WHERE prev IS NOT NULL
          GROUP BY prev, cur
          ORDER BY prev, cur""",
+
+    // Pearson corr is scale-invariant so the engines' moment formulas
+    // agree far below the 6dp round; day indices are exact integers
+    "q_events_autocorr" ->
+      """WITH daily AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                            AS day, count(*) AS c
+                        FROM events GROUP BY day),
+              lags AS (SELECT unnest([1, 7]) AS lag)
+         SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+                round(corr(a.c, b.c), 6) AS autocorr
+         FROM lags l
+         JOIN daily a ON TRUE
+         JOIN daily b ON b.day = a.day + l.lag
+         GROUP BY l.lag
+         ORDER BY lag""",
 
     "q_events_paths" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -2085,6 +2085,38 @@ object Relational {
       .orderBy(col("n_purchases").desc, col("path"))
   }
 
+  /** §2.2 q_events_autocorr: autocorrelation of the daily event-count
+    * series at lags 1 and 7 — the signal-processing question behind
+    * capacity planning and anomaly baselines ("is tomorrow like today;
+    * is next Monday like last Monday"). A strong lag-7 with a weak
+    * lag-1 is the weekly-seasonality signature q_events_dow_profile
+    * shows shape-wise but never quantifies. Day indices are exact
+    * integer epoch-day arithmetic; Pearson corr is the one float,
+    * rounded 6dp (scale-invariant, so both engines' moment formulas
+    * agree far below the round).
+    *
+    * Scale shape: the fact collapses to the DAILY relation first (ONE
+    * map-side-combined shuffle; |days| rows regardless of event
+    * volume); each lag is a self-equi-join on day+lag over that tiny
+    * relation and the corr moments combine map-side. The lag table is
+    * a 2-row broadcast.
+    */
+  def qEventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val lags = Seq(1L, 7L).toDF("lag")
+    val a = daily.select(col("day").as("a_day"), col("c").as("a_c"))
+    val b = daily.select(col("day").as("b_day"), col("c").as("b_c"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("b_day") === col("a_day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("a_c"), col("b_c")), 6).as("autocorr"))
+      .orderBy(col("lag"))
+  }
+
   /** §2.2 q_events_dwell: per-state dwell time — how long the user
     * timeline sits in each event_type before the NEXT event arrives
     * (lead(ts) − ts summed per type; each user's final event is open-
