@@ -87,6 +87,7 @@ object SparkEntry {
     "text_zipf" -> (TextAnalysis.textZipf _),
     "q_events_dwell" -> (Relational.qEventsDwell _),
     "q_events_autocorr" -> (Relational.qEventsAutocorr _),
+    "q_discount_elasticity" -> (Relational.qDiscountElasticity _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q8_market_share" -> (Relational.q8MarketShare _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -2243,6 +2244,28 @@ object SparkEntry {
          FROM l WHERE prev IS NOT NULL
          GROUP BY prev, cur
          ORDER BY prev, cur""",
+
+    // slope/intercept from EXACT integer moment sums (closed OLS forms,
+    // one float division each) — regr_slope's Welford update would be
+    // accumulation-order-dependent across engines
+    "q_discount_elasticity" ->
+      """WITH f AS (SELECT p.p_brand,
+                        CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+                        CAST(l.l_quantity AS BIGINT) AS y
+                    FROM lineitem l JOIN part p
+                      ON l.l_partkey = p.p_partkey),
+              m AS (SELECT p_brand, count(*) AS n_rows,
+                        sum(x) AS sx, sum(y) AS sy,
+                        sum(x * x) AS sxx, sum(x * y) AS sxy
+                    FROM f GROUP BY p_brand)
+         SELECT p_brand, n_rows,
+                round(CAST(n_rows * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_rows * sxx - sx * sx AS DOUBLE), 6) AS slope,
+                round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                      / CAST(n_rows * sxx - sx * sx AS DOUBLE), 6)
+                  AS intercept
+         FROM m
+         ORDER BY p_brand""",
 
     // Pearson corr is scale-invariant so the engines' moment formulas
     // agree far below the 6dp round; day indices are exact integers

@@ -2085,6 +2085,47 @@ object Relational {
       .orderBy(col("n_purchases").desc, col("path"))
   }
 
+  /** §2.2 q_discount_elasticity: per-brand OLS regression of quantity on
+    * discount — does discounting actually move volume, and for which
+    * brands (the pricing-analytics staple). The grouped-regression
+    * shape: one least-squares fit PER GROUP, not the corpus-global fit
+    * text_zipf/autocorr run. Slope is in units-per-discount-point
+    * (discount rendered as exact integer centi-points).
+    *
+    * Exactness: regr_slope's streaming Welford update is accumulation-
+    * ORDER-dependent, so cross-engine bit equality is not guaranteed —
+    * instead the five raw moments (n, Σx, Σy, Σx², Σxy) aggregate as
+    * exact BIGINTs (every sum ≪ 2⁵³ at any gated SF, and map-side
+    * combine order cannot change an integer sum), and slope/intercept
+    * come from the closed forms (n·Σxy−Σx·Σy)/(n·Σx²−(Σx)²) — ONE
+    * float division each, rounded 6dp. Scale shape: single map-side-
+    * combined shuffle to |brands| rows; the part dim broadcasts.
+    */
+  def qDiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+        col("l_quantity").cast("bigint").as("y"))
+    f.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("p_brand"), col("n_rows"),
+        round((col("n_rows") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_rows") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .cast("double") /
+          (col("n_rows") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("intercept"))
+      .orderBy(col("p_brand"))
+  }
+
   /** §2.2 q_events_autocorr: autocorrelation of the daily event-count
     * series at lags 1 and 7 — the signal-processing question behind
     * capacity planning and anomaly baselines ("is tomorrow like today;
