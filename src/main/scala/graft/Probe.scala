@@ -1,0 +1,18 @@
+package graft
+
+/** Standalone entry for [[Bench.probe]] so a shell loop can sample host
+  * contention WITHOUT paying an sbt+Spark startup (plain
+  * `java -cp target/scala-2.13/classes graft.Probe`): prints one JSON
+  * line `{"min":…,"median":…,"max":…,"quiet":bool}` in the same r7 LCG
+  * units and against the same committed floor
+  * ([[Bench.QuietProbeMedianFloor]]) as the embedded bench probes, so a
+  * quiet-window watcher and BENCH_DETAIL.json's `probe_quiet` verdict
+  * can never disagree about what "quiet" means.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val (mn, md, mx) = Bench.probe()
+    println(s"""{"min":$mn,"median":$md,"max":$mx,""" +
+      s""""quiet":${md >= Bench.QuietProbeMedianFloor}}""")
+  }
+}
