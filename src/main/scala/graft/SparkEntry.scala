@@ -60,6 +60,10 @@ object SparkEntry {
     "graph_connected_components" -> (Relational.graphConnectedComponents _),
     "graph_shortest_paths" -> (Relational.graphShortestPaths _),
     "graph_kcore" -> (Relational.graphKcore _),
+    "graph_hits" -> (Relational.graphHits _),
+    "q_supplier_hhi" -> (Relational.qSupplierHhi _),
+    "q_events_entropy" -> (Relational.qEventsEntropy _),
+    "text_collocations" -> (TextAnalysis.textCollocations _),
     "q_part_skyline" -> (Relational.qPartSkyline _),
     "q_basket_pairs" -> (Relational.qBasketPairs _),
     "warehouse_stats" -> (Relational.warehouseStats _),
@@ -493,6 +497,103 @@ object SparkEntry {
 
     // node ids: customer 2k, supplier 2k+1; symmetric edges with outdeg
     // baked in; 10 unrolled integer iterations mirror the Spark loop
+    // three unnormalized integer mutual-reinforcement rounds in HUGEINT
+    // (mirrors the Spark decimal(38,0) sums digit for digit); the
+    // top-100 cut and every ORDER BY rank on the exact integer score
+    "graph_hits" ->
+      """WITH cs AS MATERIALIZED (
+                SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                FROM orders o JOIN lineitem l
+                  ON l.l_orderkey = o.o_orderkey),
+            h0 AS (SELECT DISTINCT c, 1::HUGEINT AS h FROM cs),
+            a1 AS (SELECT s, sum(h) AS a FROM cs JOIN h0 USING (c)
+                   GROUP BY s),
+            h1 AS (SELECT c, sum(a) AS h FROM cs JOIN a1 USING (s)
+                   GROUP BY c),
+            a2 AS (SELECT s, sum(h) AS a FROM cs JOIN h1 USING (c)
+                   GROUP BY s),
+            h2 AS (SELECT c, sum(a) AS h FROM cs JOIN a2 USING (s)
+                   GROUP BY c),
+            a3 AS MATERIALIZED (
+                SELECT s, sum(h) AS a FROM cs JOIN h2 USING (c)
+                GROUP BY s),
+            h3 AS MATERIALIZED (
+                SELECT c, sum(a) AS h FROM cs JOIN a3 USING (s)
+                GROUP BY c),
+            hub AS (SELECT 'hub' AS side, c AS entity_key,
+                        CAST(h AS BIGINT) AS score_raw,
+                        round(CAST(h AS DOUBLE) /
+                          CAST((SELECT max(h) FROM h3) AS DOUBLE), 6)
+                          AS score_norm
+                    FROM h3 ORDER BY h DESC, c LIMIT 100),
+            aut AS (SELECT 'auth' AS side, s AS entity_key,
+                        CAST(a AS BIGINT) AS score_raw,
+                        round(CAST(a AS DOUBLE) /
+                          CAST((SELECT max(a) FROM a3) AS DOUBLE), 6)
+                          AS score_norm
+                    FROM a3 ORDER BY a DESC, s LIMIT 100)
+         SELECT * FROM (SELECT * FROM hub UNION ALL SELECT * FROM aut)
+         ORDER BY side, score_raw DESC, entity_key""",
+
+    // HHI on exact integer ten-thousandths (2dp price x 2dp discount
+    // -> scale 4), squared in HUGEINT; one float division at the end
+    "q_supplier_hhi" ->
+      """WITH r AS (SELECT l_suppkey,
+                        sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(1.0 - l_discount AS DECIMAL(4,2))) AS rev
+                    FROM lineitem GROUP BY l_suppkey),
+            x AS (SELECT l_suppkey, CAST(rev * 10000 AS HUGEINT) AS x
+                  FROM r),
+            j AS (SELECT n_name, x FROM x
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey)
+         SELECT n_name, count(*) AS n_suppliers,
+                round(CAST(sum(x * x) AS DOUBLE) /
+                      CAST(sum(x) * sum(x) AS DOUBLE), 6) AS hhi,
+                round(CAST(max(x) AS DOUBLE) /
+                      CAST(sum(x) AS DOUBLE), 6) AS top_share
+         FROM j GROUP BY n_name ORDER BY n_name""",
+
+    // integer hour bins from exact epoch micros; ln is the only float
+    // and its ulp noise sits far below the 6dp round
+    "q_events_entropy" ->
+      """WITH h AS (SELECT event_type,
+                        (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24
+                          AS hr,
+                        count(*) AS c
+                    FROM events GROUP BY event_type, hr)
+         SELECT event_type, count(*) AS n_hours,
+                CAST(sum(c) AS BIGINT) AS n_events,
+                round(ln(CAST(sum(c) AS DOUBLE)) -
+                      sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+                      CAST(sum(c) AS DOUBLE), 6) AS entropy,
+                round((ln(CAST(sum(c) AS DOUBLE)) -
+                      sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+                      CAST(sum(c) AS DOUBLE)) / ln(24.0), 6)
+                  AS norm_entropy
+         FROM h GROUP BY event_type ORDER BY event_type""",
+
+    // adjacent-bigram PMI: every count exact integer, support cut and
+    // output order all-integer, ln the single rounded float
+    "text_collocations" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS ts FROM documents),
+            bg AS (SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+                        unnest(list_slice(ts, 2, len(ts))) AS w2
+                   FROM tk),
+            cb AS MATERIALIZED (
+                SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+            m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb
+                   GROUP BY w1),
+            m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cb
+                   GROUP BY w2),
+            n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM cb)
+         SELECT cb.w1, cb.w2, c12,
+                round(ln(CAST(c12 * n_bigrams AS DOUBLE) /
+                         CAST(c1 * c2 AS DOUBLE)), 6) AS pmi
+         FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+         WHERE c12 >= 5
+         ORDER BY c12 DESC, w1, w2""",
+
     "graph_pagerank" ->
       s"""WITH cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
                         l.l_suppkey * 2 + 1 AS s

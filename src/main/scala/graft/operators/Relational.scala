@@ -2184,4 +2184,138 @@ object Relational {
         sum(col("nxt") - col("tus")).cast("bigint").as("dwell_us"))
       .orderBy(col("event_type"))
   }
+
+  /** §2.2 graph_hits: HITS hubs/authorities over the DIRECTED bipartite
+    * commerce graph (customer → supplier via order lineitems) — the
+    * "which buyers define which sellers" ranking pagerank's symmetric
+    * walk can't express (a hub is good because it points AT good
+    * authorities, not because it is pointed at). Three unnormalized
+    * mutual-reinforcement rounds in EXACT integer arithmetic (h₀ = 1;
+    * aₖ = Σ_in hₖ₋₁; hₖ = Σ_out aₖ — normalization only rescales, so
+    * deferring it to one final division per side changes nothing), wide
+    * decimal(38,0) sums so no intermediate can overflow, raw scores
+    * BIGINT-cast only at the end (≤ ~1e14 at sf0.1, margin ~1e4 — the
+    * oracle's HUGEINT matches digit for digit). Top-100 per side cut on
+    * the raw INTEGER score with entity-key tie-break: no float ever
+    * orders a row.
+    *
+    * Scale shape: the edge list is persisted + eagerly counted once
+    * (six-consumer relation, CLAUDE.md cache contract) and each round
+    * is one hash-join + one map-side-combined sum keyed alternately by
+    * customer and supplier — 2 shuffles per round on (key, decimal)
+    * pairs, never a payload. a₃ feeds both h₃ and the auth output, so
+    * it is persisted + counted too; score vectors are |V|-sized,
+    * orders-of-magnitude under the edge list.
+    */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .persist()
+    cs.count() // eager: 6 downstream consumers race a cold cache otherwise
+    val h0 = cs.select(col("c")).distinct()
+      .select(col("c"), lit(1L).cast("decimal(38,0)").as("h"))
+    val a1 = cs.join(h0, "c").groupBy("s").agg(sum("h").as("a"))
+    val h1 = cs.join(a1, "s").groupBy("c").agg(sum("a").as("h"))
+    val a2 = cs.join(h1, "c").groupBy("s").agg(sum("h").as("a"))
+    val h2 = cs.join(a2, "s").groupBy("c").agg(sum("a").as("h"))
+    val a3 = cs.join(h2, "c").groupBy("s").agg(sum("h").as("a")).persist()
+    a3.count() // consumers: h3 build + auth output
+    val h3 = cs.join(a3, "s").groupBy("c").agg(sum("a").as("h")).persist()
+    h3.count() // consumers: max-agg broadcast + hub output
+    val hubs = h3
+      .crossJoin(broadcast(h3.agg(max(col("h")).as("mx"))))
+      .orderBy(col("h").desc, col("c")).limit(100)
+      .select(lit("hub").as("side"), col("c").as("entity_key"),
+        col("h").cast("bigint").as("score_raw"),
+        round(col("h").cast("double") / col("mx").cast("double"), 6)
+          .as("score_norm"))
+    val auths = a3
+      .crossJoin(broadcast(a3.agg(max(col("a")).as("mx"))))
+      .orderBy(col("a").desc, col("s")).limit(100)
+      .select(lit("auth").as("side"), col("s").as("entity_key"),
+        col("a").cast("bigint").as("score_raw"),
+        round(col("a").cast("double") / col("mx").cast("double"), 6)
+          .as("score_norm"))
+    hubs.unionAll(auths)
+      .orderBy(col("side"), col("score_raw").desc, col("entity_key"))
+  }
+
+  /** §2.2 q_supplier_hhi: Herfindahl–Hirschman supplier-concentration
+    * index per nation — the procurement-risk dashboard ("is this
+    * nation's supply base a monopoly or a long tail"). Revenue shares
+    * are never materialized as floats: HHI = Σ revᵢ² / (Σ revᵢ)² on
+    * EXACT integer ten-thousandths (lineitem revenue carries scale 4 =
+    * 2dp price × 2dp discount), squared in decimal(38,0) where the
+    * worst sf0.1 magnitudes (~1e26) sit twelve orders under the cap,
+    * with ONE float division at the end. The oracle mirrors the
+    * identical integer pipeline in HUGEINT.
+    *
+    * Scale shape: lineitem collapses to |supplier| rows in one
+    * map-side-combined sum keyed by suppkey, the supplier→nation dim
+    * broadcasts, and the nation rollup is a second tiny aggregate —
+    * no shuffle ever carries more than one decimal per supplier.
+    */
+  def qSupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val bySupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("rev")) // decimal scale 4, exact
+      .select(col("l_suppkey"),
+        (col("rev") * 10000).cast("decimal(38,0)").as("x"))
+    bySupp
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))), // suppkey → nation
+        Seq("l_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        Seq("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("x") * col("x")).as("ssq"),
+        sum(col("x")).as("tot"),
+        max(col("x")).as("mx"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("ssq").cast("double") /
+          (col("tot") * col("tot")).cast("double"), 6).as("hhi"),
+        round(col("mx").cast("double") / col("tot").cast("double"), 6)
+          .as("top_share"))
+      .orderBy(col("n_name"))
+  }
+
+  /** §2.2 q_events_entropy: Shannon entropy (nats) of each event type's
+    * hour-of-day histogram — "is this event diurnal or uniform", the
+    * spread statistic q_events_dow_profile shows shape-wise but never
+    * scores. H = ln N − (Σ c·ln c)/N over the 24 integer-hour bins
+    * (exact epoch-micros arithmetic); ln is the only float and its ulp
+    * noise sits far below the 6dp round. norm_entropy divides by
+    * ln 24 = the 24-bin maximum, so 1.0 reads "uniform around the
+    * clock".
+    *
+    * Scale shape: one map-side-combined count into ≤ 24·|event_types|
+    * rows, then a tiny per-type aggregate — the scan is the entire
+    * cost at any SF.
+    */
+  def qEventsEntropy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).cast("bigint").as("n_events"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clnc"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        round(log(col("n_events").cast("double")) -
+          col("clnc") / col("n_events").cast("double"), 6).as("entropy"),
+        round((log(col("n_events").cast("double")) -
+          col("clnc") / col("n_events").cast("double")) /
+          log(lit(24.0)), 6).as("norm_entropy"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1035,4 +1035,44 @@ object TextAnalysis {
         count(col("idx")).as("n_kept_blocks"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2.4 text_collocations: pointwise mutual information over adjacent
+    * token bigrams — which word pairs co-occur far beyond chance, the
+    * phrase-mining / tokenizer-merge-candidate primitive (BPE's merge
+    * rule IS repeated argmax over exactly this table). PMI =
+    * ln(N·c₁₂ / (c₁·c₂)) where c₁/c₂ count bigram FIRST/SECOND slots —
+    * every count is an exact integer, the products stay far inside
+    * BIGINT (c₁₂·N ≲ 1e13 at sf0.1), and ln is the single float,
+    * rounded 6dp. The c₁₂ ≥ 5 support cut and the (count, w1, w2)
+    * output order are all-integer, so no float ever ranks or cuts a
+    * row.
+    *
+    * Scale shape: bigrams explode map-side from a zipped slice (no
+    * self-join on position), collapse in ONE map-side-combined count;
+    * the slot-marginal tables are vocabulary-sized and derived from
+    * the already-collapsed bigram counts (never a second corpus scan),
+    * joined back hash-by-hash; N broadcasts as a 1-row crossJoin.
+    */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.documents(spark, dir)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist()
+    big.count() // consumers: marginals ×2, N, and the joined output
+    val c1 = big.groupBy(col("w1")).agg(sum(col("c12")).cast("bigint").as("c1"))
+    val c2 = big.groupBy(col("w2")).agg(sum(col("c12")).cast("bigint").as("c2"))
+    val n = big.agg(sum(col("c12")).cast("bigint").as("n_bigrams"))
+    big.filter(col("c12") >= 5)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") * col("n_bigrams")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+  }
 }
