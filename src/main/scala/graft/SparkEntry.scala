@@ -61,6 +61,9 @@ object SparkEntry {
     "graph_shortest_paths" -> (Relational.graphShortestPaths _),
     "graph_kcore" -> (Relational.graphKcore _),
     "graph_hits" -> (Relational.graphHits _),
+    "q_events_band_join" -> (Relational.qEventsBandJoin _),
+    "q_events_burstiness" -> (Relational.qEventsBurstiness _),
+    "q_user_streaks" -> (Relational.qUserStreaks _),
     "q_supplier_hhi" -> (Relational.qSupplierHhi _),
     "q_events_entropy" -> (Relational.qEventsEntropy _),
     "text_collocations" -> (TextAnalysis.textCollocations _),
@@ -534,6 +537,55 @@ object SparkEntry {
                     FROM a3 ORDER BY a DESC, s LIMIT 100)
          SELECT * FROM (SELECT * FROM hub UNION ALL SELECT * FROM aut)
          ORDER BY side, score_raw DESC, entity_key""",
+
+    // the oracle states the band join as the naive theta join (DuckDB's
+    // IEJoin absorbs it at oracle SF) — bucket-expansion losslessness
+    // vs the declarative definition IS the graded claim
+    "q_events_band_join" ->
+      """WITH ev AS (SELECT event_id, event_type,
+                         CAST(epoch_us(ts) AS BIGINT) AS tus
+                     FROM events),
+            p AS (SELECT a.event_id, a.event_type, count(*) AS n_band
+                  FROM ev a JOIN ev b
+                    ON b.event_id <> a.event_id
+                   AND b.tus BETWEEN a.tus - 60000000
+                                 AND a.tus + 60000000
+                  GROUP BY a.event_id, a.event_type)
+         SELECT event_type, count(*) AS n_events_with_neighbors,
+                CAST(sum(n_band) AS BIGINT) AS total_band_pairs,
+                max(n_band) AS max_band
+         FROM p GROUP BY event_type ORDER BY event_type""",
+
+    // exact integer moments, one float division (sample variance / mean)
+    "q_events_burstiness" ->
+      """WITH d AS (SELECT event_type,
+                        CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                        count(*) AS c
+                    FROM events GROUP BY event_type, day),
+            m AS (SELECT event_type, count(*) AS n_days,
+                      CAST(sum(c) AS BIGINT) AS n_events,
+                      CAST(sum(c * c) AS BIGINT) AS ssq
+                  FROM d GROUP BY event_type)
+         SELECT event_type, n_days, n_events,
+                round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
+                      CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
+         FROM m ORDER BY event_type""",
+
+    // gaps-and-islands: day - dense_rank(day) is constant exactly within
+    // a consecutive run; all-integer epoch-day arithmetic
+    "q_user_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                        CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+                    FROM events),
+            i AS (SELECT user_id, day,
+                      day - dense_rank() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS isl
+                  FROM d),
+            s AS (SELECT user_id, isl, count(*) AS len
+                  FROM i GROUP BY user_id, isl)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                count(*) AS n_streaks, max(len) AS longest_streak
+         FROM s GROUP BY user_id ORDER BY user_id""",
 
     // HHI on exact integer ten-thousandths (2dp price x 2dp discount
     // -> scale 4), squared in HUGEINT; one float division at the end

@@ -2185,6 +2185,107 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 q_events_band_join: global ±60 s band self-join — for each
+    * event, how many OTHER events (any user) landed within a minute of
+    * it — the co-occurrence density behind "was this spike corpus-wide
+    * or just this user". There is NO equi key, the classic range-join
+    * trap: the naive theta-join is a cartesian product at any scale.
+    * The scalable shape is bucket expansion (what engines' range-join
+    * hints do under the hood): each probe row fans out to its bucket
+    * and both neighbors (3 rows, constant), the join becomes an
+    * EQUI-join on the 60 s bucket id, and the exact |Δt| ≤ 60 s predicate
+    * filters inside the matched bucket pair — cost O(n · band density),
+    * never O(n²). All arithmetic is exact integer micros.
+    *
+    * Scale shape: one hash shuffle on bucket id for both sides (the
+    * 3× fan-out is map-side), one map-side-combined per-event count,
+    * one tiny per-type rollup. Bucket width = band width bounds every
+    * bucket's population by the true local density, so skew follows the
+    * data's real burstiness and AQE's skew-join split handles hot
+    * buckets.
+    */
+  def qEventsBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val W = 60000000L // 60 s in micros
+    val bkt = expr(s"tus div ${W}L") // exact integer bucket id
+    val probe = ev.select(col("event_id"), col("event_type"), col("tus"),
+      explode(array(bkt - 1, bkt, bkt + 1)).as("bkt"))
+    val build = ev.select(col("event_id").as("b_id"),
+      col("tus").as("b_tus"), bkt.as("bkt"))
+    probe.join(build, Seq("bkt"))
+      .filter(col("b_id") =!= col("event_id") &&
+        abs(col("b_tus") - col("tus")) <= W)
+      .groupBy(col("event_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_band"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events_with_neighbors"),
+        sum(col("n_band")).cast("bigint").as("total_band_pairs"),
+        max(col("n_band")).as("max_band"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 q_events_burstiness: Fano factor (index of dispersion,
+    * sample-variance/mean) of each event type's daily count series —
+    * the burstiness scalar separating Poisson-like arrivals (F ≈ 1)
+    * from bursty ones (F ≫ 1); complements q_events_autocorr (rhythm)
+    * and q_events_entropy (spread) with the dispersion member.
+    * F = (N·Σc² − (Σc)²) / ((N−1)·Σc) — exact integer moments, ONE
+    * float division.
+    *
+    * Scale shape: the fact collapses to |days|·|types| rows in one
+    * map-side-combined count; the moment rollup is a second tiny
+    * aggregate. Scan-bound at any SF.
+    */
+  def qEventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).cast("bigint").as("n_events"),
+        sum(col("c") * col("c")).cast("bigint").as("ssq"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        round((col("n_days") * col("ssq") - col("n_events") * col("n_events"))
+          .cast("double") /
+          ((col("n_days") - 1) * col("n_events")).cast("double"), 6)
+          .as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 q_user_streaks: longest consecutive-active-day streak per user
+    * — the engagement metric behind "7-day streak" product mechanics,
+    * and the canonical GAPS-AND-ISLANDS pattern (q_events_sessionize's
+    * micro-gap cousin at day granularity): day − dense-rank-of-day is
+    * constant exactly within a consecutive run, so one subtraction
+    * turns runs into group keys. All-integer epoch-day arithmetic,
+    * bit-identical across engines.
+    *
+    * Scale shape: the fact collapses to distinct (user, day) first
+    * (map-side-combined, bounded by users × days); the rank window and
+    * both rollups are user-co-partitioned — ONE shuffle key end to end,
+    * no global window.
+    */
+  def qUserStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("isl", col("day") - dense_rank().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("bigint").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.2 graph_hits: HITS hubs/authorities over the DIRECTED bipartite
     * commerce graph (customer → supplier via order lineitems) — the
     * "which buyers define which sellers" ranking pagerank's symmetric
