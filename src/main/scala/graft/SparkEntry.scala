@@ -131,6 +131,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_semantic" -> (Dedup.dedupSemantic _),
+    "sim_dbscan" -> (Dedup.simDbscan _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_containment" -> (Dedup.dedupContainment _),
     "dedup_stats" -> (Dedup.dedupStats _),
@@ -1608,6 +1609,52 @@ object SparkEntry {
             SELECT eg.dst AS id, r.lab FROM reach r JOIN eg ON eg.src = r.id)
          SELECT id AS vec_id, min(lab) AS canonical_id
          FROM reach GROUP BY id ORDER BY vec_id"""
+    },
+
+    // DBSCAN over the same RHP-blocked pair relation: core by degree
+    // floor, clusters = recursive closure over CORE-CORE edges only,
+    // borders attach to min core-neighbor label, -1 = noise — all-integer
+    // labels so the CTE matches the contraction + union-find bit for bit.
+    "sim_dbscan" -> {
+      val buckets = Dedup.embeddingBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"a.s$i = b.s$i").mkString(" OR ")
+      s"""WITH RECURSIVE
+          s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
+          p AS (SELECT a.vec_id AS i, b.vec_id AS j
+                FROM s a JOIN s b
+                  ON a.vec_id < b.vec_id AND ($anyBucket)
+                WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                      >= ${Dedup.DbscanTau}),
+          sym AS (SELECT i AS a, j AS b FROM p
+                  UNION ALL SELECT j, i FROM p),
+          deg AS (SELECT a AS id, count(*) AS n FROM sym GROUP BY a),
+          core AS (SELECT id FROM deg WHERE n >= ${Dedup.DbscanMinPts}),
+          eg AS (SELECT sym.a AS src, sym.b AS dst FROM sym
+                 WHERE sym.a IN (SELECT id FROM core)
+                   AND sym.b IN (SELECT id FROM core)),
+          reach AS (
+            SELECT id, id AS lab FROM core
+            UNION
+            SELECT eg.dst AS id, r.lab FROM reach r JOIN eg ON eg.src = r.id),
+          cc AS (SELECT id, min(lab) AS cid FROM reach GROUP BY id),
+          brd AS (SELECT sym.a AS id, min(cc.cid) AS cid
+                  FROM sym JOIN cc ON cc.id = sym.b
+                  WHERE sym.a NOT IN (SELECT id FROM core)
+                  GROUP BY sym.a)
+         SELECT e.vec_id,
+                CASE WHEN cc.cid IS NOT NULL THEN 'core'
+                     WHEN brd.cid IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                CAST(COALESCE(cc.cid, brd.cid, -1) AS BIGINT) AS cluster_id
+         FROM embeddings e
+         LEFT JOIN cc ON cc.id = e.vec_id
+         LEFT JOIN brd ON brd.id = e.vec_id
+         ORDER BY e.vec_id"""
     },
 
     // Same RHP candidate generation as dedup_embedding (shared constants),

@@ -1021,4 +1021,71 @@ object Dedup {
       .filter(col("containment") >= 0.8)
       .orderBy(col("i"), col("j"))
   }
+
+  /** sim_dbscan's parameters: a vector is CORE iff it has ≥ 3
+    * τ-neighbors (excluding itself) at cosine ≥ 0.35. τ sits one notch
+    * below the dedup families' 0.4 so the graded graph is denser than
+    * the near-dup relation (at 0.4/3 the sf0.01 corpus degenerates to
+    * one core point); both thresholds together populate all three roles
+    * non-trivially at both shipped SFs.
+    */
+  private[graft] val DbscanMinPts = 3L
+  private[graft] val DbscanTau = 0.35
+
+  /** §2.3 sim_dbscan: DBSCAN density clustering over the embedding
+    * τ-similarity graph — the structured refinement of dedup_semantic's
+    * single-linkage closure: CORE vectors (≥ [[DbscanMinPts]] neighbors
+    * at cosine ≥ [[DbscanTau]]) cluster by core-core connectivity, BORDER vectors
+    * attach to their lowest-labeled core neighbor WITHOUT bridging
+    * clusters (the chain-of-borderline-matches failure mode single
+    * linkage can't avoid), everything else is NOISE. The training-data
+    * read: clusters = semantic templates to downsample, noise = the
+    * long tail to keep.
+    *
+    * Scale shape: the pair relation is the same RHP-blocked candidate
+    * pipeline as dedup_embedding (persisted + eagerly counted — degree,
+    * core-edge, and border consumers fan out); degrees are one
+    * map-side-combined count; the component pass runs contraction +
+    * bounded driver union-find over CORE-CORE edges only (a subgraph of
+    * an already-subquadratic relation); border assignment is one
+    * left-anti + min-aggregate over the symmetrized pairs. Labels are
+    * min-vec_id per cluster — all-integer, so the recursive-CTE oracle
+    * matches bit for bit.
+    */
+  def simDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingPairs(spark, dir, minSim = DbscanTau)
+      .select(col("i"), col("j"))
+      // released by GraftCaches.release(spark) after the caller's action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager: degree + core-edge + border consumers
+    val deg = pairs.select(col("i").as("id"))
+      .unionAll(pairs.select(col("j").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_nbrs"))
+    val core = deg.filter(col("n_nbrs") >= DbscanMinPts).select(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    core.count() // eager: two semi-joins, CC universe, border anti-join
+    val coreEdges = pairs
+      .join(core.select(col("id").as("i")), Seq("i"), "left_semi")
+      .join(core.select(col("id").as("j")), Seq("j"), "left_semi")
+    val cc = connectedComponents(spark, coreEdges, core)
+      .select(col("id"), col("canonical_id"))
+    val sym = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
+    val border = sym
+      .join(cc.select(col("id").as("b"), col("canonical_id")), Seq("b"))
+      .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a")).agg(min(col("canonical_id")).as("b_cluster"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(cc.select(col("id").as("vec_id"),
+        col("canonical_id").as("c_cluster")), Seq("vec_id"), "left_outer")
+      .join(border.select(col("a").as("vec_id"), col("b_cluster")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("c_cluster").isNotNull, lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("c_cluster"), col("b_cluster"), lit(-1L))
+          .cast("bigint").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
 }
