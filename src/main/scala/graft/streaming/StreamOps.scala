@@ -216,6 +216,73 @@ object StreamOps {
       .toDF()
   }
 
+  /** Keyed running moments for one event type: count and EXACT decimal
+    * sum / sum-of-squares of the 4dp-rounded values (4dp values and
+    * their 8dp squares are exactly representable — the same invariant
+    * q_events_anomaly's batch moments rely on). BigDecimal state keeps
+    * the sums exact at any volume; Long would overflow Σv² around 1e6
+    * rows per type.
+    */
+  case class AnomalyState(n: Long, s1: BigDecimal, s2: BigDecimal)
+
+  /** One online-flagged outlier. */
+  case class AnomalyFlag(event_type: String, event_id: Long, at_us: Long,
+      value: Double, z: Double)
+
+  /** stream_anomaly: ONLINE z-score outlier flagging — q_events_anomaly's
+    * streaming twin with the semantics only a stream can have: each
+    * event is scored against the running moments of every event BEFORE
+    * it (prequential scoring — the batch operator scores against the
+    * corpus-wide stats, which needs the future). An event flags when
+    * its |v − μ| > 2σ under the PRIOR stats and ≥ 30 points of history
+    * exist (cold-start guard); it then folds into the moments either
+    * way.
+    *
+    * Events are processed in strict (time, event_id) order within each
+    * micro-batch and the state carries exact decimals, so the flag set
+    * is BATCH-SIZE INVARIANT: one batch or fifty, replayed or
+    * re-chunked, the same events flag (asserted in StreamingSpec). In
+    * batch mode the same code runs with empty state and one group call
+    * per type — the prequential semantics carry over unchanged.
+    *
+    * Scale shape: state is three numbers per event type (O(|types|)
+    * total, no timeout needed); scoring is one in-memory pass per
+    * micro-batch per key. At warehouse scale the same transform runs
+    * over a Kafka source unchanged.
+    */
+  def streamAnomaly(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("value").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[(String, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[AnomalyState]) =>
+          var s = state.getOption
+            .getOrElse(AnomalyState(0L, BigDecimal(0), BigDecimal(0)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, eid, t, v) =>
+            if (s.n >= 30) {
+              val mean = s.s1.toDouble / s.n
+              val std = math.sqrt(s.s2.toDouble / s.n - mean * mean)
+              if (math.abs(v - mean) > 2.0 * std)
+                out += AnomalyFlag(etype, eid, t, v,
+                  math.rint((v - mean) / std * 1e6) / 1e6)
+            }
+            // fold in AFTER scoring — mirrors the Spark cast's HALF_UP
+            val vd = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            s = AnomalyState(s.n + 1, s.s1 + vd, s.s2 + vd * vd)
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Keyed incremental Pareto frontier: one brand's current skyline
     * members as (part key, price, size) triples.
     */

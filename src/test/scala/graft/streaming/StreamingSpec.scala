@@ -684,4 +684,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
     assert(spark.read.parquet(outDir).count() === before)
   }
+
+  test("stream_anomaly: prequential flags are batch-size invariant, " +
+      "match a driver reference, and the batch path agrees") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Full-microsecond order everywhere — getTime is millis and would
+    // collapse same-millisecond events into a different processing (and
+    // batch-boundary) order than the stream's unix_micros sort.
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val evs = eventsAsCase().sortBy(e => (micros(e.ts), e.event_id))
+
+    // driver reference: the same prequential rule over the time-ordered
+    // series, exact BigDecimal moments
+    // .toSeq before flatMap: Map.flatMap over tuples rebuilds a MAP and
+    // collapses to one flag per type (last write wins)
+    val expected = evs.groupBy(_.event_type).toSeq.flatMap { case (et, es) =>
+      var n = 0L
+      var s1 = BigDecimal(0); var s2 = BigDecimal(0)
+      es.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
+        val flag = if (n >= 30) {
+          val mean = s1.toDouble / n
+          val std = math.sqrt(s2.toDouble / n - mean * mean)
+          if (math.abs(e.value - mean) > 2.0 * std) Some((et, e.event_id))
+          else None
+        } else None
+        val vd = BigDecimal(e.value)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        n += 1; s1 += vd; s2 += vd * vd
+        flag
+      }
+    }.toSet
+    assert(expected.nonEmpty) // the rule must actually fire on this corpus
+
+    def streamed(chunks: Int): Set[(String, Long)] = {
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.streamAnomaly(stream.toDF())
+        .writeStream.format("memory").queryName("anomaly_stream")
+        .outputMode("update").start()
+      try {
+        evs.grouped(math.max(1, evs.size / chunks + 1)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        spark.table("anomaly_stream")
+          .select(col("event_type"), col("event_id"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+
+    val one = streamed(1)
+    assert(one === expected)
+    assert(streamed(4) === one) // re-chunking cannot change the flag set
+
+    // same code path in batch mode (empty state, one group call per type)
+    val batchRun = StreamOps.streamAnomaly(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .select(col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batchRun === expected)
+  }
 }
