@@ -63,6 +63,9 @@ object SparkEntry {
     "graph_hits" -> (Relational.graphHits _),
     "q_events_band_join" -> (Relational.qEventsBandJoin _),
     "q_events_burstiness" -> (Relational.qEventsBurstiness _),
+    "q_events_ewma" -> (Relational.qEventsEwma _),
+    "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
+    "text_hapax" -> (TextAnalysis.textHapax _),
     "q_user_streaks" -> (Relational.qUserStreaks _),
     "q_supplier_hhi" -> (Relational.qSupplierHhi _),
     "q_events_entropy" -> (Relational.qEventsEntropy _),
@@ -571,6 +574,64 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // dyadic-exact weighted sums (2^-k weights, integer counts): addition
+    // never rounds, so only the final division is a float op
+    "q_events_ewma" ->
+      """WITH daily AS (SELECT event_type,
+                            CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                              AS day, count(*) AS c
+                        FROM events GROUP BY event_type, day)
+         SELECT a.event_type, a.day, a.c,
+                round(sum(b.c * pow(0.5, a.day - b.day)) /
+                      sum(pow(0.5, a.day - b.day)), 6) AS ewma
+         FROM daily a JOIN daily b
+           ON b.event_type = a.event_type
+          AND b.day BETWEEN a.day - 19 AND a.day
+         GROUP BY a.event_type, a.day, a.c
+         ORDER BY a.event_type, a.day""",
+
+    // exact integer epoch-day gaps -> integer moments -> one division and
+    // one correctly-rounded sqrt
+    "q_orders_interarrival" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                        CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+                          AS day
+                    FROM orders),
+            g AS (SELECT o_custkey,
+                      day - lag(day) OVER (PARTITION BY o_custkey
+                                           ORDER BY day, o_orderkey) AS g
+                  FROM o),
+            j AS (SELECT c.c_mktsegment, g.g FROM g
+                  JOIN customer c ON c.c_custkey = g.o_custkey
+                  WHERE g.g IS NOT NULL),
+            m AS (SELECT c_mktsegment, count(*) AS n_gaps,
+                      CAST(sum(g) AS BIGINT) AS sg,
+                      CAST(sum(g * g) AS BIGINT) AS sgg
+                  FROM j GROUP BY c_mktsegment)
+         SELECT c_mktsegment, n_gaps,
+                round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_days,
+                round(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE) /
+                           CAST(n_gaps * (n_gaps - 1) AS DOUBLE)) /
+                      (CAST(sg AS DOUBLE) / n_gaps), 6) AS cv
+         FROM m ORDER BY c_mktsegment""",
+
+    // integer term counts -> vocabulary-sized rollup; two 6dp divisions
+    "text_hapax" ->
+      """WITH tf AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+            df AS (SELECT source, term, count(*) AS n FROM tf
+                   GROUP BY source, term),
+            m AS (SELECT source, count(*) AS vocab,
+                      CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS hapax,
+                      CAST(sum(n) AS BIGINT) AS n_tokens
+                  FROM df GROUP BY source)
+         SELECT source, vocab, hapax, n_tokens,
+                round(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_share,
+                round(CAST(vocab AS DOUBLE) / n_tokens, 6)
+                  AS type_token_ratio
+         FROM m ORDER BY source""",
 
     // gaps-and-islands: day - dense_rank(day) is constant exactly within
     // a consecutive run; all-integer epoch-day arithmetic

@@ -2286,6 +2286,83 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_events_ewma: exponentially weighted moving average of the
+    * daily event-count series (α = 1/2, 20-day support) — the
+    * forecasting/smoothing member of the series family (autocorr =
+    * rhythm, fano = dispersion, ewma = level). The arithmetic is
+    * EXACT-BY-CONSTRUCTION in IEEE doubles: weights 2⁻ᵏ are dyadic,
+    * every product c·2⁻ᵏ and every partial sum is a dyadic rational
+    * with numerator < 2⁵³ (counts ≤ ~10⁶ · denominator 2¹⁹), so
+    * addition never rounds and the sum is ORDER-INDEPENDENT — the one
+    * rounded float op is the final normalizing division. No Welford
+    * recursion, no accumulation-order hazard.
+    *
+    * Scale shape: the fact collapses to the |days|·|types| daily
+    * relation first (ONE map-side-combined shuffle); the 20-day kernel
+    * is a band self-equi-join over that tiny relation (b.day ∈
+    * [a.day−19, a.day] via the same bucket-free small-range join the
+    * oracle states directly), and the weighted fold is one
+    * map-side-combined aggregate.
+    */
+  def qEventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    daily.count() // eager: probe + band sides race a cold cache otherwise
+    val b = daily.select(col("event_type"), col("day").as("b_day"),
+      col("c").as("b_c"))
+    daily.join(b, Seq("event_type"))
+      .filter(col("b_day").between(col("day") - 19, col("day")))
+      .groupBy(col("event_type"), col("day"), col("c"))
+      .agg(sum(col("b_c") * pow(lit(0.5), col("day") - col("b_day")))
+        .as("wsum"),
+        sum(pow(lit(0.5), col("day") - col("b_day"))).as("wnorm"))
+      .select(col("event_type"), col("day"), col("c"),
+        round(col("wsum") / col("wnorm"), 6).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** §2.2 q_orders_interarrival: order inter-arrival statistics per
+    * market segment — mean gap and coefficient of variation over the
+    * days between a customer's consecutive orders (CV ≈ 1 reads
+    * Poisson-like ordering, CV ≫ 1 bursty repeat purchasing). Gaps are
+    * exact integer epoch-day differences; mean and CV derive from
+    * integer moments with two float ops at the end (a division and a
+    * correctly-rounded IEEE sqrt — both deterministic).
+    *
+    * Scale shape: one customer-co-partitioned lag window over the slim
+    * (customer, day) projection, one map-side-combined moment aggregate
+    * per segment, customer→segment dim broadcast.
+    */
+  def qOrdersInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), (col("day") - col("prev")).as("g"))
+    gaps
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).cast("bigint").as("sg"),
+        sum(col("g") * col("g")).cast("bigint").as("sgg"))
+      .select(col("c_mktsegment"), col("n_gaps"),
+        round(col("sg").cast("double") / col("n_gaps"), 6).as("mean_gap_days"),
+        round(sqrt((col("n_gaps") * col("sgg") - col("sg") * col("sg"))
+          .cast("double") /
+          (col("n_gaps") * (col("n_gaps") - 1)).cast("double")) /
+          (col("sg").cast("double") / col("n_gaps")), 6).as("cv"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** §2.2 graph_hits: HITS hubs/authorities over the DIRECTED bipartite
     * commerce graph (customer → supplier via order lineitems) — the
     * "which buyers define which sellers" ranking pagerank's symmetric

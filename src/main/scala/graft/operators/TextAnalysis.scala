@@ -1036,6 +1036,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 text_hapax: per-source vocabulary-health report — vocabulary
+    * size, hapax legomena (terms occurring exactly once in the source),
+    * hapax share of the vocabulary, and corpus-level type-token ratio.
+    * Natural text runs ~40-60% hapax; a collapsed share flags template
+    * floods and boilerplate BEFORE training, the same corpus-health
+    * axis as text_zipf but per source and without a regression. All
+    * counts are exact integers; the two shares are single float
+    * divisions, 6dp.
+    *
+    * Scale shape: one explode → (source, term) map-side-combined count
+    * (the df relation), then a vocabulary-sized rollup per source —
+    * token volume never reaches the second aggregate.
+    */
+  def textHapax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("hapax"),
+        sum(col("n")).cast("bigint").as("n_tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("n_tokens"),
+        round(col("hapax").cast("double") / col("vocab"), 6)
+          .as("hapax_share"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** §2.4 text_collocations: pointwise mutual information over adjacent
     * token bigrams — which word pairs co-occur far beyond chance, the
     * phrase-mining / tokenizer-merge-candidate primitive (BPE's merge
