@@ -298,4 +298,36 @@ class PlanAuditSpec extends AnyFunSuite {
     // and nothing anywhere falls back to interpreted Python/eval paths
     assert(!p.contains("BatchEvalPython") && !p.contains("MapInPandas"), p)
   }
+
+  test("q_events_band_join: bucket expansion keeps the range join equi-keyed") {
+    val p = plan("q_events_band_join")
+    // the whole point of the 3x bucket fan-out: the +-60s theta join must
+    // plan as a hash join on the bucket id, never a cartesian/BNLJ sweep
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate explode"), p) // fan-out is map-side
+  }
+
+  test("graph_hits: score vectors broadcast into the cached edge list; " +
+      "the only nested-loop joins are the two 1-row max-score cross joins") {
+    val p = plan("graph_hits")
+    assert(!p.contains("CartesianProduct"), p)
+    // hub-side and auth-side normalization each crossJoin a 1-row agg
+    assert(countOf(p, "BroadcastNestedLoopJoin") <= 2, p)
+    // every mutual-reinforcement round reads edges from cache, not parquet
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q_user_streaks / q_orders_interarrival / q_events_ewma: windows " +
+      "and kernels stay co-partitioned — no global single-partition pass") {
+    for (q <- Seq("q_user_streaks", "q_orders_interarrival")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+    val p = plan("q_events_ewma")
+    // the 20-day kernel is an equi-join on event_type with a band filter,
+    // never a cartesian sweep of the daily relation
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
