@@ -64,6 +64,8 @@ object SparkEntry {
     "q_events_band_join" -> (Relational.qEventsBandJoin _),
     "q_events_burstiness" -> (Relational.qEventsBurstiness _),
     "q_events_ewma" -> (Relational.qEventsEwma _),
+    "q_cust_rolling_ltv" -> (Relational.qCustRollingLtv _),
+    "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
     "text_hapax" -> (TextAnalysis.textHapax _),
     "q_user_streaks" -> (Relational.qUserStreaks _),
@@ -574,6 +576,43 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // RANGE frame includes all day-peers by SQL standard on both engines;
+    // decimal-exact sums, exact integer day arithmetic
+    "q_cust_rolling_ltv" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                        CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+                          AS day,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS total
+                    FROM orders)
+         SELECT o_custkey, o_orderkey, day,
+                CAST(CAST(sum(total) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+                  AS ltv_365,
+                count(*) OVER w AS n_orders_365
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 365 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, day, o_orderkey""",
+
+    // exact decimal year sums; the residual-free two-factor split
+    // dRev = dN*aov0 + n1*dAov with deterministic double products
+    "q_orders_growth_decomp" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                        count(*) AS n_orders,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                    FROM orders GROUP BY yr),
+            l AS (SELECT yr, n_orders, rev,
+                      lag(n_orders) OVER (ORDER BY yr) AS p_n,
+                      lag(rev) OVER (ORDER BY yr) AS p_rev
+                  FROM y)
+         SELECT yr, n_orders, CAST(rev AS DOUBLE) AS rev,
+                round(CAST(rev AS DOUBLE) - CAST(p_rev AS DOUBLE), 2)
+                  AS delta_rev,
+                round((n_orders - p_n) * (CAST(p_rev AS DOUBLE) / p_n), 6)
+                  AS volume_effect,
+                round(n_orders * (CAST(rev AS DOUBLE) / n_orders -
+                      CAST(p_rev AS DOUBLE) / p_n), 6) AS mix_effect
+         FROM l WHERE p_n IS NOT NULL ORDER BY yr""",
 
     // dyadic-exact weighted sums (2^-k weights, integer counts): addition
     // never rounds, so only the final division is a float op

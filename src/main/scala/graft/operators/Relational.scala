@@ -2286,6 +2286,72 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_cust_rolling_ltv: trailing-365-day customer value at every
+    * order — the rolling lifetime-value feature a churn model trains on,
+    * and the RANGE-frame window member of the window family (moving =
+    * ROWS frame, twap = interval weighting, this = value-range frame):
+    * the frame is "orders within the last 365 DAYS", not "the last k
+    * rows", so sparse and dense customers get the same time horizon.
+    * Sums are exact decimal; day arithmetic exact integer.
+    *
+    * Scale shape: ONE customer-co-partitioned window shuffle over the
+    * slim (customer, day, total) projection — the range frame runs
+    * inside the sorted partition; no self-join, no second scan.
+    */
+  def qCustRollingLtv(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-365L, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("total"))
+      .withColumn("ltv_365",
+        sum(col("total")).over(w).cast("decimal(18,2)"))
+      .withColumn("n_orders_365", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("ltv_365").cast("double").as("ltv_365"),
+        col("n_orders_365"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  /** §2.2 q_orders_growth_decomp: year-over-year revenue growth
+    * decomposed into a VOLUME effect (order count change at prior-year
+    * average value) and a MIX effect (average-order-value change at
+    * current volume): Δrev = Δn·aov₀ + n₁·Δaov, the standard exact
+    * two-factor decomposition (residual-free by construction). Revenue
+    * sums are exact decimal; the aov divisions and effect products are
+    * deterministic double ops on identical inputs.
+    *
+    * Scale shape: one map-side-combined (year) aggregate over the
+    * orders scan; the year-over-year pairing is a lag window over the
+    * |years|-row rollup — nothing after the first aggregate scales
+    * with data volume.
+    */
+  def qOrdersGrowthDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val byYear = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy(col("yr"))
+    byYear
+      .withColumn("p_n", lag(col("n_orders"), 1).over(w))
+      .withColumn("p_rev", lag(col("rev"), 1).over(w))
+      .filter(col("p_n").isNotNull)
+      .select(col("yr"), col("n_orders"),
+        col("rev").cast("double").as("rev"),
+        round(col("rev").cast("double") - col("p_rev").cast("double"), 2)
+          .as("delta_rev"),
+        round((col("n_orders") - col("p_n")).cast("double") *
+          (col("p_rev").cast("double") / col("p_n")), 6)
+          .as("volume_effect"),
+        round(col("n_orders").cast("double") *
+          (col("rev").cast("double") / col("n_orders") -
+            col("p_rev").cast("double") / col("p_n")), 6)
+          .as("mix_effect"))
+      .orderBy(col("yr"))
+  }
+
   /** §2.2 q_events_ewma: exponentially weighted moving average of the
     * daily event-count series (α = 1/2, 20-day support) — the
     * forecasting/smoothing member of the series family (autocorr =
