@@ -65,6 +65,7 @@ object SparkEntry {
     "q_events_burstiness" -> (Relational.qEventsBurstiness _),
     "q_events_ewma" -> (Relational.qEventsEwma _),
     "q_cust_rolling_ltv" -> (Relational.qCustRollingLtv _),
+    "warehouse_ivm" -> (Relational.warehouseIvm _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
     "text_hapax" -> (TextAnalysis.textHapax _),
@@ -576,6 +577,20 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // the oracle IS the full recompute — delta-merge equivalence over the
+    // per-(month, customer) auxiliary view is the graded IVM claim
+    "warehouse_ivm" ->
+      """WITH pairs AS (SELECT
+                CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                  AS ym,
+                o_custkey, count(*) AS n,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders GROUP BY ym, o_custkey)
+         SELECT ym, CAST(sum(n) AS BIGINT) AS n_orders,
+                CAST(sum(rev) AS DOUBLE) AS revenue,
+                count(*) AS n_customers
+         FROM pairs GROUP BY ym ORDER BY ym""",
 
     // RANGE frame includes all day-peers by SQL standard on both engines;
     // decimal-exact sums, exact integer day arithmetic
