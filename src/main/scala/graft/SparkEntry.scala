@@ -66,6 +66,8 @@ object SparkEntry {
     "q_events_ewma" -> (Relational.qEventsEwma _),
     "q_cust_rolling_ltv" -> (Relational.qCustRollingLtv _),
     "warehouse_ivm" -> (Relational.warehouseIvm _),
+    "q_dq_referential" -> (Relational.qDqReferential _),
+    "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
     "text_hapax" -> (TextAnalysis.textHapax _),
@@ -577,6 +579,68 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // one NOT EXISTS block per FK edge; all-integer counts
+    "q_dq_referential" ->
+      """SELECT * FROM (
+           SELECT 'customer.nationkey->nation' AS fk_edge,
+                  (SELECT count(*) FROM customer) AS n_child,
+                  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                     (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+           UNION ALL
+           SELECT 'lineitem.orderkey->orders',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'lineitem.partkey->part',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey))
+           UNION ALL
+           SELECT 'lineitem.suppkey->supplier',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey))
+           UNION ALL
+           SELECT 'nation.regionkey->region',
+                  (SELECT count(*) FROM nation),
+                  (SELECT count(*) FROM nation n WHERE NOT EXISTS
+                     (SELECT 1 FROM region r
+                      WHERE r.r_regionkey = n.n_regionkey))
+           UNION ALL
+           SELECT 'orders.custkey->customer',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'supplier.nationkey->nation',
+                  (SELECT count(*) FROM supplier),
+                  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+                     (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = s.s_nationkey)))
+         ORDER BY fk_edge""",
+
+    // exact integer epoch-day latencies; quantile_cont mirrors Spark's
+    // exact interpolated percentile
+    "q_order_latency" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+                        CAST(epoch_us(l.l_shipdate) AS BIGINT) // 86400000000
+                          - CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                            // 86400000000 AS lat
+                    FROM lineitem l JOIN orders o
+                      ON o.o_orderkey = l.l_orderkey)
+         SELECT o_orderpriority, count(*) AS n_items,
+                round(quantile_cont(lat, 0.5), 6) AS p50_days,
+                round(quantile_cont(lat, 0.95), 6) AS p95_days,
+                CAST(sum(CASE WHEN lat > 60 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_over_60d
+         FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // the oracle IS the full recompute — delta-merge equivalence over the
     // per-(month, customer) auxiliary view is the graded IVM claim

@@ -2286,6 +2286,82 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_dq_referential: referential-integrity audit across every
+    * foreign-key edge of the warehouse star — child row count and
+    * orphan count (children whose parent key is missing) for all seven
+    * FK relationships. The complement of q_dq_audit's per-column
+    * profiling: this one checks the JOINS the whole schema stands on,
+    * the first thing a warehouse load validates and the invariant every
+    * downstream query silently assumes.
+    *
+    * Scale shape: each edge is one left-anti join on the key plus a
+    * count — the anti-join shuffles bare keys only (or broadcasts the
+    * dim side when small; AQE picks), and the seven 1-row results union
+    * driver-side. No fact column beyond the key is ever read.
+    */
+  def qDqReferential(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val c = child.toDF("k")
+      val p = parent.toDF("k")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(c.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    Seq(
+      edge("customer.nationkey->nation", c.select(col("c_nationkey")),
+        n.select(col("n_nationkey"))),
+      edge("lineitem.orderkey->orders", li.select(col("l_orderkey")),
+        o.select(col("o_orderkey"))),
+      edge("lineitem.partkey->part", li.select(col("l_partkey")),
+        Tables.part(spark, dir).select(col("p_partkey"))),
+      edge("lineitem.suppkey->supplier", li.select(col("l_suppkey")),
+        s.select(col("s_suppkey"))),
+      edge("nation.regionkey->region", n.select(col("n_regionkey")),
+        Tables.region(spark, dir).select(col("r_regionkey"))),
+      edge("orders.custkey->customer", o.select(col("o_custkey")),
+        c.select(col("c_custkey"))),
+      edge("supplier.nationkey->nation", s.select(col("s_nationkey")),
+        n.select(col("n_nationkey"))))
+      .reduce(_ unionAll _)
+      .orderBy(col("fk_edge"))
+  }
+
+  /** §2.2 q_order_latency: order-to-ship latency distribution per order
+    * priority — exact interpolated p50/p95 plus the share shipping
+    * beyond 60 days, over exact integer epoch-day differences (does
+    * URGENT actually ship faster, and by how much at the tail). The
+    * latency twin of q12's count-based priority check.
+    *
+    * Scale shape: the order date joins in slim (key, day) form —
+    * SF-proportional on both sides, AQE picks the strategy; one
+    * map-side-combined aggregate per priority; `percentile` is Spark's
+    * exact interpolated implementation, mirrored by quantile_cont.
+    */
+  def qOrderLatency(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("ship_day"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("order_day")),
+        Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - col("order_day")).as("lat"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(expr("percentile(lat, 0.5)"), 6).as("p50_days"),
+        round(expr("percentile(lat, 0.95)"), 6).as("p95_days"),
+        sum(when(col("lat") > 60, 1L).otherwise(0L)).cast("bigint")
+          .as("n_over_60d"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** §2.2 warehouse_ivm: incremental view maintenance of a monthly
     * revenue dashboard (orders, revenue, DISTINCT customers per month)
     * under an arriving order delta — the materialized-view refresh that
