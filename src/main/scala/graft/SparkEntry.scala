@@ -67,6 +67,7 @@ object SparkEntry {
     "q_cust_rolling_ltv" -> (Relational.qCustRollingLtv _),
     "warehouse_ivm" -> (Relational.warehouseIvm _),
     "q_dq_referential" -> (Relational.qDqReferential _),
+    "mm_chunk_stats" -> (Multimodal.mmChunkStats _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -494,6 +495,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // same chunking CTEs as mm_cdc_neardup (no twins); EXHAUSTIVE
     // feed x warehouse scan - candidate losslessness is the graded claim
+    // chunk lengths = consecutive diffs of the SAME boundary list the
+    // digest CTE cuts with — every chunk counted, not the distinct set
+    "mm_chunk_stats" ->
+      s"""WITH u AS (SELECT doc_id, ${utf8BytesSql("text")} AS bytes
+                     FROM documents WHERE length(text) > 0),
+            $cdcDigestsCte,
+            lens AS (SELECT unnest(list_transform(range(1, len(bs) + 1),
+                         k -> bs[(k)::INT] -
+                              (CASE WHEN k = 1 THEN 0
+                                    ELSE bs[(k-1)::INT] END))) AS len
+                     FROM bnd)
+         SELECT len, count(*) AS n_chunks
+         FROM lens GROUP BY len ORDER BY len""",
+
     "mm_cdc_incremental" ->
       s"""WITH u AS (SELECT doc_id, ${utf8BytesSql("text")} AS bytes
                      FROM documents WHERE length(text) > 0),

@@ -54,6 +54,7 @@ object GraftFunctions {
   def avgHash64(payload: Column): Column = GraftColumns.avgHash64(payload)
 
   def cdcChunks(payload: Column): Column = GraftColumns.cdcChunks(payload)
+  def cdcChunkLens(payload: Column): Column = GraftColumns.cdcChunkLens(payload)
 
   def misraGries(item: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftAggregates.misraGries(item, k)

@@ -338,6 +338,35 @@ object GraftKernels {
     new GenericArrayData(out.distinct.sorted.toArray)
   }
 
+  /** Chunk LENGTHS under the same boundaries as [[cdcChunks]] — every
+    * chunk in payload order, NOT deduplicated (cdcChunks keeps the
+    * distinct digest set; calibration wants the full length sequence).
+    * The two share the boundary rule verbatim so a length profile is a
+    * faithful report on the digest pipeline's granularity.
+    */
+  def cdcChunkLens(payload: Array[Byte]): ArrayData = {
+    val L = payload.length
+    if (L == 0) return new GenericArrayData(Array.empty[Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = 0
+    while (i < L) {
+      var boundary = i == L - 1
+      if (!boundary && i >= 7) {
+        var h = 0L
+        var t = 0
+        while (t < 8) { h += (payload(i - t) & 0xff).toLong * CdcPow(t); t += 1 }
+        boundary = h % 7 == 0
+      }
+      if (boundary) {
+        out += (i - start + 1).toLong
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Deterministic stand-in for a decoded-media feature: byte histogram sum.
     * The real decoder (image/audio libs) is intentionally stubbed; the
     * Spark-side plumbing (binary column in, fixed-width feature out) is real.

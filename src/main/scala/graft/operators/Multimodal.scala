@@ -506,4 +506,26 @@ object Multimodal {
         sum(when(isCut, 1L).otherwise(0L)).as("n_cuts"),
         min(when(isCut, col("frame_idx"))).as("first_cut"))
       .orderBy(col("doc_id"))
+
+  /** §2.4 mm_chunk_stats: the CDC chunker's calibration report — the
+    * corpus-wide chunk-length histogram under the exact boundary rule
+    * the dedup pipeline cuts with ([[graft.functions.GraftKernels
+    * .cdcChunkLens]] shares [[graft.functions.GraftKernels.cdcChunks]]'
+    * rule verbatim; lengths keep EVERY chunk, not the distinct digest
+    * set). Average chunk size IS the dedup granularity/index-size
+    * trade-off; this is the report a pipeline reads before turning the
+    * modulus knob.
+    *
+    * Scale shape: the kernel and explode run map-side in one payload
+    * pass; only (length, 1) pairs enter the single map-side-combined
+    * histogram shuffle — ≤ max-chunk-length rows cross the wire.
+    */
+  def mmChunkStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(explode(GraftFunctions.cdcChunkLens(
+        encode(col("text"), "UTF-8"))).as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy(col("len"))
 }

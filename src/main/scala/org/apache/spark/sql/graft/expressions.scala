@@ -319,6 +319,24 @@ case class CdcChunks(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Chunk lengths under [[CdcChunks]]' boundary rule — the full in-order
+  * length sequence (not the distinct digest set), for chunker
+  * calibration reports.
+  */
+case class CdcChunkLens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.cdcChunkLens(v.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.cdcChunkLens($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** pairs(array<T>) → rows (i: T, j: T), every unordered element pair of a
   * SORTED array with i before j — a custom [[Generator]] that STREAMS the
   * b·(b-1)/2 pairs of a b-element LSH bucket lazily instead of first
@@ -410,4 +428,5 @@ object GraftColumns {
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
   def avgHash64(payload: Column): Column = col(AvgHash64(ex(payload)))
   def cdcChunks(payload: Column): Column = col(CdcChunks(ex(payload)))
+  def cdcChunkLens(payload: Column): Column = col(CdcChunkLens(ex(payload)))
 }
