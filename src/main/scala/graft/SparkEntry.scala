@@ -68,6 +68,7 @@ object SparkEntry {
     "warehouse_ivm" -> (Relational.warehouseIvm _),
     "q_dq_referential" -> (Relational.qDqReferential _),
     "mm_chunk_stats" -> (Multimodal.mmChunkStats _),
+    "q_events_seasonality" -> (Relational.qEventsSeasonality _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -594,6 +595,27 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // centered-7-day MA trend (exact integer sum, one division), full
+    // windows only; residual means sit far under the 6dp round
+    "q_events_seasonality" ->
+      """WITH daily AS (SELECT event_type,
+                            CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                              AS day, count(*) AS c
+                        FROM events GROUP BY event_type, day),
+            t AS (SELECT event_type, day, c,
+                      count(*) OVER w AS w_n,
+                      sum(c) OVER w AS w_sum
+                  FROM daily
+                  WINDOW w AS (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            r AS (SELECT event_type, day % 7 AS dow,
+                      CAST(c AS DOUBLE) - CAST(w_sum AS DOUBLE) / 7.0 AS r
+                  FROM t WHERE w_n = 7)
+         SELECT event_type, dow, count(*) AS n_days,
+                round(avg(r), 6) AS seasonal_idx
+         FROM r GROUP BY event_type, dow
+         ORDER BY event_type, dow""",
 
     // one NOT EXISTS block per FK edge; all-integer counts
     "q_dq_referential" ->

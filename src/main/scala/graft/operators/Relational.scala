@@ -2286,6 +2286,41 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_events_seasonality: STL-lite weekly seasonal indices — the
+    * centered-7-day moving average detrends the daily count series, and
+    * the mean detrended residual per day-of-week is the additive
+    * seasonal index ("Mondays run +180 events over trend"). The
+    * decomposition complement of q_events_dow_profile's raw histogram:
+    * indices survive growth because the trend is removed first. Trend =
+    * Σ₇c / 7 (exact integer sum, ONE rounded division); only full
+    * 7-day windows contribute, so edges never bias the indices; the
+    * per-dow mean over a handful of residuals sits ~7 orders below the
+    * 6dp round.
+    *
+    * Scale shape: the fact collapses to the daily relation first; the
+    * MA is a type-co-partitioned ROWS window over |days| rows; the
+    * index rollup is a tiny map-side-combined aggregate.
+    */
+  def qEventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col("c")).over(w))
+      .filter(col("w_n") === 7)
+      .select(col("event_type"), (col("day") % 7).as("dow"),
+        (col("c").cast("double") - col("w_sum").cast("double") / 7.0)
+          .as("r"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(col("r")), 6).as("seasonal_idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** §2.2 q_dq_referential: referential-integrity audit across every
     * foreign-key edge of the warehouse star — child row count and
     * orphan count (children whose parent key is missing) for all seven
