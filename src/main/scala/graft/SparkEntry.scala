@@ -69,6 +69,7 @@ object SparkEntry {
     "q_dq_referential" -> (Relational.qDqReferential _),
     "mm_chunk_stats" -> (Multimodal.mmChunkStats _),
     "q_events_seasonality" -> (Relational.qEventsSeasonality _),
+    "q_markov_stationary" -> (Relational.qMarkovStationary _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -595,6 +596,34 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // ten unrolled integer-ppm power-iteration steps (pagerank
+    // arithmetic on the dense |types|^2 chain) — the same truncating
+    // div on both engines, bit-identical intermediates, no float
+    "q_markov_stationary" -> {
+      val steps = (1 to 10).map { k =>
+        s"""p$k AS (SELECT m.cur AS state,
+                  CAST(sum((p.ppm * m.n) // m.r) AS BIGINT) AS ppm
+              FROM m JOIN p${k - 1} p ON p.state = m.prev
+              GROUP BY m.cur)"""
+      }.mkString(",\n            ")
+      s"""WITH e AS (SELECT user_id, event_type AS cur,
+                  CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+              FROM events),
+            l AS (SELECT cur,
+                      lag(cur) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id) AS prev
+                  FROM e),
+            t AS (SELECT prev, cur, count(*) AS n FROM l
+                  WHERE prev IS NOT NULL GROUP BY prev, cur),
+            m AS (SELECT t.prev, t.cur, t.n, r.r FROM t
+                  JOIN (SELECT prev, CAST(sum(n) AS BIGINT) AS r
+                        FROM t GROUP BY prev) r ON r.prev = t.prev),
+            p0 AS (SELECT DISTINCT prev AS state, 1000000::BIGINT AS ppm
+                   FROM t),
+            $steps
+         SELECT state, ppm FROM p10 ORDER BY state"""
+    },
 
     // centered-7-day MA trend (exact integer sum, one division), full
     // windows only; residual means sit far under the 6dp round

@@ -2286,6 +2286,51 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_markov_stationary: the stationary distribution of the
+    * empirical event-type Markov chain — where the user journey settles
+    * in the long run, the scalar completion of q_events_markov's
+    * transition matrix (counts say where flows go next; the fixed point
+    * says where they END UP). Ten power-iteration rounds in EXACT
+    * integer parts-per-million, the pagerank arithmetic on a dense
+    * |types|×|types| chain: πₖ₊₁(j) = Σᵢ (πₖ(i)·cᵢⱼ) div rᵢ — the same
+    * truncating div on both engines, so every intermediate is
+    * bit-identical and no float ever exists.
+    *
+    * Scale shape: the fact collapses once through the user-partitioned
+    * lag window into the |types|² transition matrix; ten rounds of
+    * |types|²-row joins follow — nothing after the first window scales
+    * with event volume.
+    */
+  def qMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("cur"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    trans.count() // eager: row sums + 10 round joins consume it
+    val rows = trans.groupBy(col("prev")).agg(sum(col("n")).as("r"))
+    val m = trans.join(rows, Seq("prev"))
+      .select(col("prev"), col("cur"), col("n"), col("r"))
+      .persist()
+    m.count()
+    var pi = trans.select(col("prev").as("state")).distinct()
+      .select(col("state"), lit(1000000L).as("ppm"))
+    for (_ <- 1 to 10) {
+      pi = m.join(pi, col("prev") === col("state"))
+        .select(col("cur"),
+          expr("(ppm * n) div r").as("contrib"))
+        .groupBy(col("cur"))
+        .agg(sum(col("contrib")).cast("bigint").as("ppm"))
+        .select(col("cur").as("state"), col("ppm"))
+    }
+    pi.orderBy(col("state"))
+  }
+
   /** §2.2 q_events_seasonality: STL-lite weekly seasonal indices — the
     * centered-7-day moving average detrends the daily count series, and
     * the mean detrended residual per day-of-week is the additive
