@@ -80,6 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_cdc_chunks", "graft_cdc_chunks(bin) - content-defined chunk digest set (sorted distinct FNV-1a-64)"),
       (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_cdc_chunks"); CdcChunks(c(0)) }))
 
+    ext.injectFunction((FunctionIdentifier("graft_cdc_chunk_lens"),
+      info("graft_cdc_chunk_lens", "graft_cdc_chunk_lens(bin) - in-order chunk lengths under the same CDC boundary rule"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_cdc_chunk_lens"); CdcChunkLens(c(0)) }))
+
     ext.injectFunction((FunctionIdentifier("graft_misra_gries"),
       info("graft_misra_gries", "graft_misra_gries(item, k) - Misra-Gries heavy hitters, k-1 counters, n/k error bound"),
       (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_misra_gries")

@@ -39,6 +39,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT graft_simhash64(cast(array() AS array<string>)) AS s")
       .head().getLong(0) === 0L)
+
+    // chunk lengths partition the payload: they sum to its byte length,
+    // and the digest count never exceeds the chunk count (digests dedup)
+    val Seq(lenSum, nLens, nDigs) = spark.sql(
+      """SELECT aggregate(graft_cdc_chunk_lens(cast('abcdefghijklmnop' AS BINARY)),
+           0L, (a, x) -> a + x) AS s,
+           size(graft_cdc_chunk_lens(cast('abcdefghijklmnop' AS BINARY))) AS nl,
+           size(graft_cdc_chunks(cast('abcdefghijklmnop' AS BINARY))) AS nd""")
+      .head().toSeq.map(_.asInstanceOf[Number].longValue)
+    assert(lenSum === 16L)
+    assert(nDigs <= nLens)
   }
 
   test("graft_top_k aggregate works from SQL") {
