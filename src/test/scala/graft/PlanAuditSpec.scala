@@ -115,7 +115,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("exact dedup candidate joins stay equi-keyed — no cartesian/BNLJ fallback") {
     for (q <- Seq("dedup_ngram_jaccard", "dedup_editdistance",
-        "dedup_containment")) {
+        "dedup_containment", "sim_dbscan", "warehouse_ivm",
+        "q_markov_stationary")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
