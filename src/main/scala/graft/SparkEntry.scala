@@ -70,6 +70,7 @@ object SparkEntry {
     "mm_chunk_stats" -> (Multimodal.mmChunkStats _),
     "q_events_seasonality" -> (Relational.qEventsSeasonality _),
     "q_markov_stationary" -> (Relational.qMarkovStationary _),
+    "q_customer_survival" -> (Relational.qCustomerSurvival _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -596,6 +597,37 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // exp of an ORDERED running ln-sum: both engines fold the identical
+    // sequence, libm ulp sits nine orders under the 6dp round; ln(0) at
+    // the final offset collapses survival to exactly 0.0 on both
+    "q_customer_survival" ->
+      """WITH life AS (SELECT (max(CAST(epoch_us(o_orderdate) AS BIGINT)
+                               // 86400000000)
+                             - min(CAST(epoch_us(o_orderdate) AS BIGINT)
+                               // 86400000000)) // 30 AS life_m
+                       FROM orders GROUP BY o_custkey),
+            d AS (SELECT life_m, count(*) AS d FROM life GROUP BY life_m),
+            n AS (SELECT life_m, d,
+                      CAST(sum(d) OVER (ORDER BY life_m
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n_at_risk
+                  FROM d),
+            r AS (SELECT life_m, d, n_at_risk,
+                      1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                        AS ratio
+                  FROM n),
+            s AS (SELECT life_m, d, n_at_risk, ratio,
+                      CASE WHEN ratio > 0.0 THEN ln(ratio)
+                           ELSE 0.0 END AS lnr
+                  FROM r)
+         SELECT life_m, d AS n_churned, n_at_risk,
+                CASE WHEN min(ratio) OVER w = 0.0 THEN 0.0
+                     ELSE round(exp(sum(lnr) OVER w), 6) END AS survival
+         FROM s
+         WINDOW w AS (ORDER BY life_m
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY life_m""",
 
     // ten unrolled integer-ppm power-iteration steps (pagerank
     // arithmetic on the dense |types|^2 chain) — the same truncating

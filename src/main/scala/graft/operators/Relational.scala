@@ -2286,6 +2286,48 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_customer_survival: Kaplan-Meier-style survival curve over
+    * customer lifetimes — S(t) = Π_{i≤t} (1 − dᵢ/nᵢ) where a customer
+    * "dies" at their last-order month offset (months since first
+    * order): the churn curve that answers "what share of customers are
+    * still ordering t months after acquisition". The product runs as
+    * exp(Σ ln(1−d/n)) through an ORDERED running window, so both
+    * engines fold the identical sequence in the identical order —
+    * deterministic up to libm's last ulp, nine orders under the 6dp
+    * round. Lifetime offsets, dᵢ, and nᵢ are all exact integers.
+    *
+    * Scale shape: one per-customer min/max aggregate (map-side
+    * combined), collapse to the ≤ |months| offset relation, then
+    * windows over that tiny series. The single-partition windows run
+    * over ~80 rows — bounded by the calendar, never the data.
+    */
+  def qCustomerSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val lifeMonths = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(expr("unix_micros(o_orderdate) div 86400000000")).as("f"),
+        max(expr("unix_micros(o_orderdate) div 86400000000")).as("l"))
+      .select(expr("(l - f) div 30").as("life_m")) // exact integer months
+      .groupBy(col("life_m")).agg(count(lit(1)).as("d"))
+    val wAtRisk = Window.orderBy(col("life_m"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("life_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lifeMonths
+      .withColumn("n_at_risk", sum(col("d")).over(wAtRisk).cast("bigint"))
+      // ln(0) is engine-divergent (Spark -Inf, DuckDB error): carry a
+      // zero-ratio flag through the window instead and pin survival 0
+      .withColumn("ratio", lit(1.0) - col("d").cast("double") /
+        col("n_at_risk").cast("double"))
+      .withColumn("lnr",
+        when(col("ratio") > 0.0, log(col("ratio"))).otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(min(col("ratio")).over(wCum) === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(col("lnr")).over(wCum)), 6)))
+      .select(col("life_m"), col("d").as("n_churned"), col("n_at_risk"),
+        col("survival"))
+      .orderBy(col("life_m"))
+  }
+
   /** §2.2 q_markov_stationary: the stationary distribution of the
     * empirical event-type Markov chain — where the user journey settles
     * in the long run, the scalar completion of q_events_markov's
