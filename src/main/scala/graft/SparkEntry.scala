@@ -208,6 +208,7 @@ object SparkEntry {
     "mm_shot_sample" -> (Multimodal.mmShotSample _),
     "mm_cdc_neardup" -> (Multimodal.mmCdcNeardup _),
     "mm_cdc_incremental" -> (Multimodal.mmCdcIncremental _),
+    "q_nvd_score_drift" -> (Nvd.qNvdScoreDrift _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -1319,6 +1320,42 @@ object SparkEntry {
          FROM f
          GROUP BY av
          ORDER BY av NULLS FIRST""",
+
+    // KS distance with an all-integer numerator argmax (deci-score bins,
+    // integer cumulative counts, integer tie-break) — one final division
+    "q_nvd_score_drift" ->
+      s"""$nvdFeedCte,
+            s AS (SELECT CAST(substring(item.cve.CVE_data_meta.ID, 5, 4)
+                              AS INTEGER) < 2015 AS old,
+                      CAST(round(item.impact.baseMetricV2.cvssV2.baseScore
+                                 * 10) AS BIGINT) AS sds
+                  FROM f
+                  WHERE item.impact.baseMetricV2.cvssV2.baseScore
+                        IS NOT NULL),
+            c AS (SELECT sds,
+                      CAST(sum(CASE WHEN old THEN 1 ELSE 0 END) AS BIGINT)
+                        AS c_old,
+                      CAST(sum(CASE WHEN NOT old THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_new
+                  FROM s GROUP BY sds),
+            t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+                      CAST(sum(c_new) AS BIGINT) AS n_new FROM c),
+            cum AS (SELECT sds,
+                        CAST(sum(c_old) OVER w AS BIGINT) AS k_old,
+                        CAST(sum(c_new) OVER w AS BIGINT) AS k_new
+                    FROM c
+                    WINDOW w AS (ORDER BY sds ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)),
+            d AS (SELECT sds,
+                      abs(k_old * t.n_new - k_new * t.n_old) AS num
+                  FROM cum, t),
+            best AS (SELECT sds, num FROM d
+                     ORDER BY num DESC, sds LIMIT 1)
+         SELECT t.n_old, t.n_new,
+                round(CAST(best.num AS DOUBLE) / (t.n_old * t.n_new), 6)
+                  AS ks_d,
+                CAST(best.sds AS DOUBLE) / 10.0 AS ks_at_score
+         FROM t, best""",
 
     "q_nvd_yearly_trend" ->
       s"""$nvdFeedCte

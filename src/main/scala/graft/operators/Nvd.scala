@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -379,4 +380,47 @@ object Nvd {
         round(covar_samp(col("v2"), col("v3")), 6).as("covar_v23"),
         round(stddev_samp(col("v2")), 6).as("sd_v2"),
         round(stddev_samp(col("v3")), 6).as("sd_v3"))
+
+  /** §2.1 q_nvd_score_drift: two-sample Kolmogorov-Smirnov distance
+    * between the v2 base-score distributions of pre- and post-2015 CVE
+    * cohorts (v2 spans every era; v3 only exists post-2016 in real feeds) — "did severity scoring drift", the distribution-shift
+    * test a vulnerability dashboard runs before comparing eras. The
+    * statistic is EXACT until one division: scores are 1dp (≤ 101
+    * distinct deci-score bins), CDFs are integer cumulative counts,
+    * and D's numerator max_s |k₁(s)·n₂ − k₂(s)·n₁| is an integer
+    * argmax with an integer tie-break (smallest score) — no float ever
+    * ranks, so both engines pick the identical (D, location) pair.
+    *
+    * Scale shape: one conditional-count aggregate into ≤ 101 bins;
+    * cumulative windows and the argmax run over that fixed-size
+    * relation; cohort totals broadcast as a 1-row crossJoin.
+    */
+  def qNvdScoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bins = cves(spark)
+      .select(
+        (substring(NvdEtl.cveId, 5, 4).cast("int") < 2015).as("old"),
+        expr("CAST(round(impact.baseMetricV2.cvssV2.baseScore * 10) AS BIGINT)")
+          .as("sds"))
+      .filter(col("sds").isNotNull)
+      .groupBy(col("sds"))
+      .agg(sum(when(col("old"), 1L).otherwise(0L)).as("c_old"),
+        sum(when(!col("old"), 1L).otherwise(0L)).as("c_new"))
+    val w = Window.orderBy(col("sds"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("k_old", sum(col("c_old")).over(w).cast("bigint"))
+      .withColumn("k_new", sum(col("c_new")).over(w).cast("bigint"))
+    val tot = bins.agg(sum(col("c_old")).cast("bigint").as("n_old"),
+      sum(col("c_new")).cast("bigint").as("n_new"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("sds"), col("n_old"), col("n_new"),
+        abs(col("k_old") * col("n_new") - col("k_new") * col("n_old"))
+          .as("num"))
+      .orderBy(col("num").desc, col("sds"))
+      .limit(1)
+      .select(col("n_old"), col("n_new"),
+        round(col("num").cast("double") /
+          (col("n_old") * col("n_new")).cast("double"), 6).as("ks_d"),
+        (col("sds").cast("double") / 10.0).as("ks_at_score"))
+  }
 }
