@@ -77,4 +77,19 @@ class KernelPropSpec extends AnyFunSuite {
         GraftKernels.simHash64(sArr(bag.reverse))
     })
   }
+
+  test("cdcChunkLens partitions the payload; digests never outnumber chunks") {
+    val bytesGen: Gen[Array[Byte]] =
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    check(Prop.forAll(bytesGen) { payload =>
+      val lens = GraftKernels.cdcChunkLens(payload).toLongArray()
+      val digs = GraftKernels.cdcChunks(payload).toLongArray()
+      // lengths are positive and sum to the payload size (a partition);
+      // the digest SET is the distinct view of the same chunk sequence
+      lens.forall(_ > 0) &&
+        lens.sum == payload.length.toLong &&
+        digs.length <= math.max(lens.length, 1) &&
+        (payload.isEmpty || (lens.nonEmpty && digs.nonEmpty))
+    })
+  }
 }
