@@ -216,6 +216,82 @@ object StreamOps {
       .toDF()
   }
 
+  /** One event type's frozen drift reference: the first `refN` values
+    * (deci-bins) in arrival time order. Bounded by construction.
+    */
+  case class KsRefState(ref: Seq[Long], frozen: Boolean)
+
+  /** One per-micro-batch drift score. */
+  case class KsDrift(event_type: String, n_ref: Long, n_batch: Long,
+      ks_d: Double)
+
+  /** stream_ks_drift: online distribution-drift detection — the
+    * monitoring twin of q_nvd_score_drift's era comparison: each event
+    * type freezes its first `refN` values as the REFERENCE distribution,
+    * and every subsequent micro-batch is scored against it with the
+    * two-sample Kolmogorov-Smirnov distance (the "is production input
+    * drifting from what we validated on" alarm every deployed model
+    * pipeline runs). The KS numerator is exact integer arithmetic over
+    * 1dp value bins — max |k₁·n₂ − k₂·n₁| — with ONE division per
+    * emitted score, so scores are deterministic for a given batching
+    * (per-batch scoring IS the semantics: the alarm fires per
+    * micro-batch or not at all).
+    *
+    * Scale shape: state is ≤ refN longs per event type, frozen after
+    * fill — O(|types|·refN) total, no timeout needed; scoring is one
+    * in-memory merge per key per batch. Strict (time, id) in-batch
+    * ordering keeps the reference fill deterministic under replay.
+    */
+  def ksDriftStream(events: DataFrame, refN: Int = 500): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+    def ksD(a: Seq[Long], b: Seq[Long]): Double = {
+      val n1 = a.size.toLong
+      val n2 = b.size.toLong
+      val c1 = a.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val c2 = b.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      var k1 = 0L; var k2 = 0L; var best = 0L
+      (c1.keySet ++ c2.keySet).toSeq.sorted.foreach { v =>
+        k1 += c1.getOrElse(v, 0L)
+        k2 += c2.getOrElse(v, 0L)
+        best = math.max(best, math.abs(k1 * n2 - k2 * n1))
+      }
+      math.rint(best.toDouble / (n1 * n2) * 1e6) / 1e6
+    }
+
+    events
+      .select(col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("value").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[(String, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[KsRefState]) =>
+          var s = state.getOption.getOrElse(KsRefState(Vector.empty, false))
+          val bins = it.toSeq.sortBy(e => (e._3, e._2))
+            .map(e => math.round(e._4 * 10)) // 1dp deci-bins, exact longs
+          var ref = s.ref
+          var consumed = 0
+          if (!s.frozen) {
+            val need = refN - ref.size
+            ref = ref ++ bins.take(need)
+            consumed = math.min(need, bins.size)
+          }
+          val frozen = ref.size >= refN
+          val scored = bins.drop(consumed)
+          val out =
+            if (frozen && scored.nonEmpty)
+              Iterator.single(KsDrift(etype, ref.size.toLong,
+                scored.size.toLong, ksD(ref, scored)))
+            else Iterator.empty
+          state.update(KsRefState(ref, frozen))
+          out
+      }
+      .toDF()
+  }
+
   /** Keyed running moments for one event type: count and EXACT decimal
     * sum / sum-of-squares of the 4dp-rounded values (4dp values and
     * their 8dp squares are exactly representable — the same invariant

@@ -685,6 +685,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === before)
   }
 
+  test("stream_ks_drift: per-batch scores match a driver KS reference " +
+      "and the batch path scores the post-reference remainder once") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val evs = eventsAsCase().sortBy(e => (micros(e.ts), e.event_id))
+    val refN = 100 // sf0.001 has ~200 events/type; freeze early, score the rest
+
+    def ksD(a: Seq[Long], b: Seq[Long]): Double = {
+      val n1 = a.size.toLong; val n2 = b.size.toLong
+      val c1 = a.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val c2 = b.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      var k1 = 0L; var k2 = 0L; var best = 0L
+      (c1.keySet ++ c2.keySet).toSeq.sorted.foreach { v =>
+        k1 += c1.getOrElse(v, 0L); k2 += c2.getOrElse(v, 0L)
+        best = math.max(best, math.abs(k1 * n2 - k2 * n1))
+      }
+      math.rint(best.toDouble / (n1 * n2) * 1e6) / 1e6
+    }
+
+    // driver reference for a given chunking: per type, first 500
+    // deci-bins freeze; every later chunk scores once
+    def expected(chunks: Seq[Seq[Ev]]): Seq[(String, Long, Long, Double)] = {
+      val ref = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Double)]
+      chunks.foreach { chunk =>
+        chunk.groupBy(_.event_type).toSeq.sortBy(_._1).foreach {
+          case (et, es) =>
+            val bins = es.sortBy(e => (micros(e.ts), e.event_id))
+              .map(e => math.round(e.value * 10))
+            var r = ref.getOrElse(et, Vector.empty)
+            var consumed = 0
+            if (r.size < refN) {
+              val need = refN - r.size
+              r = r ++ bins.take(need)
+              consumed = math.min(need, bins.size)
+            }
+            ref(et) = r
+            val scored = bins.drop(consumed)
+            if (r.size >= refN && scored.nonEmpty)
+              out += ((et, r.size.toLong, scored.size.toLong,
+                ksD(r, scored)))
+        }
+      }
+      out.toSeq
+    }
+
+    val chunks = evs.grouped(evs.size / 3 + 1).toSeq
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.ksDriftStream(stream.toDF(), refN = refN)
+      .writeStream.format("memory").queryName("ks_drift_stream")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val got = spark.table("ks_drift_stream")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got === expected(chunks).toSet)
+      assert(got.nonEmpty) // the corpus must actually produce scores
+    } finally q.stop()
+
+    // batch mode: one group call per type = the single-chunk semantics
+    val batchRun = StreamOps.ksDriftStream(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")), refN = refN)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batchRun === expected(Seq(evs)).toSet)
+  }
+
   test("stream_anomaly: prequential flags are batch-size invariant, " +
       "match a driver reference, and the batch path agrees") {
     import spark.implicits._
