@@ -71,6 +71,7 @@ object SparkEntry {
     "q_events_seasonality" -> (Relational.qEventsSeasonality _),
     "q_markov_stationary" -> (Relational.qMarkovStationary _),
     "q_customer_survival" -> (Relational.qCustomerSurvival _),
+    "q_funnel_latency" -> (Relational.qFunnelLatency _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -598,6 +599,33 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // same min-after-min stage timestamps as q_events_funnel; exact
+    // integer micro gaps, quantile_cont mirrors Spark's percentile
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+                        CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+            v AS (SELECT user_id, min(tus) AS v_ts FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.tus) AS c_ts FROM e
+                  JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.tus > v.v_ts
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.tus) AS p_ts FROM e
+                  JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.tus > c.c_ts
+                  GROUP BY e.user_id),
+            g AS (SELECT 'view>click' AS transition,
+                      c.c_ts - v.v_ts AS gap_us
+                  FROM v JOIN c ON c.user_id = v.user_id
+                  UNION ALL
+                  SELECT 'click>purchase', p.p_ts - c.c_ts
+                  FROM c JOIN p ON p.user_id = c.user_id)
+         SELECT transition, count(*) AS n_users,
+                round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+                round(quantile_cont(gap_us, 0.95), 6) AS p95_us,
+                min(gap_us) AS min_us, max(gap_us) AS max_us
+         FROM g GROUP BY transition ORDER BY transition""",
 
     // exp of an ORDERED running ln-sum: both engines fold the identical
     // sequence, libm ulp sits nine orders under the 6dp round; ln(0) at

@@ -2286,6 +2286,48 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_funnel_latency: stage-to-stage conversion latency — exact
+    * interpolated p50/p95 (plus min/max) of the view→click and
+    * click→purchase transition times over the SAME min-after-min stage
+    * timestamps q_events_funnel computes ("how long does conversion
+    * take", the timing complement of the funnel's how-many). All gaps
+    * are exact integer micros; `percentile` ≡ quantile_cont.
+    *
+    * Scale shape: the three stage relations are per-user min
+    * aggregates (map-side combined) joined on the user key; the
+    * latency rollup collapses to 2 rows. Nothing outlives the
+    * user-keyed pass.
+    */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tus") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tus") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("p_ts"))
+    val vc = v.join(c, Seq("user_id"))
+      .select(lit("view>click").as("transition"),
+        (col("c_ts") - col("v_ts")).as("gap_us"))
+    val cp = c.join(p, Seq("user_id"))
+      .select(lit("click>purchase").as("transition"),
+        (col("p_ts") - col("c_ts")).as("gap_us"))
+    vc.unionAll(cp)
+      .groupBy(col("transition"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(gap_us, 0.5)"), 6).as("p50_us"),
+        round(expr("percentile(gap_us, 0.95)"), 6).as("p95_us"),
+        min(col("gap_us")).as("min_us"),
+        max(col("gap_us")).as("max_us"))
+      .orderBy(col("transition"))
+  }
+
   /** §2.2 q_customer_survival: Kaplan-Meier-style survival curve over
     * customer lifetimes — S(t) = Π_{i≤t} (1 − dᵢ/nᵢ) where a customer
     * "dies" at their last-order month offset (months since first
