@@ -72,6 +72,7 @@ object SparkEntry {
     "q_markov_stationary" -> (Relational.qMarkovStationary _),
     "q_customer_survival" -> (Relational.qCustomerSurvival _),
     "q_funnel_latency" -> (Relational.qFunnelLatency _),
+    "q_user_overlap" -> (Relational.qUserOverlap _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -599,6 +600,25 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // exact integer set sizes from one deduplicated (user, type)
+    // relation; Jaccard is the single 6dp float
+    "q_user_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            s AS (SELECT event_type, count(*) AS n FROM ut
+                  GROUP BY event_type),
+            i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      count(*) AS n_both
+                  FROM ut a JOIN ut b
+                    ON b.user_id = a.user_id
+                   AND a.event_type < b.event_type
+                  GROUP BY type_a, type_b)
+         SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+                round(CAST(i.n_both AS DOUBLE) /
+                      (sa.n + sb.n - i.n_both), 6) AS jaccard
+         FROM i JOIN s sa ON sa.event_type = i.type_a
+                JOIN s sb ON sb.event_type = i.type_b
+         ORDER BY i.type_a, i.type_b""",
 
     // same min-after-min stage timestamps as q_events_funnel; exact
     // integer micro gaps, quantile_cont mirrors Spark's percentile

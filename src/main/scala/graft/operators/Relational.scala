@@ -2286,6 +2286,44 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_user_overlap: pairwise audience overlap — exact Jaccard of
+    * the user sets behind every event-type pair ("are clickers the
+    * same people as purchasers"), the set-similarity view of the
+    * funnel the per-user q_user_setops rollup doesn't give. All set
+    * sizes are exact integers from ONE deduplicated (user, type)
+    * relation; Jaccard is the single float, 6dp.
+    *
+    * Scale shape: the fact collapses to distinct (user, type) first
+    * (map-side-combined, ≤ |users|·|types| rows); the pair join is
+    * user-co-partitioned with the type inequality filtered in place —
+    * per-user cost bounded by |types|², never corpus-quadratic; sizes
+    * broadcast back into the |types|²-row result.
+    */
+  def qUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist()
+    ut.count() // eager: sizes + both join sides consume it
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** §2.2 q_funnel_latency: stage-to-stage conversion latency — exact
     * interpolated p50/p95 (plus min/max) of the view→click and
     * click→purchase transition times over the SAME min-after-min stage
