@@ -73,6 +73,7 @@ object SparkEntry {
     "q_customer_survival" -> (Relational.qCustomerSurvival _),
     "q_funnel_latency" -> (Relational.qFunnelLatency _),
     "q_user_overlap" -> (Relational.qUserOverlap _),
+    "q_revenue_retention" -> (Relational.qRevenueRetention _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -600,6 +601,32 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // decimal-exact revenue through the year-shifted customer semi-join;
+    // the two rates are single 6dp divisions
+    "q_revenue_retention" ->
+      """WITH yc AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                         o_custkey,
+                         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                     FROM orders GROUP BY yr, o_custkey),
+            tot AS (SELECT yr, sum(rev) AS tot_rev,
+                        count(*) AS n_customers
+                    FROM yc GROUP BY yr),
+            ret AS (SELECT cur.yr, sum(cur.rev) AS ret_rev,
+                        count(*) AS n_retained
+                    FROM yc cur JOIN yc prev
+                      ON prev.o_custkey = cur.o_custkey
+                     AND prev.yr = cur.yr - 1
+                    GROUP BY cur.yr)
+         SELECT t.yr, CAST(t.tot_rev AS DOUBLE) AS tot_rev,
+                r.n_retained,
+                round(CAST(r.ret_rev AS DOUBLE) /
+                      CAST(p.tot_rev AS DOUBLE), 6) AS nrr,
+                round(CAST(r.n_retained AS DOUBLE) / p.n_customers, 6)
+                  AS logo_retention
+         FROM tot t JOIN ret r ON r.yr = t.yr
+         JOIN tot p ON p.yr = t.yr - 1
+         ORDER BY t.yr""",
 
     // exact integer set sizes from one deduplicated (user, type)
     // relation; Jaccard is the single 6dp float

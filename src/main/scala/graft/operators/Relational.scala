@@ -2286,6 +2286,51 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_revenue_retention: net revenue retention per year — this
+    * year's revenue FROM LAST YEAR'S CUSTOMERS over last year's total
+    * ("did the existing base grow or shrink before counting new
+    * logos"), plus the customer-count retention rate. The cohort-money
+    * twin of q_orders_cohort's count matrix. Revenue stays exact
+    * decimal through the semi-join and both rollups; the two rates are
+    * single 6dp divisions.
+    *
+    * Scale shape: orders collapse once to the (year, customer) grain
+    * (map-side combined); the returning-customer check is a slim
+    * year-shifted self-semi-join on the customer key; final rollup is
+    * |years| rows.
+    */
+  def qRevenueRetention(spark: SparkSession, dir: String): DataFrame = {
+    val yc = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"),
+        col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .persist()
+    yc.count() // eager: base totals + both semi-join sides consume it
+    val tot = yc.groupBy(col("yr"))
+      .agg(sum(col("rev")).as("tot_rev"),
+        count(lit(1)).as("n_customers"))
+    val retained = yc.select((col("yr") + 1).as("yr"),
+      col("o_custkey").as("prev_cust"))
+      .join(yc.select(col("yr"), col("o_custkey").as("prev_cust"),
+        col("rev")), Seq("yr", "prev_cust"))
+      .groupBy(col("yr"))
+      .agg(sum(col("rev")).as("ret_rev"),
+        count(lit(1)).as("n_retained"))
+    tot.select(col("yr"), col("tot_rev"), col("n_customers"))
+      .join(retained, Seq("yr"))
+      .join(tot.select((col("yr") + 1).as("yr"),
+        col("tot_rev").as("prev_rev"),
+        col("n_customers").as("prev_customers")), Seq("yr"))
+      .select(col("yr"),
+        col("tot_rev").cast("double").as("tot_rev"),
+        col("n_retained"),
+        round(col("ret_rev").cast("double") /
+          col("prev_rev").cast("double"), 6).as("nrr"),
+        round(col("n_retained").cast("double") /
+          col("prev_customers").cast("double"), 6).as("logo_retention"))
+      .orderBy(col("yr"))
+  }
+
   /** §2.2 q_user_overlap: pairwise audience overlap — exact Jaccard of
     * the user sets behind every event-type pair ("are clickers the
     * same people as purchasers"), the set-similarity view of the
