@@ -147,6 +147,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_semantic" -> (Dedup.dedupSemantic _),
     "sim_dbscan" -> (Dedup.simDbscan _),
+    "sim_dbscan_purity" -> (Dedup.simDbscanPurity _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_containment" -> (Dedup.dedupContainment _),
     "dedup_stats" -> (Dedup.dedupStats _),
@@ -2044,6 +2045,59 @@ object SparkEntry {
          LEFT JOIN cc ON cc.id = e.vec_id
          LEFT JOIN brd ON brd.id = e.vec_id
          ORDER BY e.vec_id"""
+    },
+
+    // the same DBSCAN CTE stack joined to ground-truth labels: integer
+    // majority argmax (smallest-label tie-break), one 6dp purity division
+    "sim_dbscan_purity" -> {
+      val buckets = Dedup.embeddingBucketSqlExprs("e")
+      val sigSelects = buckets.zipWithIndex
+        .map { case (s, i) => s"$s AS s$i" }.mkString(",\n                ")
+      val anyBucket = buckets.indices.map(i => s"a.s$i = b.s$i").mkString(" OR ")
+      s"""WITH RECURSIVE
+          s AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                $sigSelects
+              FROM embeddings e),
+          p AS (SELECT a.vec_id AS i, b.vec_id AS j
+                FROM s a JOIN s b
+                  ON a.vec_id < b.vec_id AND ($anyBucket)
+                WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                      >= ${Dedup.DbscanTau}),
+          sym AS (SELECT i AS a, j AS b FROM p
+                  UNION ALL SELECT j, i FROM p),
+          deg AS (SELECT a AS id, count(*) AS n FROM sym GROUP BY a),
+          core AS (SELECT id FROM deg WHERE n >= ${Dedup.DbscanMinPts}),
+          eg AS (SELECT sym.a AS src, sym.b AS dst FROM sym
+                 WHERE sym.a IN (SELECT id FROM core)
+                   AND sym.b IN (SELECT id FROM core)),
+          reach AS (
+            SELECT id, id AS lab FROM core
+            UNION
+            SELECT eg.dst AS id, r.lab FROM reach r JOIN eg ON eg.src = r.id),
+          cc AS (SELECT id, min(lab) AS cid FROM reach GROUP BY id),
+          brd AS (SELECT sym.a AS id, min(cc.cid) AS cid
+                  FROM sym JOIN cc ON cc.id = sym.b
+                  WHERE sym.a NOT IN (SELECT id FROM core)
+                  GROUP BY sym.a),
+          asg AS (SELECT e.vec_id,
+                      COALESCE(cc.cid, brd.cid) AS cluster_id,
+                      CAST(e.label AS BIGINT) AS label
+                  FROM embeddings e
+                  LEFT JOIN cc ON cc.id = e.vec_id
+                  LEFT JOIN brd ON brd.id = e.vec_id
+                  WHERE COALESCE(cc.cid, brd.cid) IS NOT NULL),
+          cl AS (SELECT cluster_id, label, count(*) AS n
+                 FROM asg GROUP BY cluster_id, label),
+          mj AS (SELECT cluster_id,
+                     CAST(sum(n) AS BIGINT) AS n_members,
+                     max(struct_pack(n := n, neg := -label)) AS w
+                 FROM cl GROUP BY cluster_id)
+         SELECT cluster_id, n_members,
+                CAST(-w.neg AS BIGINT) AS majority_label,
+                w.n AS n_majority,
+                round(CAST(w.n AS DOUBLE) / n_members, 6) AS purity
+         FROM mj ORDER BY cluster_id"""
     },
 
     // Same RHP candidate generation as dedup_embedding (shared constants),

@@ -1088,4 +1088,39 @@ object Dedup {
           .cast("bigint").as("cluster_id"))
       .orderBy(col("vec_id"))
   }
+
+  /** §2.3 sim_dbscan_purity: cluster-quality evaluation of the DBSCAN
+    * labeling against the embeddings' ground-truth `label` column — per
+    * cluster: size, majority label, and purity (majority share). The
+    * evaluation step every clustering pipeline runs before trusting
+    * cluster-level decisions (downsample this template, keep that
+    * tail); noise (−1) is excluded — purity grades CLUSTERS, not the
+    * decision to leave a point out. All counts are exact integers; the
+    * majority argmax ties break on the SMALLEST label via an integer
+    * struct max; purity is the single 6dp float.
+    *
+    * Scale shape: the cluster assignment pipeline (see [[simDbscan]])
+    * plus one broadcast label join and two map-side-combined
+    * aggregates over |clusters|·|labels| rows.
+    */
+  def simDbscanPurity(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = simDbscan(spark, dir)
+      .filter(col("cluster_id") >= 0)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("bigint").as("label")),
+        Seq("vec_id"))
+    labeled
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("n")).cast("bigint").as("n_members"),
+        max(struct(col("n").as("n"), (-col("label")).as("neg")))
+          .as("w"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("w.neg")).cast("bigint").as("majority_label"),
+        col("w.n").as("n_majority"),
+        round(col("w.n").cast("double") /
+          col("n_members").cast("double"), 6).as("purity"))
+      .orderBy(col("cluster_id"))
+  }
 }
