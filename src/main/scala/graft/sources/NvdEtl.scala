@@ -44,10 +44,19 @@ object NvdEtl {
 
   /** Absolute form shared by the SparkEntry queries and their oracle SQL —
     * the driver may run Spark and DuckDB from arbitrary working dirs, so
-    * the contract surface pins the one canonical location.
+    * the contract surface pins ONE canonical location. Resolved from the
+    * repo-root cwd when the checkout is visible there (the forked-JVM
+    * convention, so any checkout location works — same rationale as
+    * [[DefaultSchemaPath]]); the sandbox absolute path is only the
+    * fallback for callers with a foreign cwd.
     */
-  val FixtureAbsPath = s"/root/repo/$FixturePath"
-  val RecentFixtureAbsPath = s"/root/repo/$RecentFixturePath"
+  private def absOf(rel: String): String = {
+    val p = java.nio.file.Paths.get(rel)
+    if (java.nio.file.Files.exists(p)) p.toAbsolutePath.toString
+    else s"/root/repo/$rel"
+  }
+  val FixtureAbsPath = absOf(FixturePath)
+  val RecentFixtureAbsPath = absOf(RecentFixturePath)
 
   /** Schema of one CVE item (schema.json → StructType). */
   def itemSchema(schemaPath: String = DefaultSchemaPath): StructType =
