@@ -21,6 +21,14 @@ while true; do
     streak=0
   fi
   if [ "$streak" -ge 2 ]; then
+    # never race a foreign bench/verify JVM (e.g. the driver's own
+    # round-end run): skip this trigger and keep watching
+    if pgrep -f "graft.(Bench|Verify)" > /dev/null; then
+      echo "$(date +%H:%M:%S) quiet but a graft JVM is running — deferring" >> /tmp/quiet_watch.log
+      streak=1
+      sleep 240
+      continue
+    fi
     echo "$(date +%H:%M:%S) QUIET WINDOW — launching bench" >> /tmp/quiet_watch.log
     touch /tmp/graft_bench_running
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RUNS=2 \
