@@ -74,6 +74,7 @@ object SparkEntry {
     "q_funnel_latency" -> (Relational.qFunnelLatency _),
     "q_user_overlap" -> (Relational.qUserOverlap _),
     "q_revenue_retention" -> (Relational.qRevenueRetention _),
+    "q_size_price_spearman" -> (Relational.qSizePriceSpearman _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -602,6 +603,45 @@ object SparkEntry {
                 round(CAST(n_days * ssq - n_events * n_events AS DOUBLE) /
                       CAST((n_days - 1) * n_events AS DOUBLE), 6) AS fano
          FROM m ORDER BY event_type""",
+
+    // tie-averaged ranks doubled to integers (2r = 2|less| + |equal| + 1);
+    // Pearson-over-ranks on integer moments, one sqrt + one division
+    "q_size_price_spearman" ->
+      """WITH p AS (SELECT p_brand, CAST(p_size AS DOUBLE) AS sz,
+                        p_retailprice AS pr FROM part),
+            hx AS (SELECT p_brand, sz, count(*) AS cnt FROM p
+                   GROUP BY p_brand, sz),
+            rx AS (SELECT p_brand, sz,
+                       2 * COALESCE(sum(cnt) OVER (PARTITION BY p_brand
+                           ORDER BY sz ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + cnt + 1 AS rx
+                   FROM hx),
+            hy AS (SELECT p_brand, pr, count(*) AS cnt FROM p
+                   GROUP BY p_brand, pr),
+            ry AS (SELECT p_brand, pr,
+                       2 * COALESCE(sum(cnt) OVER (PARTITION BY p_brand
+                           ORDER BY pr ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + cnt + 1 AS ry
+                   FROM hy),
+            j AS (SELECT p.p_brand, CAST(rx.rx AS BIGINT) AS rx,
+                      CAST(ry.ry AS BIGINT) AS ry
+                  FROM p JOIN rx ON rx.p_brand = p.p_brand
+                                AND rx.sz = p.sz
+                         JOIN ry ON ry.p_brand = p.p_brand
+                                AND ry.pr = p.pr),
+            m AS (SELECT p_brand, count(*) AS n_parts,
+                      CAST(sum(rx) AS BIGINT) AS sx,
+                      CAST(sum(ry) AS BIGINT) AS sy,
+                      CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                      CAST(sum(ry * ry) AS BIGINT) AS syy,
+                      CAST(sum(rx * ry) AS BIGINT) AS sxy
+                  FROM j GROUP BY p_brand)
+         SELECT p_brand, n_parts,
+                round(CAST(n_parts * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n_parts * sxx - sx * sx AS DOUBLE) *
+                           CAST(n_parts * syy - sy * sy AS DOUBLE)), 6)
+                  AS spearman
+         FROM m ORDER BY p_brand""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

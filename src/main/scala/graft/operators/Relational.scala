@@ -2286,6 +2286,60 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2 q_size_price_spearman: Spearman rank correlation between part
+    * size and retail price per brand — the RANK-statistics member of
+    * the statistical family (corr = linear, elasticity = OLS, this =
+    * monotonic association robust to outliers and nonlinearity). Ranks
+    * never materialize as floats: the tie-averaged rank doubles to the
+    * INTEGER 2r = 2·|less| + |equal| + 1, Pearson-over-ranks runs on
+    * exact integer moments, and the closed form spends exactly one
+    * IEEE sqrt and one division per brand.
+    *
+    * Scale shape: per-brand distinct-value histograms (map-side
+    * combined) carry the prefix sums — the rank windows run over
+    * |distinct values| rows per brand, never the part rows; ranks join
+    * back brand-co-partitioned; one moment aggregate per brand.
+    */
+  def qSizePriceSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_size"), col("p_retailprice"))
+      .persist()
+    parts.count() // eager: two rank derivations + the moment join
+    def ranks(value: Column, name: String): DataFrame = {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parts.select(col("p_brand"), value.as("v"))
+        .groupBy(col("p_brand"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("lt", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col("p_brand"), col("v"),
+          (lit(2L) * col("lt") + col("cnt") + 1L).as(name))
+    }
+    val rs = ranks(col("p_size").cast("double"), "rx")
+      .select(col("p_brand").as("bx"), col("v").as("sz"), col("rx"))
+    val rp = ranks(col("p_retailprice"), "ry")
+      .select(col("p_brand").as("by"), col("v").as("pr"), col("ry"))
+    parts
+      .join(rs, col("p_brand") === col("bx") &&
+        col("p_size").cast("double") === col("sz"))
+      .join(rp, col("p_brand") === col("by") &&
+        col("p_retailprice") === col("pr"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("p_brand"), col("n_parts"),
+        round((col("n_parts") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt((col("n_parts") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n_parts") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 6).as("spearman"))
+      .orderBy(col("p_brand"))
+  }
+
   /** §2.2 q_revenue_retention: net revenue retention per year — this
     * year's revenue FROM LAST YEAR'S CUSTOMERS over last year's total
     * ("did the existing base grow or shrink before counting new
