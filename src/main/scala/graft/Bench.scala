@@ -56,16 +56,62 @@ object Bench {
     * stays monotone in neighbor-CPU contention either way.
     */
   /** Committed quiet-window calibration floor for the probe median, in
-    * r7 units (1000-LCG-step chunks per 2 s per worker). Quiet windows
-    * on this host measure ~1.7-1.9M across four rounds; observed storm
-    * windows measure 1.22-1.29M (r9) down to ~0.9M. The floor sits just
-    * under the quiet band so `probe_quiet` is a conservative claim: true
-    * ⇒ every probe sample (before / between runs / after) was within
-    * ~6% of the calibrated quiet floor and the totals are record-valid;
-    * false ⇒ the artifact is direction-valid only (a storm window can
-    * never silently become a committed record again).
+    * r7 units (1000-LCG-step chunks per 2 s per worker). The floor sits
+    * just under the current host's quiet band so `probe_quiet` is a
+    * conservative claim: true ⇒ every probe sample (before / between
+    * runs / after) was within a few percent of the calibrated quiet
+    * floor and the totals are record-valid; false ⇒ the artifact is
+    * direction-valid only (a storm window can never silently become a
+    * committed record again).
+    *
+    * CALIBRATION IS PER HARDWARE ERA — the floor moves only with a
+    * documented host migration, never to bless a noisy window:
+    *  - era 1 (r7 through the 2026-08-14 10:20 reboot): quiet band
+    *    ~1.7-1.9M, storms 0.9-1.3M, floor 1.6M.
+    *  - era 2 (after that reboot; 2.10 GHz Xeon, ~0.72× era-1
+    *    per-core): quiet band 1.26-1.35M measured over 5 h of 4-min
+    *    probes with /proc/stat steal ≤2.5% (zero over idle samples) —
+    *    a band that on era-1 hardware meant a storm now IS quiet, the
+    *    kernel's own steal counters agree, and 1.6M is unreachable at
+    *    any contention level. Floor 1.2M. Era-1 and era-2 times/probe
+    *    values are comparable only through the ~0.72 scale factor (see
+    *    BASELINE.md "Host migration").
+    * Each probe sample now also carries its /proc/stat steal
+    * percentage (`steal_pct`, -1 where unavailable), so the artifact
+    * holds kernel-level quietness evidence independent of this
+    * calibration.
     */
-  val QuietProbeMedianFloor = 1600000L
+  val QuietProbeMedianFloor = 1200000L
+
+  /** Cumulative (steal, total) jiffies from /proc/stat's aggregate cpu
+    * line; (0, -1) where the file is absent (non-Linux). Sampled either
+    * side of a probe window, the delta gives the kernel's OWN account of
+    * neighbor-CPU steal during the probe — evidence of (non-)contention
+    * that needs no throughput calibration at all.
+    */
+  def stealSample(): (Long, Long) = {
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, -1L) }
+  }
+
+  /** [[probe]] bracketed by [[stealSample]]: (min, median, max,
+    * stealPct) where stealPct is the percentage of all-CPU jiffies the
+    * hypervisor stole during the 2 s probe window (-1.0 unavailable).
+    */
+  def probeWithSteal(workers: Int = 32, seconds: Double = 2.0)
+      : (Long, Long, Long, Double) = {
+    val (s0, t0) = stealSample()
+    val (mn, md, mx) = probe(workers, seconds)
+    val (s1, t1) = stealSample()
+    val pct =
+      if (t1 < 0 || t0 < 0 || t1 == t0) -1.0
+      else 100.0 * (s1 - s0) / (t1 - t0)
+    (mn, md, mx, pct)
+  }
 
   def probe(workers: Int = 32, seconds: Double = 2.0): (Long, Long, Long) = {
     val counts = new Array[Long](workers)
@@ -98,7 +144,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(GraftSession.envCpus)
     val sc = spark.sparkContext
-    val probeBefore = probe()
+    val probeBefore = probeWithSteal()
     // worst residual pinned storage observed AFTER any between-query
     // cleanup: ~0 means the session stayed clean; megabytes mean blocks
     // are outliving their query and the suite totals deserve suspicion
@@ -155,9 +201,9 @@ object Bench {
     // runs: endpoint probes can both read quiet while steal rises
     // mid-window, and the between-runs sample is what separates "run 2
     // inflated because the host got busy" from a real regression.
-    val midProbes = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val midProbes = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
     val extraRuns = (2 to nRuns).map { _ =>
-      midProbes += probe()
+      midProbes += probeWithSteal()
       val w = scala.collection.mutable.LinkedHashMap[String, Double]()
       names.foreach { name =>
         w(name) = timeOne(SparkEntry.queries(name)).getOrElse(-1.0)
@@ -167,11 +213,20 @@ object Bench {
     val allWarm: Seq[collection.Map[String, Double]] = warm +: extraRuns
     // per-query max/min ratio across runs (positive times only) — the
     // reproducibility evidence, embedded
-    val ratios = names.flatMap { n =>
-      val ts = allWarm.map(_.getOrElse(n, -1.0)).filter(_ > 0)
-      if (ts.size == allWarm.size) Some(n -> ts.max / ts.min) else None
+    def ratioMap(runs: Seq[collection.Map[String, Double]])
+        : Map[String, Double] = names.flatMap { n =>
+      val ts = runs.map(_.getOrElse(n, -1.0)).filter(_ > 0)
+      if (ts.size == runs.size) Some(n -> ts.max / ts.min) else None
     }.toMap
-    val probeAfter = probe()
+    val ratios = ratioMap(allWarm)
+    // run 1's "warm" pass still pays suite-wide JVM/JIT warm-up (the
+    // quiet-window record shows run 2 faster than run 1 on ~170 of 184
+    // queries, uniformly, with sub-second queries up to 3×) — so the
+    // STEADY ratio, computed across runs 2..N only when ≥3 runs exist,
+    // is the reproducibility claim free of that systematic one-sided
+    // drift; the all-runs ratio stays embedded so the warm-up is visible
+    val steadyRatios = if (extraRuns.size >= 2) ratioMap(extraRuns) else ratios
+    val probeAfter = probeWithSteal()
 
     def rd(v: Double, dp: Int): String =
       new java.math.BigDecimal(v).setScale(dp, java.math.RoundingMode.HALF_UP)
@@ -190,8 +245,9 @@ object Bench {
     def jsmap(m: collection.Map[String, String]): String =
       m.map { case (k, v) => s"\"${jstr(k)}\":\"${jstr(v)}\"" }
         .mkString("{", ",", "}")
-    def jprobe(p: (Long, Long, Long)): String =
-      s"""{"min_kiter":${p._1},"median_kiter":${p._2},"max_kiter":${p._3}}"""
+    def jprobe(p: (Long, Long, Long, Double)): String =
+      s"""{"min_kiter":${p._1},"median_kiter":${p._2},"max_kiter":${p._3},""" +
+        s""""steal_pct":${rd(p._4, 2)}}"""
 
     val total = warm.values.filter(_ >= 0).sum
     // Three report surfaces. The harness that collects stdout keeps only a
@@ -207,6 +263,8 @@ object Bench {
     val runTotals = allWarm.map(w => w.values.filter(_ >= 0).sum)
     val worstRatios = ratios.toSeq.sortBy(-_._2).take(5).toMap
     val maxRatio = if (ratios.isEmpty) 0.0 else ratios.values.max
+    val steadyWorst = steadyRatios.toSeq.sortBy(-_._2).take(5).toMap
+    val steadyMax = if (steadyRatios.isEmpty) 0.0 else steadyRatios.values.max
     val runsJson = allWarm.map(w => jmap(w)).mkString("[", ",", "]")
     // the quiet verdict: EVERY probe sample's median clears the committed
     // calibration floor — a storm window reads false and the artifact is
@@ -214,7 +272,7 @@ object Bench {
     val allProbes = (probeBefore +: midProbes.toSeq) :+ probeAfter
     val probeQuiet = allProbes.forall(_._2 >= QuietProbeMedianFloor)
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_worst":${jmap(steadyWorst)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev run must never clobber the committed
     // full-suite record (r7 postmortem: a 3-query rerun overwrote the
     // round's only full-suite detail) — filtered runs get their own file
@@ -232,7 +290,7 @@ object Bench {
     val slowestFirst = warm.toSeq.sortBy(-_._2)
     def finalLine(k: Int, dp: Int): String = {
       val shown = scala.collection.immutable.ListMap(slowestFirst.take(k): _*)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"probe_quiet":$probeQuiet,"detail":"$detailPath","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"repro_steady_max_ratio":${r3(steadyMax)},"probe_quiet":$probeQuiet,"detail":"$detailPath","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
     }
     // largest slowest-query prefix that fits the capture window at 2dp
     val line = (names.size to 1 by -1).iterator.map(finalLine(_, 2))

@@ -11,8 +11,9 @@ package graft
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val (mn, md, mx) = Bench.probe()
+    val (mn, md, mx, steal) = Bench.probeWithSteal()
     println(s"""{"min":$mn,"median":$md,"max":$mx,""" +
+      f""""steal_pct":$steal%.2f,""" +
       s""""quiet":${md >= Bench.QuietProbeMedianFloor}}""")
   }
 }
