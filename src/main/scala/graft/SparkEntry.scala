@@ -75,10 +75,13 @@ object SparkEntry {
     "q_user_overlap" -> (Relational.qUserOverlap _),
     "q_revenue_retention" -> (Relational.qRevenueRetention _),
     "q_size_price_spearman" -> (Relational.qSizePriceSpearman _),
+    "q_value_mannwhitney" -> (Relational.qValueMannwhitney _),
+    "q_benford_audit" -> (Relational.qBenfordAudit _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
     "text_hapax" -> (TextAnalysis.textHapax _),
+    "text_simpson_diversity" -> (TextAnalysis.textSimpsonDiversity _),
     "q_user_streaks" -> (Relational.qUserStreaks _),
     "q_supplier_hhi" -> (Relational.qSupplierHhi _),
     "q_events_entropy" -> (Relational.qEventsEntropy _),
@@ -643,6 +646,63 @@ object SparkEntry {
                   AS spearman
          FROM m ORDER BY p_brand""",
 
+    // combined tie-averaged ranks doubled to integers; doubled U stays
+    // BIGINT; tie-corrected z is one sqrt + one division per dow
+    "q_value_mannwhitney" ->
+      """WITH e AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                        event_type, value FROM events
+                    WHERE event_type IN ('purchase', 'click')),
+            h AS (SELECT dow, value,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS ct
+                  FROM e GROUP BY dow, value),
+            r AS (SELECT dow, c1, ct,
+                      2 * COALESCE(sum(ct) OVER (PARTITION BY dow
+                          ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + ct + 1 AS r2
+                  FROM h),
+            m AS (SELECT dow, CAST(sum(c1) AS BIGINT) AS n1,
+                      CAST(sum(ct - c1) AS BIGINT) AS n2,
+                      CAST(sum(c1 * r2) AS BIGINT) AS sr1,
+                      CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie
+                  FROM r GROUP BY dow)
+         SELECT dow, n1, n2,
+                CAST(sr1 - n1 * (n1 + 1) AS BIGINT) AS u2x,
+                round(CAST(sr1 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) /
+                      (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 *
+                          (CAST(n1 + n2 + 1 AS DOUBLE) -
+                           CAST(tie AS DOUBLE) /
+                           CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))),
+                      6) AS z
+         FROM m ORDER BY dow""",
+
+    // first digit from the DECIMAL's canonical string (no float log10);
+    // Benford expectations are shared 6dp literals; shares are single
+    // float divisions off exact integer counts
+    "q_benford_audit" ->
+      """WITH d AS (SELECT CAST(regexp_extract(
+                        CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             AS VARCHAR), '[1-9]', 0) AS BIGINT) AS digit
+                    FROM lineitem),
+            h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_items
+                  FROM d GROUP BY digit),
+            t AS (SELECT digit, n_items,
+                      sum(n_items) OVER () AS total,
+                      CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                      WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                      WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                      WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                      ELSE 0.045757 END AS p
+                  FROM h)
+         SELECT digit, n_items,
+                round(CAST(n_items AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                  AS pct,
+                CAST(p AS DOUBLE) AS benford_pct,
+                round(abs(CAST(n_items AS DOUBLE) / CAST(total AS DOUBLE)
+                          - CAST(p AS DOUBLE)), 6) AS abs_dev
+         FROM t ORDER BY digit""",
+
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions
     "q_revenue_retention" ->
@@ -964,6 +1024,28 @@ object SparkEntry {
                 round(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_share,
                 round(CAST(vocab AS DOUBLE) / n_tokens, 6)
                   AS type_token_ratio
+         FROM m ORDER BY source""",
+
+    // integer moments (vocab, N, sum f(f-1)); the three diversity
+    // outputs are single float divisions off the same integer pair
+    "text_simpson_diversity" ->
+      """WITH tf AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+            df AS (SELECT source, term, count(*) AS f FROM tf
+                   GROUP BY source, term),
+            m AS (SELECT source, count(*) AS vocab,
+                      CAST(sum(f) AS BIGINT) AS n_tokens,
+                      CAST(sum(f * (f - 1)) AS BIGINT) AS coll
+                  FROM df GROUP BY source)
+         SELECT source, n_tokens, vocab,
+                round(CAST(coll AS DOUBLE) /
+                      CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6)
+                  AS simpson,
+                round(1.0 - CAST(coll AS DOUBLE) /
+                      CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6)
+                  AS gini_simpson,
+                round(CAST(n_tokens * (n_tokens - 1) AS DOUBLE) /
+                      CAST(coll AS DOUBLE), 6) AS inv_simpson
          FROM m ORDER BY source""",
 
     // gaps-and-islands: day - dense_rank(day) is constant exactly within

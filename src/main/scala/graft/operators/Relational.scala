@@ -2977,4 +2977,97 @@ object Relational {
           log(lit(24.0)), 6).as("norm_entropy"))
       .orderBy(col("event_type"))
   }
+
+  /** §2.2 q_value_mannwhitney: Mann-Whitney U rank-sum test per
+    * day-of-week — does the purchase-value distribution differ from the
+    * click-value distribution? The NONPARAMETRIC two-sample member of
+    * the statistical family (spearman = rank association, this =
+    * rank-based location shift, no normality assumption — the test a
+    * data-quality pipeline runs when value distributions are skewed).
+    * Same integer-rank discipline as spearman: tie-averaged combined
+    * ranks doubled to the INTEGER 2r = 2·|less| + |equal| + 1, the
+    * doubled U statistic 2U₁ = Σ₁2r − n₁(n₁+1) stays a BIGINT, and the
+    * tie-corrected normal approximation
+    * z = (2U₁ − n₁n₂) / (2·σ), σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1)))
+    * spends exactly one sqrt and one division per group at the end.
+    *
+    * Scale shape: per-(dow, value) histograms (map-side combined) carry
+    * the rank prefix sums — windows run over |distinct values| rows per
+    * dow, never the event rows; one moment aggregate per dow closes it.
+    */
+  def qValueMannwhitney(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(expr("CAST(dayofweek(ts) AS BIGINT)").as("dow"),
+        col("event_type"), col("value"))
+    val hist = ev.groupBy(col("dow"), col("value"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"),
+        count(lit(1)).as("ct"))
+    val w = Window.partitionBy(col("dow")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("lt", coalesce(sum(col("ct")).over(w), lit(0L)))
+      .select(col("dow"), col("c1"), col("ct"),
+        (lit(2L) * col("lt") + col("ct") + 1L).as("r2"))
+    ranked.groupBy(col("dow"))
+      .agg(sum(col("c1")).as("n1"),
+        sum(col("ct") - col("c1")).as("n2"),
+        sum(col("c1") * col("r2")).as("sr1"),
+        sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie"))
+      .select(col("dow"), col("n1"), col("n2"),
+        (col("sr1") - col("n1") * (col("n1") + 1L)).as("u2x"),
+        round((col("sr1") - col("n1") * (col("n1") + 1L) -
+          col("n1") * col("n2")).cast("double") /
+          (lit(2.0) * sqrt(
+            (col("n1") * col("n2")).cast("double") / 12.0 *
+              ((col("n1") + col("n2") + 1L).cast("double") -
+                col("tie").cast("double") /
+                  ((col("n1") + col("n2")) *
+                    (col("n1") + col("n2") - 1L)).cast("double")))),
+          6).as("z"))
+      .orderBy(col("dow"))
+  }
+
+  /** §2.2 q_benford_audit: Benford first-significant-digit audit over
+    * lineitem extended prices — the fraud/synthetic-data screen a
+    * warehouse DQ pass runs on monetary columns (organically-generated
+    * amounts track log-uniform digit mass; fabricated or truncated
+    * feeds don't). The first digit is extracted from the DECIMAL's
+    * canonical string form (first [1-9] character) — NO float log10 in
+    * either engine, so digit assignment is bit-free-exact; the Benford
+    * expectations are 6dp literal constants shared verbatim with the
+    * oracle, and the observed share / absolute deviation are single
+    * float divisions off exact integer counts, 6dp.
+    *
+    * Scale shape: map-side combine collapses the scan into ≤9 digit
+    * rows before the only shuffle; the expectation join is a literal
+    * 9-row CASE, and the total is a window over 9 rows.
+    */
+  def qBenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    // DOUBLE→string rendering is engine-specific; DECIMAL(18,2)→string
+    // is canonical in both engines (the repo's decimal-exact convention)
+    val digits = Tables.lineitem(spark, dir)
+      .select(regexp_extract(
+        col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        "[1-9]", 0).cast("bigint").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_items"))
+    val expected =
+      """CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+         WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+         WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+         ELSE 0.045757 END"""
+    digits
+      .withColumn("total",
+        sum(col("n_items")).over(Window.partitionBy(lit(1))))
+      .select(col("digit"), col("n_items"),
+        round(col("n_items").cast("double") / col("total").cast("double"),
+          6).as("pct"),
+        expr(expected).cast("double").as("benford_pct"),
+        round(abs(col("n_items").cast("double") /
+          col("total").cast("double") -
+          expr(expected).cast("double")), 6).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
 }

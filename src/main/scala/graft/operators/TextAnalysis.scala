@@ -1106,4 +1106,41 @@ object TextAnalysis {
           (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
       .orderBy(col("c12").desc, col("w1"), col("w2"))
   }
+
+  /** §2.4 text_simpson_diversity: Simpson concentration per source —
+    * the probability two randomly drawn tokens are the SAME type,
+    * D = Σf(f−1)/(N(N−1)), with the Gini-Simpson complement (1−D) and
+    * the inverse-Simpson "effective vocabulary" (1/D, the number of
+    * equally-common types that would produce this concentration).
+    * Complements text_hapax/text_zipf on the corpus-health axis: hapax
+    * measures the rare tail, zipf the rank slope, this the HEAD
+    * concentration — a template flood collapses inverse-Simpson long
+    * before the vocabulary count moves. Every moment is an exact
+    * integer (f ≲ 1e6 at sf0.1 keeps Σf² far inside BIGINT); the three
+    * outputs are single float divisions off the same integer pair, 6dp.
+    *
+    * Scale shape: one explode → (source, term) map-side-combined count,
+    * then a vocabulary-sized rollup per source — token volume never
+    * reaches the second aggregate (the text_hapax shape exactly).
+    */
+  def textSimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("f")).cast("bigint").as("n_tokens"),
+        sum(col("f") * (col("f") - 1L)).cast("bigint").as("coll"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("coll").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"), 6)
+          .as("simpson"),
+        round(lit(1.0) - col("coll").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"), 6)
+          .as("gini_simpson"),
+        round((col("n_tokens") * (col("n_tokens") - 1L)).cast("double") /
+          col("coll").cast("double"), 6).as("inv_simpson"))
+      .orderBy(col("source"))
+  }
 }
