@@ -77,6 +77,7 @@ object SparkEntry {
     "q_size_price_spearman" -> (Relational.qSizePriceSpearman _),
     "q_value_mannwhitney" -> (Relational.qValueMannwhitney _),
     "q_benford_audit" -> (Relational.qBenfordAudit _),
+    "q_orders_holt" -> (Relational.qOrdersHolt _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -702,6 +703,46 @@ object SparkEntry {
                 round(abs(CAST(n_items AS DOUBLE) / CAST(total AS DOUBLE)
                           - CAST(p AS DOUBLE)), 6) AS abs_dev
          FROM t ORDER BY digit""",
+
+    // Holt double-exponential smoothing: the fold's update expressions
+    // are inlined VERBATIM on both engines (Spark aggregate() lambda ==
+    // this recursive CTE), so every IEEE op runs in the same order on
+    // the same bits; decimal-exact monthly sums cast to double once
+    "q_orders_holt" ->
+      """WITH RECURSIVE m AS (
+              SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                          AS BIGINT) AS ym,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS rev
+              FROM orders GROUP BY 1),
+            i AS (SELECT ym, rev, row_number() OVER (ORDER BY ym) AS rn
+                  FROM m),
+            n AS (SELECT max(rn) AS mx FROM i),
+            hw AS (
+              SELECT CAST(2 AS BIGINT) AS rn, i2.rev AS lvl,
+                     i2.rev - i1.rev AS trd, CAST(NULL AS DOUBLE) AS fitted
+              FROM i i1, i i2 WHERE i1.rn = 1 AND i2.rn = 2
+              UNION ALL
+              SELECT i.rn,
+                     0.5 * i.rev + 0.5 * (hw.lvl + hw.trd),
+                     0.3 * ((0.5 * i.rev + 0.5 * (hw.lvl + hw.trd))
+                            - hw.lvl) + 0.7 * hw.trd,
+                     hw.lvl + hw.trd
+              FROM hw JOIN i ON i.rn = hw.rn + 1)
+         SELECT ym, actual, round(fitted, 6) AS fitted,
+                round(actual - fitted, 6) AS resid
+         FROM (
+           SELECT i.ym, i.rev AS actual, CAST(NULL AS DOUBLE) AS fitted
+           FROM i WHERE i.rn <= 2
+           UNION ALL
+           SELECT i.ym, i.rev, hw.fitted
+           FROM hw JOIN i ON i.rn = hw.rn WHERE hw.rn >= 3
+           UNION ALL
+           SELECT CASE WHEN l.ym % 100 = 12 THEN l.ym + 89
+                  ELSE l.ym + 1 END,
+                  CAST(NULL AS DOUBLE), hw.lvl + hw.trd
+           FROM hw, n, i l WHERE hw.rn = n.mx AND l.rn = n.mx)
+         ORDER BY ym""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

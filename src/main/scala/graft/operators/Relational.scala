@@ -3070,4 +3070,65 @@ object Relational {
           expr(expected).cast("double")), 6).as("abs_dev"))
       .orderBy(col("digit"))
   }
+
+  /** §2.2 q_orders_holt: Holt double-exponential smoothing over the
+    * monthly order-revenue series — the FORECASTING member of the
+    * time-series family (ewma = level only, seasonality = decomposition,
+    * this = level+trend with a one-step-ahead forecast and in-sample
+    * residuals, the capacity-planning primitive). α=0.5, β=0.3;
+    * level/trend initialize from the first two months; fitted_t =
+    * level_{t-1} + trend_{t-1} from t=3, plus ONE out-of-sample forecast
+    * row for the month after the series ends (calendar rollover in
+    * integer ym arithmetic).
+    *
+    * Float determinism: monthly revenue sums are DECIMAL-exact and cast
+    * to double ONCE; the recursion is a single fold whose update
+    * expressions are inlined VERBATIM in both engines (Spark `aggregate`
+    * lambda ≡ DuckDB recursive CTE), so every IEEE op runs in the same
+    * order on the same bits — fitted/residual round 6dp at output only.
+    *
+    * Scale shape: the scan collapses map-side into ≤ |months| decimal
+    * sums (the only shuffle); the fold runs on ONE driver-sized row of
+    * ~80 elements — a 100 TB fact table still reaches the recursion as
+    * one tiny sorted array.
+    */
+  def qOrdersHolt(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("bigint").as("ym"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("rev"))
+      .agg(sort_array(collect_list(struct(col("ym"), col("rev")))).as("s"))
+      .selectExpr(
+        """inline(aggregate(
+               slice(s, 3, greatest(size(s) - 2, 0)),
+               named_struct(
+                 'level', element_at(s, 2).rev,
+                 'trend', element_at(s, 2).rev - element_at(s, 1).rev,
+                 'rows', array(
+                   named_struct('ym', element_at(s, 1).ym,
+                     'actual', element_at(s, 1).rev,
+                     'fitted', CAST(NULL AS DOUBLE)),
+                   named_struct('ym', element_at(s, 2).ym,
+                     'actual', element_at(s, 2).rev,
+                     'fitted', CAST(NULL AS DOUBLE)))),
+               (acc, x) -> named_struct(
+                 'level', 0.5D * x.rev + 0.5D * (acc.level + acc.trend),
+                 'trend', 0.3D * ((0.5D * x.rev +
+                     0.5D * (acc.level + acc.trend)) - acc.level) +
+                   0.7D * acc.trend,
+                 'rows', concat(acc.rows, array(named_struct(
+                   'ym', x.ym, 'actual', x.rev,
+                   'fitted', acc.level + acc.trend)))),
+               acc -> concat(acc.rows, array(named_struct(
+                 'ym', CASE WHEN element_at(s, -1).ym % 100 = 12
+                   THEN element_at(s, -1).ym + 89
+                   ELSE element_at(s, -1).ym + 1 END,
+                 'actual', CAST(NULL AS DOUBLE),
+                 'fitted', acc.level + acc.trend))))) AS (ym, actual, fitted)""")
+      .select(col("ym"), col("actual"),
+        round(col("fitted"), 6).as("fitted"),
+        round(col("actual") - col("fitted"), 6).as("resid"))
+      .orderBy(col("ym"))
+  }
 }
