@@ -169,6 +169,7 @@ object SparkEntry {
     "sim_knn_graph" -> (Similarity.simKnnGraph _),
     "sim_pair_hist" -> (Dedup.simPairHist _),
     "sim_recall_report" -> (Similarity.simRecallReport _),
+    "sim_mmr" -> (Similarity.simMmr _),
     "pipeline_contrastive_pairs" ->
       (TextAnalysis.pipelineContrastivePairs _),
     "pipeline_coreset" ->
@@ -2359,6 +2360,54 @@ object SparkEntry {
                 WHERE step < ${graft.operators.Similarity.CoresetK}))
          SELECT CAST(step AS BIGINT) AS rank, id AS vec_id,
                 round(cover, 6) AS cover_sim
+         FROM sel ORDER BY rank""",
+
+    // MMR greedy replicated literally: candidates = top-50 by raw
+    // cosine relevance to the vec_id-0 probe (vec_id tie-break), then
+    // the recursive CTE carries the chosen-id list and each step's
+    // argmax over (0.7*rel - 0.3*max-sim-to-chosen, smallest vec_id)
+    // is a struct-min on ('ns': -score, 'id') — the same raw-double
+    // compare as the driver-side greedy
+    "sim_mmr" ->
+      """WITH RECURSIVE
+            q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                      AS qv
+                  FROM embeddings WHERE vec_id = 0),
+            cv AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS v
+                   FROM embeddings WHERE vec_id <> 0),
+            cand AS (SELECT vec_id, v,
+                         list_cosine_similarity(v, qv) AS rel,
+                         row_number() OVER (
+                           ORDER BY list_cosine_similarity(v, qv) DESC,
+                                    vec_id) AS rk
+                     FROM cv, q),
+            c50 AS (SELECT vec_id, v, rel FROM cand WHERE rk <= 50),
+            sel AS (
+              SELECT 1 AS rank, best['id'] AS vec_id, best['r'] AS rel,
+                     -best['ns'] AS score, [best['id']] AS ids
+              FROM (SELECT (SELECT min({'ns': -(0.7 * c.rel - 0.3 * 0.0),
+                                        'id': c.vec_id, 'r': c.rel})
+                            FROM c50 c) AS best)
+              UNION ALL
+              SELECT rank + 1, best['id'], best['r'], -best['ns'],
+                     list_append(ids, best['id'])
+              FROM (
+                SELECT rank, ids,
+                    (SELECT min({'ns': -(0.7 * c.rel - 0.3 * COALESCE(
+                                   (SELECT max(list_cosine_similarity(
+                                        c.v, s.v))
+                                    FROM c50 s
+                                    WHERE list_contains(sel.ids, s.vec_id)),
+                                   0.0)),
+                                 'id': c.vec_id, 'r': c.rel})
+                     FROM c50 c
+                     WHERE NOT list_contains(sel.ids, c.vec_id)) AS best
+                FROM sel
+                WHERE rank < 10))
+         SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+                round(rel, 6) AS rel_sim, round(score, 6) AS mmr_score
          FROM sel ORDER BY rank""",
 
     // Replicates the whole IVF dataflow: same 16 centroids (vec_id < 16),

@@ -553,4 +553,81 @@ object Similarity {
         round(col("cover_raw"), 6).as("cover_sim"))
       .orderBy(col("rank"))
   }
+
+  /** §2.3 sim_mmr: maximal-marginal-relevance re-ranking — the
+    * diversity-aware selection primitive a curation pipeline runs AFTER
+    * retrieval (coreset covers the corpus; MMR balances relevance to a
+    * QUERY against redundancy among the picks): from the top-`MmrC`
+    * candidates by cosine relevance to the probe vector (vec_id 0),
+    * greedily select `MmrK` maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈chosen} sim(c, s), λ = 0.7.
+    *
+    * Scale shape: candidate generation is the distributed part — one
+    * scan, map-side cosine against the broadcast probe, TakeOrdered 50
+    * on (raw rel DESC, vec_id) — and the greedy runs driver-side over
+    * the BOUNDED candidate set (50 vectors, 13 KB): bounded by
+    * construction like the coreset finishing step, not corpus data. The
+    * driver cosine replicates the kernel formula (ascending-index
+    * double accumulation, dot/(√na·√nb)) so scores hash-match DuckDB's
+    * list_cosine_similarity; the selection compares RAW doubles with a
+    * vec_id tie-break, mirrored by the oracle's recursive struct-min.
+    */
+  private[graft] val MmrK = 10
+  private[graft] val MmrC = 50
+  private[graft] val MmrLambda = 0.7
+  // the complement is its own LITERAL, not 1.0 - MmrLambda: the double
+  // nearest 0.3 differs from 1.0-0.7 by one ulp, and the oracle writes 0.3
+  private[graft] val MmrLambdaComp = 0.3
+
+  def simMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val qVec = e.filter(col("vec_id") === 0L)
+      .collect()(0).getSeq[Float](1) // 1 row: the deterministic probe
+    val cands = e.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding"),
+        GraftFunctions.cosine(col("embedding"), typedlit(qVec)).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrC)
+      .collect() // bounded: MmrC rows of 64 floats + a double
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // driver cosine == GraftKernels.cosineF == DuckDB
+    // list_cosine_similarity: ascending-index double accumulation
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    var rank = 1
+    while (rank <= MmrK && picked.size < cands.length) {
+      // argmax (score, then SMALLEST vec_id): scan in vec_id order with
+      // strict > keeps the first (smallest id) maximum — the oracle's
+      // min{'ns': -score, 'id': vec_id} struct-compare exactly
+      var best: (Long, Array[Float], Double, Double) = null
+      cands.filter(c => !picked.exists(_._1 == c._1))
+        .sortBy(_._1)
+        .foreach { case (id, vec, rel) =>
+          val maxSim =
+            if (picked.isEmpty) 0.0
+            else picked.map(p => cos(vec, p._2)).max
+          val score = MmrLambda * rel - MmrLambdaComp * maxSim
+          if (best == null || score > best._4) best = (id, vec, rel, score)
+        }
+      chosen += ((rank.toLong, best._1, best._3, best._4))
+      picked += ((best._1, best._2))
+      rank += 1
+    }
+    chosen.toSeq.toDF("rank", "vec_id", "rel_raw", "score_raw")
+      .select(col("rank"), col("vec_id"),
+        round(col("rel_raw"), 6).as("rel_sim"),
+        round(col("score_raw"), 6).as("mmr_score"))
+      .orderBy(col("rank"))
+  }
 }
