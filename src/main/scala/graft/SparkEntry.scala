@@ -78,6 +78,7 @@ object SparkEntry {
     "q_value_mannwhitney" -> (Relational.qValueMannwhitney _),
     "q_benford_audit" -> (Relational.qBenfordAudit _),
     "q_orders_holt" -> (Relational.qOrdersHolt _),
+    "q_customer_mahalanobis" -> (Relational.qCustomerMahalanobis _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -744,6 +745,39 @@ object SparkEntry {
                   CAST(NULL AS DOUBLE), hw.lvl + hw.trd
            FROM hw, n, i l WHERE hw.rn = n.mx AND l.rn = n.mx)
          ORDER BY ym""",
+
+    // closed-form 2x2 covariance inverse: integer/decimal-exact moments
+    // cast to double once, every expression association mirrored
+    // verbatim, raw-double (d2 DESC, custkey) top-20 cut
+    "q_customer_mahalanobis" ->
+      """WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x,
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DECIMAL(18,2)) AS y
+                      FROM orders GROUP BY o_custkey),
+            g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(x) AS DOUBLE) AS sx,
+                      CAST(sum(y) AS DOUBLE) AS sy,
+                      CAST(sum(x * x) AS DOUBLE) AS sxx2,
+                      CAST(sum(y * y) AS DOUBLE) AS syy2,
+                      CAST(sum(x * y) AS DOUBLE) AS sxy2
+                  FROM per),
+            c AS (SELECT o_custkey, x, y,
+                      n * sxx2 - sx * sx AS sxx,
+                      n * syy2 - sy * sy AS syy,
+                      n * sxy2 - sx * sy AS sxy,
+                      n * CAST(x AS DOUBLE) - sx AS dx,
+                      n * CAST(y AS DOUBLE) - sy AS dy,
+                      n
+                  FROM per, g),
+            d AS (SELECT o_custkey, x, y,
+                      ((n - 1.0) * (syy * dx * dx -
+                          2.0 * sxy * dx * dy + sxx * dy * dy)) /
+                        (n * (sxx * syy - sxy * sxy)) AS d2
+                  FROM c),
+            t AS (SELECT * FROM d ORDER BY d2 DESC, o_custkey LIMIT 20)
+         SELECT o_custkey, x AS n_orders, CAST(y AS DOUBLE) AS total_spend,
+                round(d2, 6) AS mahal_d2
+         FROM t ORDER BY mahal_d2 DESC, o_custkey""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

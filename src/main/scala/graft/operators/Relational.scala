@@ -3131,4 +3131,65 @@ object Relational {
         round(col("actual") - col("fitted"), 6).as("resid"))
       .orderBy(col("ym"))
   }
+
+  /** §2.2 q_customer_mahalanobis: 2-D Mahalanobis outlier score over
+    * customers on (order count, total spend) — the MULTIVARIATE member
+    * of the outlier family (q_events_anomaly = univariate z per series;
+    * this = joint distance that flags "many cheap orders" vs "few huge
+    * orders" shapes a marginal z cannot see). The 2×2 covariance
+    * inverts in closed form: with integer scatter moments
+    * sxx = n·Σx² − (Σx)², d²ᵢ = (n−1)·Qᵢ / (n·det),
+    * Qᵢ = syy·dx² − 2·sxy·dx·dy + sxx·dy², dx = n·xᵢ − Σx.
+    *
+    * Float discipline: COUNT/SUM moments are integer/DECIMAL-exact and
+    * cast to double ONCE; every subsequent expression is written with
+    * the identical association in both engines, so the raw-double
+    * (d² DESC, custkey) top-20 cut is deterministic; d² rounds 6dp at
+    * output only.
+    *
+    * Scale shape: one map-side-combined per-customer aggregate (the
+    * only fact shuffle), a 1-row global moment aggregate broadcast by
+    * crossJoin, then a TakeOrdered 20 — no window, no second shuffle.
+    */
+  def qCustomerMahalanobis(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"),
+        // re-narrow the sum to DECIMAL(18,2) (per-customer spend ≪ 1e16):
+        // y·y and x·y then stay inside DECIMAL(38) on BOTH engines
+        // instead of hitting engine-specific wide-decimal promotion
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("y"))
+      .persist()
+    per.count() // eager: global moments + the scored output both consume
+    val g = per.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx2"),
+      sum(col("y") * col("y")).cast("double").as("syy2"),
+      sum(col("x") * col("y")).cast("double").as("sxy2"))
+    per.crossJoin(broadcast(g))
+      .withColumn("sxx", col("n") * col("sxx2") - col("sx") * col("sx"))
+      .withColumn("syy", col("n") * col("syy2") - col("sy") * col("sy"))
+      .withColumn("sxy", col("n") * col("sxy2") - col("sx") * col("sy"))
+      .withColumn("det",
+        col("sxx") * col("syy") - col("sxy") * col("sxy"))
+      .withColumn("dx",
+        col("n") * col("x").cast("double") - col("sx"))
+      .withColumn("dy",
+        col("n") * col("y").cast("double") - col("sy"))
+      .withColumn("q",
+        col("syy") * col("dx") * col("dx") -
+          lit(2.0) * col("sxy") * col("dx") * col("dy") +
+          col("sxx") * col("dy") * col("dy"))
+      .withColumn("d2",
+        ((col("n") - lit(1.0)) * col("q")) / (col("n") * col("det")))
+      .orderBy(col("d2").desc, col("o_custkey"))
+      .limit(20)
+      .select(col("o_custkey"), col("x").as("n_orders"),
+        col("y").cast("double").as("total_spend"),
+        round(col("d2"), 6).as("mahal_d2"))
+      .orderBy(col("mahal_d2").desc, col("o_custkey"))
+  }
 }
