@@ -664,4 +664,73 @@ object StreamOps {
       .join(trainGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
+
+  case class BenfordState(counts: Seq[Long])
+  case class BenfordDrift(event_type: String, n_seen: Long,
+      max_abs_dev: Double, worst_digit: Long)
+
+  /** The Benford first-digit expectations, 6dp literals — the SAME
+    * constants q_benford_audit and its oracle share.
+    */
+  private val BenfordP: Array[Double] = Array(
+    0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** First significant digit of a monetary double via its 2dp DECIMAL
+    * canonical string — the batch audit's extraction rule
+    * ([[graft.operators.Relational.qBenfordAudit]]) applied per record.
+    */
+  private[streaming] def firstDigit(v: Double): Int = {
+    val s = new java.math.BigDecimal(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+    var i = 0
+    while (i < s.length && (s.charAt(i) < '1' || s.charAt(i) > '9')) i += 1
+    if (i < s.length) s.charAt(i) - '0' else 0
+  }
+
+  /** stream_benford: online Benford-digit drift — the monitoring twin of
+    * q_benford_audit: per event type, a running first-digit histogram of
+    * the value column accumulates across micro-batches, and each batch
+    * emits the CUMULATIVE worst absolute deviation from the Benford
+    * expectation (plus the digit carrying it, smallest digit on ties) —
+    * the "did the amount distribution stop looking organic" alarm. Like
+    * ks_drift, per-batch emission IS the semantics; unlike it, state is
+    * nine longs per key (no reference freeze — Benford needs no training
+    * sample), so the state store is O(|types|·9) forever.
+    */
+  def benfordStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[BenfordState]) =>
+          val counts = state.getOption
+            .map(_.counts.toArray).getOrElse(new Array[Long](9))
+          var touched = false
+          it.foreach { e =>
+            val d = firstDigit(e._2)
+            if (d >= 1) { counts(d - 1) += 1; touched = true }
+          }
+          state.update(BenfordState(counts.toVector))
+          val n = counts.sum
+          if (!touched || n == 0L) Iterator.empty
+          else {
+            var worst = 0.0; var worstDigit = 1L
+            var i = 0
+            while (i < 9) {
+              val dev = math.abs(counts(i).toDouble / n - BenfordP(i))
+              if (dev > worst) { worst = dev; worstDigit = i + 1L }
+              i += 1
+            }
+            Iterator.single(BenfordDrift(etype, n,
+              math.rint(worst * 1e6) / 1e6, worstDigit))
+          }
+      }
+      .toDF()
+  }
 }

@@ -824,4 +824,74 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(batchRun === expected)
   }
+
+  test("stream_benford: cumulative digit-drift scores match a driver " +
+      "reference per batch and the batch path agrees") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val evs = eventsAsCase().sortBy(e => (micros(e.ts), e.event_id))
+
+    val benfordP = Array(0.301030, 0.176091, 0.124939, 0.096910,
+      0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+    def digit(v: Double): Int = StreamOps.firstDigit(v)
+
+    // driver reference: cumulative per-type histogram; one emission per
+    // (chunk, type touched in chunk) with the CUMULATIVE worst deviation
+    def expected(chunks: Seq[Seq[Ev]]): Seq[(String, Long, Double, Long)] = {
+      val hist = scala.collection.mutable.Map.empty[String, Array[Long]]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Double, Long)]
+      chunks.foreach { chunk =>
+        chunk.groupBy(_.event_type).toSeq.sortBy(_._1).foreach {
+          case (et, es) =>
+            val h = hist.getOrElseUpdate(et, new Array[Long](9))
+            var touched = false
+            es.foreach { e =>
+              val d = digit(e.value)
+              if (d >= 1) { h(d - 1) += 1; touched = true }
+            }
+            val n = h.sum
+            if (touched && n > 0) {
+              var worst = 0.0; var wd = 1L
+              (0 until 9).foreach { i =>
+                val dev = math.abs(h(i).toDouble / n - benfordP(i))
+                if (dev > worst) { worst = dev; wd = i + 1L }
+              }
+              out += ((et, n, math.rint(worst * 1e6) / 1e6, wd))
+            }
+        }
+      }
+      out.toSeq
+    }
+
+    val chunks = evs.grouped(evs.size / 3 + 1).toSeq
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.benfordStream(stream.toDF())
+      .writeStream.format("memory").queryName("benford_stream")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val got = spark.table("benford_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(got === expected(chunks).toSet)
+      assert(got.nonEmpty)
+    } finally q.stop()
+
+    // batch mode: one group call per type = the single-chunk semantics
+    val batchRun = StreamOps.benfordStream(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(batchRun === expected(Seq(evs)).toSet)
+
+    // the extraction rule is the batch audit's: 2dp decimal string
+    assert(digit(68423.46) === 6 && digit(0.09) === 9 && digit(0.004) === 0)
+  }
 }
