@@ -1143,4 +1143,88 @@ object TextAnalysis {
           col("coll").cast("double"), 6).as("inv_simpson"))
       .orderBy(col("source"))
   }
+
+  /** §2.4 pipeline_bpe_fit: byte-pair-encoding merge learning over the
+    * corpus — the tokenizer-TRAINING job itself (Sennrich et al. 2016;
+    * text_collocations ranks merge candidates once, this runs the
+    * actual iterative argmax-and-merge loop a production tokenizer fit
+    * is): per round, count adjacent symbol pairs across the
+    * frequency-weighted word table, take the most frequent pair
+    * (count DESC, then lexical (left, right) — all-integer
+    * tie-breaking), merge it greedily left-to-right in every word, and
+    * repeat. Stops early when no pair reaches count 2. Output: the
+    * learned merge table (round, left, right, pair_count, merged).
+    *
+    * Scale shape: the corpus is touched ONCE (explode → word-frequency
+    * table — the same map-side collapse as text_top_terms); every round
+    * then runs on the VOCABULARY (|distinct words| rows, thousands per
+    * billion tokens): one pair explode weighted by freq, one map-side-
+    * combined count, a 1-row TakeOrdered argmax to the driver (the
+    * bounded per-round result the k-means trainer also owns), and a
+    * functions.aggregate fold applying the merge — no corpus re-scan,
+    * rounds land in [[graft.Barriers.roundBarrier]] (the iterative-loop
+    * invariant: eager truncation, never persist/unpersist chains).
+    */
+  def pipelineBpeFit(spark: SparkSession, dir: String): DataFrame =
+    pipelineBpeFit(spark, dir, 12)
+
+  def pipelineBpeFit(spark: SparkSession, dir: String, rounds: Int)
+      : DataFrame =
+    bpeFitCore(
+      Tables.documents(spark, dir)
+        .select(explode(toks).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq")),
+      rounds)
+
+  /** The merge loop over an explicit (w, freq) word table — the public
+    * entry feeds it the corpus vocabulary; specs feed it synthetic
+    * words to pin the greedy-overlap semantics.
+    */
+  private[graft] def bpeFitCore(wordFreq: DataFrame, rounds: Int)
+      : DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    var words = graft.Barriers.roundBarrier(
+      wordFreq.select(col("freq"), split(col("w"), "").as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, String)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val best = words
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // 1 row: this round's merge (driver-bounded argmax)
+      if (best.isEmpty || best(0).getLong(2) < 2L) done = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val cnt = best(0).getLong(2)
+        merges += ((round.toLong, l, r, cnt, l + r))
+        // greedy left-to-right merge: a just-merged symbol never
+        // re-merges with the next element in the same pass (the fold
+        // compares the ACCUMULATED last symbol, which is l+r ≠ l unless
+        // r is empty — and "" never appears as a pair side)
+        words = graft.Barriers.roundBarrier(
+          words.select(col("freq"),
+            aggregate(col("syms"),
+              array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(l + r))))
+                .otherwise(concat(acc, array(x)))).as("syms")))
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "pair_count", "merged")
+      .orderBy(col("round"))
+  }
 }
