@@ -79,6 +79,7 @@ object SparkEntry {
     "q_benford_audit" -> (Relational.qBenfordAudit _),
     "q_orders_holt" -> (Relational.qOrdersHolt _),
     "q_customer_mahalanobis" -> (Relational.qCustomerMahalanobis _),
+    "q_orders_theilsen" -> (Relational.qOrdersTheilsen _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -778,6 +779,40 @@ object SparkEntry {
          SELECT o_custkey, x AS n_orders, CAST(y AS DOUBLE) AS total_spend,
                 round(d2, 6) AS mahal_d2
          FROM t ORDER BY mahal_d2 DESC, o_custkey""",
+
+    // pair slopes = decimal-exact revenue diffs / integer index gaps;
+    // median selection by (raw slope, i, j) row_number; OLS is one
+    // division of decimal-exact integer moments
+    "q_orders_theilsen" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                               AS BIGINT) AS ym,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+            i AS (SELECT ym, rev,
+                      CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS rn
+                  FROM m),
+            p AS (SELECT a.rn AS i, b.rn AS j,
+                      CAST(b.rev - a.rev AS DOUBLE) /
+                        CAST(b.rn - a.rn AS DOUBLE) AS slope
+                  FROM i a JOIN i b ON b.rn > a.rn),
+            r AS (SELECT slope, i, j,
+                      CAST(row_number() OVER (ORDER BY slope, i, j)
+                           AS BIGINT) AS rk,
+                      CAST(count(*) OVER () AS BIGINT) AS np
+                  FROM p),
+            sen AS (SELECT avg(slope) AS sen_raw, max(np) AS n_pairs
+                    FROM r
+                    WHERE rk = (np + 1) // 2 OR rk = (np + 2) // 2),
+            ols AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+                        CAST(count(*) * sum(rn * rev) - sum(rn) * sum(rev)
+                             AS DOUBLE) /
+                        CAST(count(*) * sum(rn * rn) - sum(rn) * sum(rn)
+                             AS DOUBLE) AS ols_raw
+                    FROM i)
+         SELECT n_months, n_pairs, round(sen_raw, 6) AS sen_slope,
+                round(ols_raw, 6) AS ols_slope
+         FROM sen, ols""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

@@ -3192,4 +3192,63 @@ object Relational {
         round(col("d2"), 6).as("mahal_d2"))
       .orderBy(col("mahal_d2").desc, col("o_custkey"))
   }
+
+  /** §2.2 q_orders_theilsen: Theil-Sen robust trend over the monthly
+    * revenue series — median of all pairwise slopes, beside the OLS
+    * slope on the same series (the robust-regression member:
+    * elasticity/zipf = least squares, this = the estimator that shrugs
+    * off the outlier months OLS chases; the gap between the two columns
+    * IS the outlier diagnostic). Slopes are in revenue-per-month-index
+    * units; the median averages the two middle elements (N = m(m−1)/2
+    * is even for m = 80).
+    *
+    * Float discipline: pair slopes are single divisions of
+    * DECIMAL-exact revenue differences by integer index gaps; the
+    * median picks by (raw slope, i, j) row_number — a total order — and
+    * the OLS ratio is one division of DECIMAL-exact integer moments.
+    *
+    * Scale shape: the fact scan collapses map-side to ≤|months| rows;
+    * the pair self-join and the selection window run on m(m−1)/2 ≈ 3 k
+    * rows — bounded by the calendar, not the data; one 1-row moment
+    * aggregate for OLS.
+    */
+  def qOrdersTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("bigint").as("ym"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("ym"))))
+      .persist()
+    m.count() // eager: pair join (both sides) + OLS moments consume
+    val a = m.select(col("rn").as("i"), col("rev").as("ra"))
+    val b = m.select(col("rn").as("j"), col("rev").as("rb"))
+    val slopes = a.join(b, col("j") > col("i"))
+      .select(col("i"), col("j"),
+        ((col("rb") - col("ra")).cast("double") /
+          (col("j") - col("i")).cast("double")).as("slope"))
+    val rk = Window.orderBy(col("slope"), col("i"), col("j"))
+    val sen = slopes
+      .withColumn("rk", row_number().over(rk))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("rk") === expr("(np + 1) div 2") ||
+        col("rk") === expr("(np + 2) div 2"))
+      .agg(avg(col("slope")).as("sen_raw"),
+        max(col("np")).as("n_pairs"))
+    val ols = m.agg(
+      count(lit(1)).as("n_months"),
+      sum(col("rn")).as("sx"),
+      sum(col("rev")).as("sy"),
+      sum(col("rn") * col("rev")).as("sxy"),
+      sum(col("rn") * col("rn")).as("sxx"))
+      .select(col("n_months"),
+        ((col("n_months") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_months") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("ols_raw"))
+    sen.crossJoin(broadcast(ols))
+      .select(col("n_months"), col("n_pairs"),
+        round(col("sen_raw"), 6).as("sen_slope"),
+        round(col("ols_raw"), 6).as("ols_slope"))
+  }
 }
