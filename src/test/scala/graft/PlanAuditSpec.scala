@@ -331,4 +331,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_customer_mahalanobis: consumers read the per-customer CACHE " +
+      "(single fact materialization), broadcast moments, no window, " +
+      "TakeOrdered cut") {
+    val p = plan("q_customer_mahalanobis")
+    // both consumers (scored output + 1-row moment agg) hit the cache;
+    // the raw scan lives only inside the cached build (its plan string
+    // repeats under AQE, so count cache READS, not parquet mentions)
+    assert(countOf(p, "InMemoryTableScan") === 2, p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_benford_audit: map-side combine collapses the scan before " +
+      "the only shuffle; the scan reads only the price column") {
+    val p = plan("q_benford_audit")
+    assert(countOf(p, "lineitem.parquet") === 1, p)
+    assert(countOf(p, "HashAggregate") >= 2, p) // partial + final
+    val readSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q_orders_holt / q_orders_theilsen: the fact scan collapses " +
+      "map-side to month rows before any month-level work") {
+    // holt: no cache -- exactly one parquet mention in the plan
+    val ph = plan("q_orders_holt")
+    assert(countOf(ph, "orders.parquet") === 1, ph)
+    assert(countOf(ph, "HashAggregate") >= 2, ph) // partial+final
+    // theilsen: the month relation persists once; all three consumers
+    // (pair-join sides a/b + OLS moments) read the CACHE
+    val pt = plan("q_orders_theilsen")
+    assert(countOf(pt, "InMemoryTableScan") === 3, pt)
+    for ((q, p) <- Seq(("q_orders_holt", ph), ("q_orders_theilsen", pt))) {
+      val readSchema = p.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("o_totalprice"))
+        .mkString
+      assert(!readSchema.contains("o_comment") &&
+        !readSchema.contains("o_clerk"), s"$q $readSchema")
+    }
+  }
+
+  test("q_value_mannwhitney: rank windows run over the distinct-value " +
+      "histogram, never the event rows") {
+    val p = plan("q_value_mannwhitney")
+    assert(countOf(p, "events.parquet") === 1, p)
+    // the (dow, value) histogram aggregate sits BELOW the window: a
+    // partial+final pair precedes it in the plan
+    assert(countOf(p, "HashAggregate") >= 2, p)
+    assert(p.contains("Window"), p)
+  }
 }
