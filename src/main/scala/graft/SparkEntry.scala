@@ -220,6 +220,7 @@ object SparkEntry {
     "mm_shot_sample" -> (Multimodal.mmShotSample _),
     "mm_cdc_neardup" -> (Multimodal.mmCdcNeardup _),
     "mm_cdc_incremental" -> (Multimodal.mmCdcIncremental _),
+    "mm_vad" -> (Multimodal.mmVad _),
     "q_nvd_score_drift" -> (Nvd.qNvdScoreDrift _),
   )
 
@@ -2607,6 +2608,40 @@ object SparkEntry {
                 CAST(list_sum(list_transform(range(1, len(fr) + 1),
                        i -> fr[i] * ((i - 1) % 7 + 1))) AS BIGINT) AS feature
          FROM fr ORDER BY doc_id, frame_idx""",
+
+    // same byte/frame CTEs; active = energy > 65536 with the stub-PCM
+    // amplitude (b - 128); gaps-and-islands on frame_idx - row_number
+    "mm_vad" ->
+      s"""WITH b AS (SELECT doc_id, ${utf8BytesSql("text")} AS bytes
+                     FROM documents WHERE length(text) > 0),
+               t AS (SELECT doc_id, bytes,
+                         CAST(ceil(len(bytes) / 32.0) AS INTEGER) AS nf
+                     FROM b),
+               e AS (SELECT doc_id, bytes, unnest(range(1, nf + 1)) AS f
+                     FROM t),
+               fr AS (SELECT doc_id, CAST(f - 1 AS BIGINT) AS frame_idx,
+                          bytes[(f - 1) * 32 + 1 : (f - 1) * 32 + 32] AS fr
+                      FROM e),
+               en AS (SELECT doc_id, frame_idx,
+                          CAST(list_sum(list_transform(fr,
+                                x -> CAST((x - 128) * (x - 128) AS BIGINT)))
+                               AS BIGINT) AS energy
+                      FROM fr),
+               act AS (SELECT doc_id, frame_idx, energy,
+                           frame_idx - row_number() OVER (
+                             PARTITION BY doc_id ORDER BY frame_idx) AS isl
+                       FROM en WHERE energy > 65536),
+               seg AS (SELECT doc_id, isl,
+                           min(frame_idx) AS start_frame,
+                           max(frame_idx) AS end_frame,
+                           CAST(count(*) AS BIGINT) AS n_frames,
+                           CAST(sum(energy) AS BIGINT) AS energy
+                       FROM act GROUP BY doc_id, isl)
+         SELECT doc_id,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY start_frame) AS BIGINT) AS seg_idx,
+                start_frame, end_frame, n_frames, energy
+         FROM seg ORDER BY doc_id, seg_idx""",
 
     // same frame/feature CTEs as mm_frame_features; the cut decision is
     // an all-integer compare, so the oracle replicates it byte-for-byte

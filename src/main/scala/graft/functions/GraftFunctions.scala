@@ -49,6 +49,7 @@ object GraftFunctions {
     GraftColumns.bloomMightContain(bloom, hashed64)
   /** Deterministic stub feature over a binary payload (§2.4 multimodal). */
   def byteFeature(payload: Column): Column = GraftColumns.byteFeature(payload)
+  def byteEnergy(payload: Column): Column = GraftColumns.byteEnergy(payload)
 
   /** Average-hash perceptual fingerprint (8×8 slice grid vs grid mean). */
   def avgHash64(payload: Column): Column = GraftColumns.avgHash64(payload)

@@ -392,6 +392,22 @@ object GraftKernels {
     * (empty slices average 0). Deterministic, allocation-free, runs
     * inside WholeStageCodegen via the static call.
     */
+  /** Stub-PCM frame energy: amplitude per byte = (b & 0xff) - 128 (the
+    * "decode" a real audio lib would replace), energy = Σ amplitude² —
+    * exact integer, allocation-free, codegen-callable. Feeds the VAD
+    * segmentation (§2.4 mm_vad).
+    */
+  def byteEnergy(payload: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < payload.length) {
+      val a = (payload(i) & 0xff) - 128
+      acc += a.toLong * a
+      i += 1
+    }
+    acc
+  }
+
   def avgHash64(payload: Array[Byte]): Long = {
     val n = payload.length
     if (n == 0) return 0L

@@ -528,4 +528,50 @@ object Multimodal {
       .groupBy(col("len"))
       .agg(count(lit(1)).as("n_chunks"))
       .orderBy(col("len"))
+
+  /** §2.4 mm_vad: voice-activity-detection segmentation over stub-PCM
+    * payloads — the audio-pipeline primitive that cuts a recording into
+    * speech segments before transcription/embedding (the audio twin of
+    * mm_scene_cut's visual shot boundary). The "decoder" is the
+    * clearly-stubbed amplitude rule a = (byte & 0xff) − 128
+    * ([[GraftKernels.byteEnergy]]); a 32-byte frame is ACTIVE iff its
+    * energy Σa² exceeds 65536 (2¹⁶ — the corpus median, splitting
+    * frames ~50/50 so runs are non-trivial), and maximal active runs
+    * become segments by gaps-and-islands (frame_idx − row_number is
+    * constant exactly within a consecutive run). All-integer end to
+    * end — frame energies, island keys, segment bounds, energy sums.
+    *
+    * Scale shape: framing + energy is ONE map-side pass (codegen'd
+    * kernel inside the projection, ~len/32 rows per doc); the only
+    * shuffle is the per-doc window/aggregate pair, co-partitioned on
+    * doc_id — payload bytes never leave the scan.
+    */
+  private[graft] val VadThreshold = 65536L
+
+  def mmVad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, cast(ceil(length(payload) / 32.0) AS INT)),
+             f -> substring(payload, (f - 1) * 32 + 1, 32))""")))
+      .toDF("doc_id", "pos", "frame")
+      .select(col("doc_id"), col("pos").cast("bigint").as("frame_idx"),
+        expr("graft_byte_energy(frame)").as("energy"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.filter(col("energy") > VadThreshold)
+      .withColumn("isl", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("energy"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("start_frame")))
+        .cast("bigint"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("energy"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
 }

@@ -71,6 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_byte_feature"),
       info("graft_byte_feature", "graft_byte_feature(bin) - deterministic stub media feature"),
       (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_byte_feature"); ByteFeature(c(0)) }))
+    ext.injectFunction((FunctionIdentifier("graft_byte_energy"),
+      info("graft_byte_energy", "graft_byte_energy(bin) - stub-PCM frame energy"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_byte_energy"); ByteEnergy(c(0)) }))
 
     ext.injectFunction((FunctionIdentifier("graft_avg_hash64"),
       info("graft_avg_hash64", "graft_avg_hash64(bin) - average-hash perceptual fingerprint (8x8 slice grid vs grid mean)"),

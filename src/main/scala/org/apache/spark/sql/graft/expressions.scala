@@ -282,6 +282,23 @@ case class ByteFeature(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** byte_energy(binary) → long: stub-PCM frame energy Σ((b&0xff)−128)²
+  * (§2.4 mm_vad) — exact integer, codegen'd.
+  */
+case class ByteEnergy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.byteEnergy(v.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.byteEnergy($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** avg_hash64(binary) → long: average-hash perceptual fingerprint (§2.4
   * mm_phash_neardup) — 8×8 slice-average grid thresholded at the grid
   * mean; near-identical payloads land at low Hamming distance. Codegen'd.
@@ -427,6 +444,7 @@ object GraftColumns {
   def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
   def avgHash64(payload: Column): Column = col(AvgHash64(ex(payload)))
+  def byteEnergy(payload: Column): Column = col(ByteEnergy(ex(payload)))
   def cdcChunks(payload: Column): Column = col(CdcChunks(ex(payload)))
   def cdcChunkLens(payload: Column): Column = col(CdcChunkLens(ex(payload)))
 }
