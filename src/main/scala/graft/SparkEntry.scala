@@ -80,6 +80,7 @@ object SparkEntry {
     "q_orders_holt" -> (Relational.qOrdersHolt _),
     "q_customer_mahalanobis" -> (Relational.qCustomerMahalanobis _),
     "q_orders_theilsen" -> (Relational.qOrdersTheilsen _),
+    "graph_assortativity" -> (Relational.graphAssortativity _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -814,6 +815,38 @@ object SparkEntry {
          SELECT n_months, n_pairs, round(sen_raw, 6) AS sen_slope,
                 round(ols_raw, 6) AS ols_slope
          FROM sen, ols""",
+
+    // endpoint-degree Pearson over the symmetrized bipartite edge list;
+    // all five scatter moments exact BIGINTs, one sqrt + one division
+    "graph_assortativity" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey * 2 AS c,
+                         l_suppkey * 2 + 1 AS s
+                     FROM orders JOIN lineitem
+                       ON l_orderkey = o_orderkey),
+            e AS (SELECT c AS src, s AS dst FROM cs
+                  UNION ALL
+                  SELECT s AS src, c AS dst FROM cs),
+            deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+                    FROM e GROUP BY src),
+            j AS (SELECT a.deg AS dx, b.deg AS dy, e.src
+                  FROM e JOIN deg a ON a.v = e.src
+                         JOIN deg b ON b.v = e.dst),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                      CAST(count(DISTINCT src) AS BIGINT) AS n_vertices,
+                      CAST(sum(dx) AS BIGINT) AS sx,
+                      CAST(sum(dy) AS BIGINT) AS sy,
+                      CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                      CAST(sum(dy * dy) AS BIGINT) AS syy,
+                      CAST(sum(dx * dy) AS BIGINT) AS sxy
+                  FROM j)
+         SELECT m AS n_edges, n_vertices,
+                round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                  AS avg_degree,
+                round(CAST(m * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+                           CAST(m * syy - sy * sy AS DOUBLE)), 6)
+                  AS assortativity
+         FROM m""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

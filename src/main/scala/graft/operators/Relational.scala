@@ -3251,4 +3251,55 @@ object Relational {
         round(col("sen_raw"), 6).as("sen_slope"),
         round(col("ols_raw"), 6).as("ols_slope"))
   }
+
+  /** §2.2 graph_assortativity: Newman degree assortativity over the
+    * commerce graph — the one-number mixing diagnostic beside the
+    * pagerank/LPA/k-core structure queries: Pearson correlation of
+    * endpoint degrees across edges (r < 0 = hubs attach to leaves, the
+    * expected sign for a bipartite commerce graph; a sign flip after a
+    * data refresh flags a crawl/join defect no per-node metric shows).
+    * Same integer discipline as spearman: degrees and all five scatter
+    * moments are exact BIGINTs (M·Σxy ≲ 5e16 at sf0.1 — far inside
+    * BIGINT; the 100 TB path re-derives the moments in DECIMAL(38)),
+    * with exactly one sqrt and one division at the end.
+    *
+    * Scale shape: the degree table is one map-side-combined count off
+    * the edge relation; endpoint degrees join back hash-by-hash (slim
+    * (vertex, deg) pairs — at 1000 executors both joins co-partition
+    * with the degree shuffle); the moment reducer is a 1-row aggregate.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      .persist()
+    edges.count() // eager: degree table + the endpoint joins consume
+    val deg = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("v").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        countDistinct(col("src")).as("n_vertices"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m").as("n_edges"), col("n_vertices"),
+        round(col("sx").cast("double") / col("m").cast("double"), 6)
+          .as("avg_degree"),
+        round((col("m") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 6).as("assortativity"))
+  }
 }
