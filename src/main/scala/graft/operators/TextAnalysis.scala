@@ -1182,11 +1182,19 @@ object TextAnalysis {
     * words to pin the greedy-overlap semantics.
     */
   private[graft] def bpeFitCore(wordFreq: DataFrame, rounds: Int)
-      : DataFrame = {
+      : DataFrame = bpeRun(wordFreq, rounds)._1
+
+  /** Fit AND the fitted vocabulary: the merge table plus the final
+    * (w, freq, syms) symbolization — what [[pipelineBpeApply]] joins
+    * back onto the corpus (applying learned merges is a lookup against
+    * the vocabulary the fit already produced, never a re-fold per doc).
+    */
+  private[graft] def bpeRun(wordFreq: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
     var words = graft.Barriers.roundBarrier(
-      wordFreq.select(col("freq"), split(col("w"), "").as("syms")))
+      wordFreq.select(col("w"), col("freq"), split(col("w"), "").as("syms")))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long, String)]
     var round = 1
@@ -1213,7 +1221,7 @@ object TextAnalysis {
         // compares the ACCUMULATED last symbol, which is l+r ≠ l unless
         // r is empty — and "" never appears as a pair side)
         words = graft.Barriers.roundBarrier(
-          words.select(col("freq"),
+          words.select(col("w"), col("freq"),
             aggregate(col("syms"),
               array().cast("array<string>"),
               (acc, x) => when(size(acc) > 0 &&
@@ -1224,7 +1232,44 @@ object TextAnalysis {
         round += 1
       }
     }
-    merges.toSeq.toDF("round", "left", "right", "pair_count", "merged")
-      .orderBy(col("round"))
+    (merges.toSeq.toDF("round", "left", "right", "pair_count", "merged")
+      .orderBy(col("round")), words)
+  }
+
+  /** §2.4 pipeline_bpe_apply: tokenize the corpus with the merges
+    * pipeline_bpe_fit just learned — the apply half of tokenizer
+    * training (fit learns ON the vocabulary; apply is a broadcast-able
+    * (word → subword count) LOOKUP joined back onto the corpus, never a
+    * per-document re-fold): per doc, whitespace token count, BPE
+    * subword count, character count, and the compression ratio a
+    * tokenizer owner reads (chars per BPE token, 6dp).
+    *
+    * Scale shape: the fit's vocabulary-bounded loop runs once; the
+    * apply is one corpus explode joined hash-by-hash (or broadcast —
+    * the vocabulary is tiny) against the (w, n_sub) map, then one
+    * per-doc aggregate.
+    */
+  def pipelineBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (_, fitted) = bpeRun(
+      Tables.documents(spark, dir)
+        .select(explode(toks).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq")),
+      12)
+    val sub = fitted.select(col("w"),
+      size(col("syms")).cast("bigint").as("n_sub"),
+      length(col("w")).cast("bigint").as("n_chars"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .join(sub, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(col("n_sub")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("n_chars"),
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -87,4 +87,50 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got === Seq(("a", "b", 2L)))
   }
+
+  test("pipeline_bpe_apply: symbols round-trip to the original word " +
+      "and per-doc stats match a driver replica") {
+    import spark.implicits._
+    val wordFreq = Tables.documents(spark, TestSpark.sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val (_, fitted) = TextAnalysis.bpeRun(wordFreq, 12)
+    // lossless: merging never alters the byte content of a word
+    val broken = fitted
+      .filter(concat_ws("", col("syms")) =!= col("w")).count()
+    assert(broken === 0L)
+    // replica: learn merges with the driver reference, apply by string
+    val words = wordFreq.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = refBpe(words, 12).map(m => (m._2, m._3))
+    def applyAll(w: String): Int = {
+      var syms = w.split("").toVector
+      merges.foreach { case (l, r) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == r) {
+            acc.remove(acc.size - 1); acc += (l + r)
+          } else acc += x
+        }
+        syms = acc.toVector
+      }
+      syms.size
+    }
+    val subRef = words.map { case (w, _) => w -> applyAll(w) }.toMap
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1).toSeq
+      val chars = ws.map(_.length.toLong).sum
+      val bpe = ws.map(w => subRef(w).toLong).sum
+      (id, ws.size.toLong, bpe, chars,
+        math.rint(chars.toDouble / bpe.toDouble * 1e6) / 1e6)
+    }.toSet
+    val got = TextAnalysis.pipelineBpeApply(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === expected)
+  }
 }
