@@ -81,6 +81,7 @@ object SparkEntry {
     "q_customer_mahalanobis" -> (Relational.qCustomerMahalanobis _),
     "q_orders_theilsen" -> (Relational.qOrdersTheilsen _),
     "graph_assortativity" -> (Relational.graphAssortativity _),
+    "q_orders_runs_test" -> (Relational.qOrdersRunsTest _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -846,6 +847,34 @@ object SparkEntry {
                       sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
                            CAST(m * syy - sy * sy AS DOUBLE)), 6)
                   AS assortativity
+         FROM m""",
+
+    // decimal-exact daily sums; zero moves drop; R = 1 + sign changes;
+    // z = A / sqrt(B / (n-1)) stays integer until one division + sqrt
+    "q_orders_runs_test" ->
+      """WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS day,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                    FROM orders GROUP BY 1),
+            mv AS (SELECT day,
+                       CASE WHEN rev > lag(rev) OVER (ORDER BY day)
+                            THEN 1 ELSE 0 END AS up,
+                       lag(rev) OVER (ORDER BY day) AS prev, rev
+                   FROM d),
+            k AS (SELECT day, CAST(up AS BIGINT) AS up FROM mv
+                  WHERE prev IS NOT NULL AND rev <> prev),
+            sq AS (SELECT up, lag(up) OVER (ORDER BY day) AS pu FROM k),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(up) AS BIGINT) AS n1,
+                      CAST(sum(1 - up) AS BIGINT) AS n2,
+                      CAST(sum(CASE WHEN pu IS NOT NULL AND pu <> up
+                               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r
+                  FROM sq)
+         SELECT n AS n_moves, n1 AS n_up, n2 AS n_down, r AS n_runs,
+                round(CAST((r - 1) * n - 2 * n1 * n2 AS DOUBLE) /
+                      sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n)
+                                AS DOUBLE) /
+                           CAST(n - 1 AS DOUBLE)), 6) AS z
          FROM m""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;

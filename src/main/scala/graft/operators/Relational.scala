@@ -3302,4 +3302,49 @@ object Relational {
             (col("m") * col("syy") - col("sy") * col("sy"))
               .cast("double")), 6).as("assortativity"))
   }
+
+  /** §2.2 q_orders_runs_test: Wald-Wolfowitz runs test over daily
+    * revenue moves — is the up/down sequence random, or does it trend
+    * or oscillate? (the third nonparametric member: mannwhitney =
+    * location shift, theilsen = robust slope, this = serial
+    * randomness — the DQ check that catches a synthetic feed whose
+    * "daily" numbers were generated in sorted or alternating blocks).
+    * Day-over-day move signs come from DECIMAL-exact daily sums (zero
+    * moves drop); R = 1 + #sign-changes; the normal approximation
+    * z = A / sqrt(B / (n−1)) with A = (R−1)·n − 2·n₁·n₂ and
+    * B = 2·n₁·n₂·(2·n₁·n₂ − n) stays integer until ONE division and
+    * ONE sqrt (B ≈ 8e12 at sf0.1 — far inside BIGINT).
+    *
+    * Scale shape: the fact scan collapses map-side to ≤|days| rows;
+    * the sign/lag windows run over the calendar-bounded daily series
+    * (~2.4k rows), then a 1-row moment aggregate.
+    */
+  def qOrdersRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("CAST(unix_micros(o_orderdate) div 86400000000 AS BIGINT)")
+        .as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy(col("day"))
+    val moves = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
+      .select(col("day"),
+        when(col("rev") > col("prev"), 1L).otherwise(0L).as("up"))
+    val w2 = Window.orderBy(col("day"))
+    moves
+      .withColumn("pu", lag(col("up"), 1).over(w2))
+      .agg(count(lit(1)).as("n"),
+        sum(col("up")).as("n1"),
+        sum(lit(1L) - col("up")).as("n2"),
+        (sum(when(col("pu").isNotNull && col("pu") =!= col("up"), 1L)
+          .otherwise(0L)) + 1L).as("r"))
+      .select(col("n").as("n_moves"), col("n1").as("n_up"),
+        col("n2").as("n_down"), col("r").as("n_runs"),
+        round(((col("r") - 1L) * col("n") -
+            lit(2L) * col("n1") * col("n2"))
+          .cast("double") /
+          sqrt((lit(2L) * col("n1") * col("n2") *
+            (lit(2L) * col("n1") * col("n2") - col("n"))).cast("double") /
+            (col("n") - 1L).cast("double")), 6).as("z"))
+  }
 }
