@@ -111,4 +111,56 @@ class AlgebraPropSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("doubled tie-averaged ranks satisfy the U-statistic identity " +
+      "U1 + U2 = n1*n2 (q_value_mannwhitney's rank lemma)") {
+    val samplesGen = for {
+      a <- Gen.nonEmptyListOf(Gen.chooseNum(-50, 50))
+      b <- Gen.nonEmptyListOf(Gen.chooseNum(-50, 50))
+    } yield (a, b)
+    check(Prop.forAll(samplesGen) { case (a, b) =>
+      val all = (a.map((_, 1)) ++ b.map((_, 2)))
+      // doubled rank 2r = 2|less| + |equal| + 1 per distinct value
+      def rank2(v: Int): Long =
+        2L * all.count(_._1 < v) + all.count(_._1 == v) + 1
+      val n1 = a.size.toLong; val n2 = b.size.toLong
+      val u2a = a.map(rank2).sum - n1 * (n1 + 1) // doubled U1
+      val u2b = b.map(rank2).sum - n2 * (n2 + 1) // doubled U2
+      // identity: U1 + U2 = n1*n2, so doubled: u2a + u2b = 2*n1*n2;
+      // and the doubled U equals twice the pairwise count
+      // #(a>b) + #(a==b)/2 exactly (ties in halves stay integral x2)
+      val pairs2 = (for { x <- a; y <- b } yield
+        if (x > y) 2L else if (x == y) 1L else 0L).sum
+      u2a + u2b == 2 * n1 * n2 && u2a == pairs2
+    })
+  }
+
+  test("the runs-test change count is chunking-independent and " +
+      "R = 1 + changes equals the direct run count (q_orders_runs_test)") {
+    val signsGen = Gen.nonEmptyListOf(Gen.oneOf(0L, 1L))
+    check(Prop.forAll(signsGen) { signs =>
+      val changes = signs.sliding(2).count {
+        case Seq(x, y) => x != y
+        case _ => false
+      }
+      // direct run count: group consecutive equal signs
+      var runs = 1
+      signs.sliding(2).foreach {
+        case Seq(x, y) if x != y => runs += 1
+        case _ =>
+      }
+      1 + changes == runs
+    })
+  }
+
+  test("stub-PCM byteEnergy equals the BigInt reference on arbitrary " +
+      "payloads (mm_vad's kernel lemma)") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127))) { bs =>
+      val payload = bs.map(_.toByte).toArray
+      val expected = bs.map { b =>
+        val a = BigInt((b & 0xff) - 128); a * a
+      }.sum
+      BigInt(graft.functions.GraftKernels.byteEnergy(payload)) == expected
+    })
+  }
 }
