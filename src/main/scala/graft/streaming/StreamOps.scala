@@ -733,4 +733,58 @@ object StreamOps {
       }
       .toDF()
   }
+
+  case class HoltState(t: Long, level: Double, trend: Double)
+  case class HoltPoint(event_type: String, t: Long, batch_sum: Double,
+      level: Double, trend: Double, forecast_next: Double)
+
+  /** stream_holt: online Holt level+trend forecasting per event type —
+    * the streaming twin of q_orders_holt: each micro-batch contributes
+    * ONE observation per type (its DECIMAL-exact value sum), the keyed
+    * (level, trend) state updates with the batch operator's exact
+    * α=0.5/β=0.3 recursion (same literals, same expression shapes), and
+    * every batch emits the one-step-ahead forecast the pipeline owner
+    * alarms on. Per-batch observation IS the semantics (like ks_drift's
+    * per-batch scores); state is two doubles and a counter per key.
+    */
+  def holtStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[HoltState]) =>
+          // the observation: decimal-exact batch sum, one double cast
+          val x = it.foldLeft(BigDecimal(0)) { (a, e) =>
+            a + BigDecimal(e._2)
+          }.toDouble
+          state.getOption match {
+            case None =>
+              state.update(HoltState(1L, x, 0.0))
+              Iterator.empty // one observation: no trend yet, no emit
+            case Some(st) if st.t == 1L =>
+              val level = x
+              val trend = x - st.level // st.level holds x1
+              state.update(HoltState(2L, level, trend))
+              Iterator.single(HoltPoint(etype, 2L, x,
+                rint6(level), rint6(trend), rint6(level + trend)))
+            case Some(st) =>
+              // the batch operator's exact update shapes (Holt α=.5 β=.3)
+              val level = 0.5 * x + 0.5 * (st.level + st.trend)
+              val trend =
+                0.3 * ((0.5 * x + 0.5 * (st.level + st.trend)) - st.level) +
+                  0.7 * st.trend
+              state.update(HoltState(st.t + 1L, level, trend))
+              Iterator.single(HoltPoint(etype, st.t + 1L, x,
+                rint6(level), rint6(trend), rint6(level + trend)))
+          }
+      }
+      .toDF()
+  }
+
+  private def rint6(v: Double): Double = math.rint(v * 1e6) / 1e6
 }

@@ -894,4 +894,71 @@ class StreamingSpec extends AnyFunSuite {
     // the extraction rule is the batch audit's: 2dp decimal string
     assert(digit(68423.46) === 6 && digit(0.09) === 9 && digit(0.004) === 0)
   }
+
+  test("stream_holt: per-batch level/trend/forecast match a driver " +
+      "Holt replica and the batch path is the single-chunk semantics") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val evs = eventsAsCase().sortBy(e => (micros(e.ts), e.event_id))
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+
+    def expected(chunks: Seq[Seq[Ev]])
+        : Seq[(String, Long, Double, Double, Double, Double)] = {
+      val st = scala.collection.mutable.Map
+        .empty[String, (Long, Double, Double)] // t, level(or x1), trend
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Double, Double, Double, Double)]
+      chunks.foreach { chunk =>
+        chunk.groupBy(_.event_type).toSeq.sortBy(_._1).foreach {
+          case (et, es) =>
+            val x = es.foldLeft(BigDecimal(0))(
+              (a, e) => a + BigDecimal(e.value)).toDouble
+            st.get(et) match {
+              case None => st(et) = (1L, x, 0.0)
+              case Some((1L, x1, _)) =>
+                val level = x; val trend = x - x1
+                st(et) = (2L, level, trend)
+                out += ((et, 2L, x, r6(level), r6(trend),
+                  r6(level + trend)))
+              case Some((t, l, tr)) =>
+                val level = 0.5 * x + 0.5 * (l + tr)
+                val trend =
+                  0.3 * ((0.5 * x + 0.5 * (l + tr)) - l) + 0.7 * tr
+                st(et) = (t + 1L, level, trend)
+                out += ((et, t + 1L, x, r6(level), r6(trend),
+                  r6(level + trend)))
+            }
+        }
+      }
+      out.toSeq
+    }
+
+    val chunks = evs.grouped(evs.size / 3 + 1).toSeq
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.holtStream(stream.toDF())
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val got = spark.table("holt_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      assert(got === expected(chunks).toSet)
+      assert(got.nonEmpty)
+    } finally q.stop()
+
+    // batch mode: one group call per type = the t=1 fill only (no emit
+    // beyond it) — a single chunk yields exactly the expected set
+    val batchRun = StreamOps.holtStream(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(batchRun === expected(Seq(evs)).toSet)
+  }
 }
