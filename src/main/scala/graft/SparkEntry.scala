@@ -82,6 +82,7 @@ object SparkEntry {
     "q_orders_theilsen" -> (Relational.qOrdersTheilsen _),
     "graph_assortativity" -> (Relational.graphAssortativity _),
     "q_orders_runs_test" -> (Relational.qOrdersRunsTest _),
+    "q_events_kendall" -> (Relational.qEventsKendall _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -876,6 +877,36 @@ object SparkEntry {
                                 AS DOUBLE) /
                            CAST(n - 1 AS DOUBLE)), 6) AS z
          FROM m""",
+
+    // 24x10 (hour, ntile-decile) grid; concordance over cell pairs;
+    // doubled tie terms with a doubled numerator keep tau-b standard;
+    // sub-sqrt factors cast to double BEFORE multiplying (product tops
+    // 2^63 at sf0.1, each factor far under 2^53)
+    "q_events_kendall" ->
+      """WITH e AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                           % 24 AS hr,
+                        CAST(ntile(10) OVER (ORDER BY value, event_id)
+                             AS BIGINT) AS dec
+                    FROM events),
+            cells AS (SELECT hr, dec, CAST(count(*) AS BIGINT) AS n
+                      FROM e GROUP BY hr, dec),
+            p AS (SELECT
+                      CAST(sum(CASE WHEN a.dec < b.dec
+                               THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+                      CAST(sum(CASE WHEN a.dec > b.dec
+                               THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+                  FROM cells a JOIN cells b ON a.hr < b.hr),
+            tx AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS tx2,
+                       CAST(sum(t) AS BIGINT) AS ntot
+                   FROM (SELECT sum(n) AS t FROM cells GROUP BY hr)),
+            ty AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS ty2
+                   FROM (SELECT sum(n) AS t FROM cells GROUP BY dec))
+         SELECT ntot AS n_events, c AS concordant, d AS discordant,
+                round(CAST(2 * (c - d) AS DOUBLE) /
+                      sqrt(CAST(ntot * (ntot - 1) - tx2 AS DOUBLE) *
+                           CAST(ntot * (ntot - 1) - ty2 AS DOUBLE)), 6)
+                  AS kendall_tau_b
+         FROM p, tx, ty""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

@@ -3347,4 +3347,59 @@ object Relational {
             (lit(2L) * col("n1") * col("n2") - col("n"))).cast("double") /
             (col("n") - 1L).cast("double")), 6).as("z"))
   }
+
+  /** §2.2 q_events_kendall: Kendall τ-b between hour-of-day and event
+    * value — completes the rank-correlation trio (spearman = rank
+    * Pearson, mannwhitney = two-sample, this = concordance-based, the
+    * estimator of choice under heavy ties — and hour has only 24
+    * levels). Events land in a 24×10 (hour, value-decile) grid; τ-b
+    * counts concordant/discordant CELL pairs weighted by cell products,
+    * with the standard tie corrections: τ = (C−D)/√((n₀−n₁)(n₀−n₂)).
+    * Every count is an exact BIGINT; the two sub-√ factors cast to
+    * double BEFORE multiplying (their product tops 2⁶³ at sf0.1 while
+    * each factor is far under 2⁵³ — exact in IEEE); deciles cut by
+    * ntile over the TOTAL order (value, event_id), so the grid is
+    * deterministic on both engines.
+    *
+    * Scale shape: one map-side-combined count into ≤240 cells after
+    * the decile window (the only data-sized shuffle); the concordance
+    * join is 240×240 over a broadcast — constant work at any SF.
+    */
+  def qEventsKendall(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+        col("value"), col("event_id"))
+      .withColumn("dec", ntile(10).over(
+        Window.orderBy(col("value"), col("event_id"))).cast("bigint"))
+      .groupBy(col("hr"), col("dec"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    cells.count() // eager: marginals + the pair join consume
+    val a = cells.select(col("hr").as("x1"), col("dec").as("y1"),
+      col("n").as("n1"))
+    val b = cells.select(col("hr").as("x2"), col("dec").as("y2"),
+      col("n").as("n2"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("x1") < col("x2"))
+      .agg(
+        sum(when(col("y1") < col("y2"), col("n1") * col("n2"))
+          .otherwise(0L)).as("c"),
+        sum(when(col("y1") > col("y2"), col("n1") * col("n2"))
+          .otherwise(0L)).as("d"))
+    val tx = cells.groupBy(col("hr")).agg(sum(col("n")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L)).as("tx2"),
+        sum(col("t")).as("ntot"))
+    val ty = cells.groupBy(col("dec")).agg(sum(col("n")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L)).as("ty2"))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("ntot").as("n_events"), col("c").as("concordant"),
+        col("d").as("discordant"),
+        // doubled tie terms t(t−1) make the √ carry an extra factor 2,
+        // so the numerator doubles to keep τ-b on its standard scale
+        round((lit(2L) * (col("c") - col("d"))).cast("double") /
+          sqrt((col("ntot") * (col("ntot") - 1L) - col("tx2"))
+            .cast("double") *
+            (col("ntot") * (col("ntot") - 1L) - col("ty2"))
+              .cast("double")), 6).as("kendall_tau_b"))
+  }
 }
