@@ -83,6 +83,7 @@ object SparkEntry {
     "graph_assortativity" -> (Relational.graphAssortativity _),
     "q_orders_runs_test" -> (Relational.qOrdersRunsTest _),
     "q_events_kendall" -> (Relational.qEventsKendall _),
+    "q_part_chi2" -> (Relational.qPartChi2 _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -907,6 +908,40 @@ object SparkEntry {
                            CAST(ntot * (ntot - 1) - ty2 AS DOUBLE)), 6)
                   AS kendall_tau_b
          FROM p, tx, ty""",
+
+    // full r x c grid including zero-observed cells; (o-e)^2/e off
+    // exact integer counts; float sum over <=150 cells under the 6dp
+    // round (the entropy convention)
+    "q_part_chi2" ->
+      """WITH obs AS (SELECT p_type, p_brand,
+                          CAST(count(*) AS BIGINT) AS o
+                      FROM part GROUP BY p_type, p_brand),
+            rt AS (SELECT p_type, CAST(sum(o) AS BIGINT) AS rt
+                   FROM obs GROUP BY p_type),
+            ct AS (SELECT p_brand, CAST(sum(o) AS BIGINT) AS ct
+                   FROM obs GROUP BY p_brand),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                        CAST(count(DISTINCT p_type) AS BIGINT) AS r,
+                        CAST(count(DISTINCT p_brand) AS BIGINT) AS c
+                    FROM obs),
+            cell AS (SELECT n, r, c,
+                         CAST(COALESCE(o, 0) AS DOUBLE) AS od,
+                         CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+                           CAST(n AS DOUBLE) AS e
+                     FROM rt CROSS JOIN ct
+                     LEFT JOIN obs USING (p_type, p_brand)
+                     CROSS JOIN tot),
+            agg AS (SELECT n, r, c,
+                        sum((od - e) * (od - e) / e) AS chi2raw
+                    FROM cell GROUP BY n, r, c)
+         SELECT n AS n_parts, r AS n_types, c AS n_brands,
+                CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+                round(chi2raw, 6) AS chi2,
+                round(sqrt(chi2raw /
+                      (CAST(n AS DOUBLE) *
+                       CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+                  AS cramers_v
+         FROM agg""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

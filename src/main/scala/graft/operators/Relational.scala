@@ -3402,4 +3402,51 @@ object Relational {
             (col("ntot") * (col("ntot") - 1L) - col("ty2"))
               .cast("double")), 6).as("kendall_tau_b"))
   }
+
+  /** §2.2 q_part_chi2: chi-square independence test between part type
+    * and brand, with Cramér's V — the CATEGORICAL-association member
+    * beside the numeric correlation family (spearman/kendall rank
+    * numeric pairs; this asks whether two discrete attributes are
+    * independent — the catalog-DQ check that catches a generator or
+    * join accidentally coupling dimensions). The full r×c grid
+    * (including zero-observed cells) contributes (o−e)²/e with
+    * e = rowtot·coltot/n off exact integer counts; the float sum over
+    * ≤150 cells carries ulp noise nine orders under the 6dp round
+    * (the qEventsEntropy convention).
+    *
+    * Scale shape: ONE map-side-combined (type, brand) count is the
+    * only data shuffle; marginals derive from the cell table (never a
+    * second fact scan), the grid is a broadcast cross join of two
+    * marginal tables, and the reducer is a 1-row aggregate.
+    */
+  def qPartChi2(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.part(spark, dir)
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    obs.count() // eager: two marginals + n + the grid join consume
+    val rt = obs.groupBy(col("p_type")).agg(sum(col("o")).as("rt"))
+    val ct = obs.groupBy(col("p_brand")).agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("p_type")).as("r"),
+      countDistinct(col("p_brand")).as("c"))
+    rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("p_type", "p_brand"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).cast("double").as("od"),
+        (col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double")).as("e"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum((col("od") - col("e")) * (col("od") - col("e")) / col("e"))
+        .as("chi2raw"))
+      .select(col("n").as("n_parts"), col("r").as("n_types"),
+        col("c").as("n_brands"),
+        ((col("r") - 1L) * (col("c") - 1L)).as("dof"),
+        round(col("chi2raw"), 6).as("chi2"),
+        round(sqrt(col("chi2raw") /
+          (col("n").cast("double") *
+            least(col("r") - 1L, col("c") - 1L).cast("double"))), 6)
+          .as("cramers_v"))
+  }
 }
