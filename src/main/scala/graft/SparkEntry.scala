@@ -84,6 +84,7 @@ object SparkEntry {
     "q_orders_runs_test" -> (Relational.qOrdersRunsTest _),
     "q_events_kendall" -> (Relational.qEventsKendall _),
     "q_part_chi2" -> (Relational.qPartChi2 _),
+    "q_orders_subsample_ci" -> (Relational.qOrdersSubsampleCi _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -942,6 +943,35 @@ object SparkEntry {
                        CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
                   AS cramers_v
          FROM agg""",
+
+    // 200 deterministic Lehmer-mixed half-samples; decimal-exact
+    // subsample means; CI = ranks 5/195 by (raw mean, replicate)
+    "q_orders_subsample_ci" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+                           CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                       FROM orders),
+            x AS (SELECT k, p, unnest(range(0, 200)) AS b FROM base),
+            kept AS (SELECT b, p FROM x
+                     WHERE (k * 2654435761 + b * 40503 + 692873)
+                           % 2147483647 * 48271 % 2147483647
+                           < 1073741824),
+            means AS (SELECT b,
+                          CAST(sum(p) AS DOUBLE) /
+                            CAST(count(*) AS DOUBLE) AS mean
+                      FROM kept GROUP BY b),
+            r AS (SELECT mean, b,
+                      row_number() OVER (ORDER BY mean, b) AS rk
+                  FROM means),
+            ci AS (SELECT min(mean) AS lo, max(mean) AS hi
+                   FROM r WHERE rk = 5 OR rk = 195),
+            f AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                      CAST(sum(p) AS DOUBLE) /
+                        CAST(count(*) AS DOUBLE) AS mean_full
+                  FROM base)
+         SELECT n_orders, CAST(200 AS BIGINT) AS n_resamples,
+                round(mean_full, 6) AS mean_order_value,
+                round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         FROM ci, f""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

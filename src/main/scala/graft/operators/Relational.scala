@@ -3449,4 +3449,60 @@ object Relational {
             least(col("r") - 1L, col("c") - 1L).cast("double"))), 6)
           .as("cramers_v"))
   }
+
+  /** §2.2 q_orders_subsample_ci: subsampling confidence interval for
+    * the mean order value (Politis & Romano subsampling — the
+    * resampling member of the statistical family: spearman/kendall
+    * measure association, mannwhitney/runs test hypotheses, this
+    * quantifies UNCERTAINTY): 200 deterministic half-samples, each
+    * drawn by a Lehmer-mixed inclusion hash of (orderkey, replicate),
+    * give 200 DECIMAL-exact subsample means; the CI is the 5th/195th
+    * of the 200 means (2.5%/97.5%), selected by (raw mean, replicate)
+    * row_number — a total order.
+    *
+    * The inclusion hash is MINSTD-composed modular arithmetic chosen to
+    * stay inside BIGINT on BOTH engines (k·2654435761 ≲ 2⁶³ at any
+    * realistic keyspace; no 64-bit wraparound, which ANSI Spark would
+    * reject and DuckDB would need HUGEINT for): include iff
+    * ((k·2654435761 + b·40503 + 692873) mod (2³¹−1)) · 48271
+    *   mod (2³¹−1) < 2³⁰.
+    *
+    * Scale shape: the replicate explode multiplies rows ×200 but the
+    * partial aggregate collapses each partition to ≤200 rows before
+    * the ONLY shuffle (map-side combine is the whole story — the 200
+    * subsample sums cost one scan's worth of codegen'd arithmetic);
+    * the selection window runs over exactly 200 rows.
+    */
+  def qOrdersSubsampleCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 200
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val means = base
+      .select(col("k"), col("p"),
+        explode(sequence(lit(0), lit(B - 1))).as("b0"))
+      .select(col("k"), col("p"), col("b0").cast("long").as("b"))
+      .filter(
+        (col("k") * lit(2654435761L) + col("b") * lit(40503L) +
+          lit(692873L)) % lit(2147483647L) * lit(48271L) %
+          lit(2147483647L) < lit(1073741824L))
+      .groupBy(col("b"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("m"))
+      .select(col("b"),
+        (col("s").cast("double") / col("m").cast("double")).as("mean"))
+    val ranked = means
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mean"), col("b"))))
+    val full = base.agg(count(lit(1)).as("n_orders"),
+      (sum(col("p")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_full"))
+    ranked.filter(col("rk") === 5 || col("rk") === 195)
+      .agg(min(col("mean")).as("lo"), max(col("mean")).as("hi"),
+        count(lit(1)).as("n_sel"))
+      .crossJoin(broadcast(full))
+      .select(col("n_orders"), lit(B.toLong).as("n_resamples"),
+        round(col("mean_full"), 6).as("mean_order_value"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"))
+  }
 }
