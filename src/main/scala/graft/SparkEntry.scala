@@ -85,6 +85,7 @@ object SparkEntry {
     "q_events_kendall" -> (Relational.qEventsKendall _),
     "q_part_chi2" -> (Relational.qPartChi2 _),
     "q_orders_subsample_ci" -> (Relational.qOrdersSubsampleCi _),
+    "q_events_entropy_rate" -> (Relational.qEventsEntropyRate _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -972,6 +973,36 @@ object SparkEntry {
                 round(mean_full, 6) AS mean_order_value,
                 round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
          FROM ci, f""",
+
+    // exact integer transition counts; per-state H = log2(n_a) -
+    // (sum c*log2(c))/n_a; rate = count-weighted mean of state
+    // entropies (<=|types|-term float folds under the 6dp round)
+    "q_events_entropy_rate" ->
+      """WITH t AS (SELECT user_id, event_type AS cur,
+                        CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+                    FROM events),
+            l AS (SELECT cur,
+                      lag(cur) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id) AS prev
+                  FROM t),
+            tr AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+                   FROM l WHERE prev IS NOT NULL GROUP BY prev, cur),
+            ps AS (SELECT prev, CAST(count(*) AS BIGINT) AS n_next_types,
+                       CAST(sum(c) AS BIGINT) AS n_a,
+                       sum(CAST(c AS DOUBLE) *
+                           log2(CAST(c AS DOUBLE))) AS clog
+                   FROM tr GROUP BY prev),
+            h AS (SELECT prev, n_next_types, n_a,
+                      log2(CAST(n_a AS DOUBLE)) -
+                        clog / CAST(n_a AS DOUBLE) AS h_raw
+                  FROM ps),
+            r AS (SELECT sum(CAST(n_a AS DOUBLE) * h_raw) /
+                      CAST(sum(n_a) AS DOUBLE) AS rate_raw
+                  FROM h)
+         SELECT prev AS state, n_next_types, n_a AS n_transitions,
+                round(h_raw, 6) AS cond_entropy_bits,
+                round(rate_raw, 6) AS entropy_rate_bits
+         FROM h, r ORDER BY state""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

@@ -3505,4 +3505,53 @@ object Relational {
         round(col("lo"), 6).as("ci_lo"),
         round(col("hi"), 6).as("ci_hi"))
   }
+
+  /** §2.2 q_events_entropy_rate: conditional next-type entropy of the
+    * per-user event chain — how PREDICTABLE is the next event given the
+    * current one? (the information-theoretic reading of the transition
+    * matrix q_events_markov materializes: H(next|cur=a) per state, plus
+    * the chain's entropy rate Σ p(a)·H(next|a); a rate near log₂ of
+    * the fan-out means the "chain" is noise, near 0 means sessions are
+    * deterministic — a behavioral-data DQ axis). Per state:
+    * H = log2(nₐ) − (Σ_b c·log2(c))/nₐ over exact integer transition
+    * counts (the qEventsEntropy shape); the rate is the count-weighted
+    * average of per-state entropies — each a ≤|types|-term float fold
+    * whose ulp noise sits nine orders under the 6dp round.
+    *
+    * Scale shape: one user-co-partitioned lag window (the markov
+    * shuffle), one map-side-combined (prev, cur) count, then
+    * state-count-sized rollups — transition volume never reaches the
+    * second aggregate.
+    */
+  def qEventsEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("cur"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c"))
+    val perState = trans
+      .groupBy(col("prev"))
+      .agg(count(lit(1)).as("n_next_types"),
+        sum(col("c")).cast("bigint").as("n_a"),
+        sum(col("c").cast("double") * log2(col("c").cast("double")))
+          .as("clog"))
+      .select(col("prev"), col("n_next_types"), col("n_a"),
+        (log2(col("n_a").cast("double")) -
+          col("clog") / col("n_a").cast("double")).as("h_raw"))
+      .persist()
+    perState.count() // eager: the rate aggregate + the output consume
+    val rate = perState
+      .agg((sum(col("n_a").cast("double") * col("h_raw")) /
+        sum(col("n_a")).cast("double")).as("rate_raw"))
+    perState.crossJoin(broadcast(rate))
+      .select(col("prev").as("state"), col("n_next_types"),
+        col("n_a").as("n_transitions"),
+        round(col("h_raw"), 6).as("cond_entropy_bits"),
+        round(col("rate_raw"), 6).as("entropy_rate_bits"))
+      .orderBy(col("state"))
+  }
 }
