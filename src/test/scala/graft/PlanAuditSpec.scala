@@ -386,4 +386,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "HashAggregate") >= 2, p)
     assert(p.contains("Window"), p)
   }
+
+  test("q_orders_subsample_ci: the x200 replicate explode collapses " +
+      "map-side before the only data shuffle") {
+    val p = plan("q_orders_subsample_ci")
+    // partial + final aggregate pair around the replicate shuffle; the
+    // CI selection window runs over 200 rows, never the explode output
+    assert(countOf(p, "HashAggregate") >= 2, p)
+    assert(p.contains("Generate explode"), p)
+    val readSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("o_comment") &&
+      !readSchema.contains("o_orderdate"), readSchema)
+  }
+
+  test("q_events_kendall / q_part_chi2: one data-sized shuffle, then " +
+      "broadcast-joined constant-size grids") {
+    for (q <- Seq("q_events_kendall", "q_part_chi2")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+      // no sort-merge join: every grid/marginal join rides a broadcast
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+    }
+  }
 }
