@@ -86,6 +86,7 @@ object SparkEntry {
     "q_part_chi2" -> (Relational.qPartChi2 _),
     "q_orders_subsample_ci" -> (Relational.qOrdersSubsampleCi _),
     "q_events_entropy_rate" -> (Relational.qEventsEntropyRate _),
+    "q_orders_mad_outliers" -> (Relational.qOrdersMadOutliers _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -1003,6 +1004,31 @@ object SparkEntry {
                 round(h_raw, 6) AS cond_entropy_bits,
                 round(rate_raw, 6) AS entropy_rate_bits
          FROM h, r ORDER BY state""",
+
+    // lower-median and MAD as EXACT decimal selections by a total
+    // order; one float division per month; 1.4826 shared literal
+    "q_orders_mad_outliers" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                               AS BIGINT) AS ym,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+            mr AS (SELECT rev, row_number() OVER (ORDER BY rev, ym) AS rk,
+                       count(*) OVER () AS nn
+                   FROM m),
+            med AS (SELECT rev AS med FROM mr WHERE rk = (nn + 1) // 2),
+            dev AS (SELECT ym, rev, med, abs(rev - med) AS dv
+                    FROM m, med),
+            dr AS (SELECT dv, row_number() OVER (ORDER BY dv, ym) AS rk,
+                       count(*) OVER () AS nn
+                   FROM dev),
+            mad AS (SELECT dv AS mad FROM dr WHERE rk = (nn + 1) // 2)
+         SELECT ym, CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(rev - med AS DOUBLE) /
+                      (1.4826 * CAST(mad AS DOUBLE)), 6) AS robust_z,
+                abs(CAST(rev - med AS DOUBLE) /
+                    (1.4826 * CAST(mad AS DOUBLE))) > 3.0 AS is_outlier
+         FROM dev, mad ORDER BY ym""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

@@ -3554,4 +3554,51 @@ object Relational {
         round(col("rate_raw"), 6).as("entropy_rate_bits"))
       .orderBy(col("state"))
   }
+
+  /** §2.2 q_orders_mad_outliers: robust (median/MAD) outlier months in
+    * the revenue series — the ROBUST-SCALE member of the outlier family
+    * (q_events_anomaly z-scores against mean/std, which an outlier
+    * itself inflates; median/MAD has a 50% breakdown point, the screen
+    * that still works when a whole quarter is corrupt). Lower-median of
+    * the DECIMAL-exact monthly sums (rank ⌊(n+1)/2⌋ by (rev, ym) — a
+    * total order, an EXACT decimal, no averaging), MAD likewise over
+    * decimal |rev − med|; robust z = (rev − med)/(1.4826·MAD) is one
+    * float division per month; flagged iff |z| > 3.
+    *
+    * Scale shape: the fact scan collapses map-side to ≤|months| rows;
+    * the two median selections and the scoring window run over the
+    * calendar-bounded series.
+    */
+  def qOrdersMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("bigint").as("ym"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .persist()
+    m.count() // eager: median pick + dev relation + the scored output
+    val med = m
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rev"), col("ym"))))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("rk") === expr("(nn + 1) div 2"))
+      .select(col("rev").as("med"))
+    val dev = m.crossJoin(broadcast(med))
+      .select(col("ym"), col("rev"), col("med"),
+        abs(col("rev") - col("med")).as("dv"))
+    val mad = dev
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("dv"), col("ym"))))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("rk") === expr("(nn + 1) div 2"))
+      .select(col("dv").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("ym"), col("rev").cast("double").as("revenue"),
+        round((col("rev") - col("med")).cast("double") /
+          (lit(1.4826) * col("mad").cast("double")), 6).as("robust_z"),
+        (abs((col("rev") - col("med")).cast("double") /
+          (lit(1.4826) * col("mad").cast("double"))) > 3.0)
+          .as("is_outlier"))
+      .orderBy(col("ym"))
+  }
 }
