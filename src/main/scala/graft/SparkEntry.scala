@@ -229,6 +229,7 @@ object SparkEntry {
     "mm_cdc_incremental" -> (Multimodal.mmCdcIncremental _),
     "mm_vad" -> (Multimodal.mmVad _),
     "q_nvd_score_drift" -> (Nvd.qNvdScoreDrift _),
+    "q_nvd_severity_transition" -> (Nvd.qNvdSeverityTransition _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -1916,6 +1917,28 @@ object SparkEntry {
          SELECT cve_id, n_revisions, w.lm AS last_modified_s,
                 w.sr AS winner_src
          FROM g ORDER BY cve_id""",
+
+    // CVEs present in BOTH feeds; (old severity -> new severity) exact
+    // integer counts; missing v3 scores read NONE on both engines
+    "q_nvd_severity_transition" ->
+      s"""WITH fy AS (SELECT unnest(CVE_Items) AS item
+                      FROM read_json('${graft.sources.NvdEtl.FixtureAbsPath}',
+                                     maximum_object_size=104857600)),
+              fr AS (SELECT unnest(CVE_Items) AS item
+                     FROM read_json('${graft.sources.NvdEtl.RecentFixtureAbsPath}',
+                                    maximum_object_size=104857600)),
+              y AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
+                        COALESCE(item.impact.baseMetricV3.cvssV3
+                                   .baseSeverity, 'NONE') AS old_sev
+                    FROM fy),
+              r AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
+                        COALESCE(item.impact.baseMetricV3.cvssV3
+                                   .baseSeverity, 'NONE') AS new_sev
+                    FROM fr)
+         SELECT old_sev, new_sev, CAST(count(*) AS BIGINT) AS n_cves
+         FROM y JOIN r USING (cve_id)
+         GROUP BY old_sev, new_sev
+         ORDER BY old_sev, new_sev""",
 
     "q_events_moving" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value

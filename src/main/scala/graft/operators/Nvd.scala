@@ -423,4 +423,27 @@ object Nvd {
           (col("n_old") * col("n_new")).cast("double"), 6).as("ks_d"),
         (col("sds").cast("double") / 10.0).as("ks_at_score"))
   }
+
+  /** §2.1 q_nvd_severity_transition: severity transition matrix across
+    * the recent-feed upsert — which CVEs the daily feed RE-SCORED (the
+    * question a vulnerability-management consumer asks of every cron
+    * tick the reference's loop takes: did anything I triaged as LOW
+    * become CRITICAL?): for CVEs present in BOTH the yearly corpus and
+    * the recent feed, count (old severity → new severity) pairs;
+    * missing v3 scores read NONE. Exact integer counts; the recent
+    * side broadcasts (a daily feed is always dimension-sized next to
+    * the corpus).
+    */
+  def qNvdSeverityTransition(spark: SparkSession, dir: String): DataFrame = {
+    val sev = coalesce(
+      col("impact.baseMetricV3.cvssV3.baseSeverity"), lit("NONE"))
+    val yearly = cves(spark)
+      .select(NvdEtl.cveId.as("cve_id"), sev.as("old_sev"))
+    val recent = NvdEtl.ingest(spark, NvdEtl.RecentFixtureAbsPath)
+      .select(NvdEtl.cveId.as("cve_id"), sev.as("new_sev"))
+    yearly.join(broadcast(recent), Seq("cve_id"))
+      .groupBy(col("old_sev"), col("new_sev"))
+      .agg(count(lit(1)).as("n_cves"))
+      .orderBy(col("old_sev"), col("new_sev"))
+  }
 }
