@@ -163,4 +163,96 @@ class AlgebraPropSpec extends AnyFunSuite {
       BigInt(graft.functions.GraftKernels.byteEnergy(payload)) == expected
     })
   }
+
+  test("cell-grid concordance counting equals naive pairwise tau " +
+      "counts on binned data (q_events_kendall's grid lemma)") {
+    val xyGen = Gen.nonEmptyListOf(for {
+      x <- Gen.chooseNum(0, 5); y <- Gen.chooseNum(0, 4)
+    } yield (x, y))
+    check(Prop.forAll(xyGen) { pts =>
+      // naive: count concordant/discordant unordered pairs directly
+      val idx = pts.zipWithIndex
+      val naive = (for {
+        ((x1, y1), i) <- idx; ((x2, y2), j) <- idx if i < j
+      } yield {
+        if (x1 == x2 || y1 == y2) (0L, 0L)
+        else if ((x1 < x2) == (y1 < y2)) (1L, 0L)
+        else (0L, 1L)
+      }).foldLeft((0L, 0L)) { case ((c, d), (pc, pd)) => (c + pc, d + pd) }
+      // grid: cell counts, ordered cell pairs x1<x2 weighted by products
+      // .toSeq: a for-yield of pairs over a MAP rebuilds a Map and
+      // collapses colliding (count, 0) keys (the Map.flatMap trap)
+      val cells = pts.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }.toSeq
+      val grid = (for {
+        ((x1, y1), n1) <- cells; ((x2, y2), n2) <- cells if x1 < x2
+      } yield {
+        if (y1 < y2) (n1 * n2, 0L)
+        else if (y1 > y2) (0L, n1 * n2)
+        else (0L, 0L)
+      }).foldLeft((0L, 0L)) { case ((c, d), (pc, pd)) => (c + pc, d + pd) }
+      naive == grid
+    })
+  }
+
+  test("Theil-Sen slope is shift-equivariant and scale-equivariant " +
+      "(q_orders_theilsen's robustness lemma)") {
+    val yGen = Gen.listOfN(9, Gen.chooseNum(-1000, 1000))
+    check(Prop.forAll(yGen) { ys0 =>
+      val ys = ys0.map(_.toDouble)
+      def sen(v: Seq[Double]): Double = {
+        val slopes = (for {
+          i <- v.indices; j <- v.indices if j > i
+        } yield ((v(j) - v(i)) / (j - i), i, j)).sortBy(t => (t._1, t._2, t._3))
+        val n = slopes.size
+        (slopes((n + 1) / 2 - 1)._1 + slopes((n + 2) / 2 - 1)._1) / 2
+      }
+      val base = sen(ys)
+      val shifted = sen(ys.map(_ + 37.0))
+      val scaled = sen(ys.map(_ * 3.0))
+      math.abs(shifted - base) < 1e-9 &&
+        math.abs(scaled - 3.0 * base) < 1e-6
+    })
+  }
+
+  test("Mahalanobis d2 is invariant to per-axis affine rescaling " +
+      "(q_customer_mahalanobis' closed-form lemma)") {
+    val ptsGen = Gen.listOfN(8, for {
+      x <- Gen.chooseNum(1, 40); y <- Gen.chooseNum(1, 5000)
+    } yield (x.toLong, y.toLong))
+      // degenerate covariances (an axis constant, or perfectly
+      // collinear axes) make det 0 — the lemma quantifies over
+      // general-position samples only
+      .suchThat { p =>
+        val xs = p.map(_._1); val ys = p.map(_._2)
+        val n = p.size.toLong
+        val sxx = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+        val syy = n * ys.map(y => y * y).sum - ys.sum * ys.sum
+        val sxy = n * p.map { case (x, y) => x * y }.sum - xs.sum * ys.sum
+        sxx * syy - sxy * sxy != 0
+      }
+    def d2(pts: Seq[(Double, Double)]): Seq[Double] = {
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx2 = pts.map(p => p._1 * p._1).sum
+      val syy2 = pts.map(p => p._2 * p._2).sum
+      val sxy2 = pts.map(p => p._1 * p._2).sum
+      val sxx = n * sxx2 - sx * sx
+      val syy = n * syy2 - sy * sy
+      val sxy = n * sxy2 - sx * sy
+      val det = sxx * syy - sxy * sxy
+      pts.map { case (x, y) =>
+        val dx = n * x - sx; val dy = n * y - sy
+        val q = syy * dx * dx - 2.0 * sxy * dx * dy + sxx * dy * dy
+        (n - 1.0) * q / (n * det)
+      }
+    }
+    check(Prop.forAll(ptsGen) { ptsL =>
+      val pts = ptsL.map { case (x, y) => (x.toDouble, y.toDouble) }
+      val base = d2(pts)
+      val rescaled = d2(pts.map { case (x, y) => (x * 5.0 + 3.0, y / 7.0) })
+      base.zip(rescaled).forall { case (a, b) =>
+        math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)) }
+    })
+  }
 }
