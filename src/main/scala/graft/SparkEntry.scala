@@ -87,6 +87,7 @@ object SparkEntry {
     "q_orders_subsample_ci" -> (Relational.qOrdersSubsampleCi _),
     "q_events_entropy_rate" -> (Relational.qEventsEntropyRate _),
     "q_orders_mad_outliers" -> (Relational.qOrdersMadOutliers _),
+    "graph_modularity" -> (Relational.graphModularity _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -1030,6 +1031,46 @@ object SparkEntry {
                 abs(CAST(rev - med AS DOUBLE) /
                     (1.4826 * CAST(mad AS DOUBLE))) > 3.0 AS is_outlier
          FROM dev, mad ORDER BY ym""",
+
+    // LPA labels via the same unrolled vote CTEs; modularity num_c =
+    // 4m*e_c - D_c^2 stays BIGINT; the community sum is integer-exact
+    // and ONE division produces the score
+    "graph_modularity" ->
+      s"""WITH cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+                        l.l_suppkey * 2 + 1 AS s
+                      FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey),
+            e AS (SELECT c AS src, s AS dst FROM cs
+                  UNION ALL
+                  SELECT s AS src, c AS dst FROM cs),
+            lp0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+            ${lpaSteps(4)},
+            deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+                    FROM e GROUP BY src),
+            mm AS (SELECT CAST(sum(d) AS BIGINT) // 2 AS m FROM deg),
+            dc AS (SELECT p.lbl, CAST(sum(d.d) AS BIGINT) AS dsum,
+                       CAST(count(*) AS BIGINT) AS n_members
+                   FROM lp4 p JOIN deg d ON d.v = p.v GROUP BY p.lbl),
+            ic AS (SELECT a.lbl, CAST(count(*) AS BIGINT) // 2 AS e_in
+                   FROM e JOIN lp4 a ON a.v = e.src
+                          JOIN lp4 b ON b.v = e.dst
+                   WHERE a.lbl = b.lbl GROUP BY a.lbl),
+            pc AS (SELECT dc.lbl, n_members, dsum,
+                       COALESCE(e_in, CAST(0 AS BIGINT)) AS e_in, m,
+                       4 * m * COALESCE(e_in, CAST(0 AS BIGINT))
+                         - dsum * dsum AS num
+                   FROM dc LEFT JOIN ic ON ic.lbl = dc.lbl CROSS JOIN mm),
+            t AS (SELECT *, CAST(sum(num) OVER () AS BIGINT) AS total
+                  FROM pc)
+         SELECT CASE WHEN lbl % 2 = 0 THEN 'customer'
+                ELSE 'supplier' END AS community_type,
+                CAST(lbl // 2 AS BIGINT) AS community_key,
+                n_members, dsum AS degree_sum, e_in AS internal_edges,
+                round(CAST(num AS DOUBLE) /
+                      CAST(4 * m * m AS DOUBLE), 6) AS contribution,
+                round(CAST(total AS DOUBLE) /
+                      CAST(4 * m * m AS DOUBLE), 6) AS modularity
+         FROM t ORDER BY community_type, community_key""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

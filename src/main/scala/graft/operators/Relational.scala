@@ -3601,4 +3601,68 @@ object Relational {
           .as("is_outlier"))
       .orderBy(col("ym"))
   }
+
+  /** §2.2 graph_modularity: Newman-Girvan modularity of the LPA
+    * communities — the EVALUATION metric for the community detection
+    * the suite already runs (sim_dbscan_purity grades the clustering;
+    * this grades the graph partition): per community
+    * Q_c = e_c/m − (D_c/2m)², summed. With integer scatter
+    * num_c = 4m·e_c − D_c², Q = Σnum_c/(4m²) — the community sum stays
+    * an exact BIGINT (|Σnum| ≤ 4m² ≈ 4e12 at sf0.1) and ONE division
+    * produces the score: no float ever sums.
+    *
+    * Scale shape: the edge relation persists once (labels join into it
+    * twice, degrees derive from it); the per-community rollups are
+    * community-sized; the global sum is a window over those rows; the
+    * LPA labeling itself is [[lpaCore]]'s zero-edge-motion loop.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      .persist()
+    edges.count() // eager: lpaCore input + degree + both label joins
+    val lbl = lpaCore(edges).select(col("v"), col("lbl")).persist()
+    lbl.count() // eager: degree rollup + two edge-end joins consume
+    val deg = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+    val mrow = deg.agg(expr("sum(d) div 2").as("m"))
+    val dc = lbl.join(deg, Seq("v"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("d")).as("dsum"), count(lit(1)).as("n_members"))
+    val ic = edges
+      .join(lbl.select(col("v").as("src"), col("lbl").as("la")), Seq("src"))
+      .join(lbl.select(col("v").as("dst"), col("lbl").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl"))
+      .agg(expr("count(1) div 2").as("e_in"))
+    dc.join(ic, Seq("lbl"), "left")
+      .crossJoin(broadcast(mrow))
+      .select(col("lbl"), col("n_members"), col("dsum"), col("m"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"))
+      .withColumn("num",
+        lit(4L) * col("m") * col("e_in") - col("dsum") * col("dsum"))
+      .withColumn("total",
+        sum(col("num")).over(Window.partitionBy(lit(1))))
+      .select(
+        when(col("lbl") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("community_type"),
+        expr("lbl div 2").cast("bigint").as("community_key"),
+        col("n_members"), col("dsum").as("degree_sum"),
+        col("e_in").as("internal_edges"),
+        round(col("num").cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"), 6)
+          .as("contribution"),
+        round(col("total").cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"), 6)
+          .as("modularity"))
+      .orderBy(col("community_type"), col("community_key"))
+  }
 }
