@@ -83,6 +83,30 @@ object Bench {
     */
   val QuietProbeMedianFloor = 1200000L
 
+  /** Kernel-steal bound for a quiet probe sample, in percent of all-CPU
+    * jiffies over the probe window. The r10 driver rerun exposed the
+    * hole this closes: its closing probe read steal_pct 5.22 — the
+    * kernel's own account of a contended window — while `probe_quiet`
+    * stayed true because the gate checked only the median floor, and
+    * the artifact's 20.8 s dedup_cluster reading would have been
+    * recorded as a regression without an isolated re-run. The quiet
+    * verdict now requires BOTH signals on every sample: throughput at
+    * calibration (median ≥ floor) AND the kernel reporting the band's
+    * documented steal ceiling (≤ 2.5%, the level the era-2 calibration
+    * itself was measured under; BASELINE.md "Host migration"). A
+    * sample with steal_pct = -1 (no /proc/stat) falls back to the
+    * median floor alone.
+    */
+  val QuietProbeStealMaxPct = 2.5
+
+  /** One probe sample is quiet iff its median clears the calibration
+    * floor AND the kernel steal account (where available) is inside
+    * the documented quiet band.
+    */
+  def sampleQuiet(p: (Long, Long, Long, Double)): Boolean =
+    p._2 >= QuietProbeMedianFloor &&
+      (p._4 < 0 || p._4 <= QuietProbeStealMaxPct)
+
   /** Cumulative (steal, total) jiffies from /proc/stat's aggregate cpu
     * line; (0, -1) where the file is absent (non-Linux). Sampled either
     * side of a probe window, the delta gives the kernel's OWN account of
@@ -150,15 +174,42 @@ object Bench {
     // are outliving their query and the suite totals deserve suspicion
     var residualMax = 0L
 
+    // cumulative stop-the-world GC milliseconds across all collectors —
+    // deltas bracket a timed pass so a slow reading carries its own
+    // GC-pressure evidence
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) s += math.max(0L, it.next().getCollectionTime)
+      s
+    }
+
+    // Per-pass cause attribution (r10 postmortem: the driver rerun's
+    // dedup_cluster 20.8 s reading needed an isolated re-run to separate
+    // contention from regression — probes only bracket whole runs, so a
+    // mid-run storm is invisible). Every timed pass now brackets itself
+    // with the kernel steal counter and the JVM GC clock: a spike whose
+    // own window shows steal is contention; one showing seconds of GC is
+    // heap pressure; one showing neither is a real plan regression.
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Either[String, Double] = {
+        : (Either[String, Double], Double, Double) = {
+      val (s0, j0) = stealSample()
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val gcSec = (gcMillis() - g0) / 1000.0
+        val (s1, j1) = stealSample()
+        val stealPct =
+          if (j1 < 0 || j0 < 0 || j1 == j0) -1.0
+          else 100.0 * (s1 - s0) / (j1 - j0)
+        (Right(dt), stealPct, gcSec)
       } catch {
         case e: Throwable =>
-          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          (Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)),
+            -1.0, -1.0)
       } finally {
         // full release between timed passes (SQL caches + raw persisted
         // RDDs, blocking + ContextCleaner-driving GC): see GraftCaches for
@@ -182,12 +233,21 @@ object Bench {
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-pass attribution, one map per comparable pass (warm + runs 2..N):
+    // kernel steal%% and stop-the-world GC seconds inside each query's own
+    // timed window
+    type DMap = scala.collection.mutable.LinkedHashMap[String, Double]
+    def dmap() = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stealRuns = scala.collection.mutable.ArrayBuffer[DMap](dmap())
+    val gcRuns = scala.collection.mutable.ArrayBuffer[DMap](dmap())
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      timeOne(fn) match {
+      timeOne(fn)._1 match {
         case Right(t1) =>
           cold(name) = t1
-          timeOne(fn) match {
+          val (r2, st, gc) = timeOne(fn)
+          stealRuns(0)(name) = st; gcRuns(0)(name) = gc
+          r2 match {
             case Right(t2) => warm(name) = t2
             case Left(err) => warm(name) = -1.0; errors(name) = err
           }
@@ -205,9 +265,13 @@ object Bench {
     val extraRuns = (2 to nRuns).map { _ =>
       midProbes += probeWithSteal()
       val w = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val sm = dmap(); val gm = dmap()
       names.foreach { name =>
-        w(name) = timeOne(SparkEntry.queries(name)).getOrElse(-1.0)
+        val (r, st, gc) = timeOne(SparkEntry.queries(name))
+        w(name) = r.getOrElse(-1.0)
+        sm(name) = st; gm(name) = gc
       }
+      stealRuns += sm; gcRuns += gm
       w
     }
     val allWarm: Seq[collection.Map[String, Double]] = warm +: extraRuns
@@ -267,12 +331,16 @@ object Bench {
     val steadyMax = if (steadyRatios.isEmpty) 0.0 else steadyRatios.values.max
     val runsJson = allWarm.map(w => jmap(w)).mkString("[", ",", "]")
     // the quiet verdict: EVERY probe sample's median clears the committed
-    // calibration floor — a storm window reads false and the artifact is
-    // self-declared direction-valid only (VERDICT r9 #8)
+    // calibration floor AND its kernel steal account sits inside the
+    // documented band (VERDICT r10 #2 — the median-only gate certified a
+    // 5.22%-steal window) — a storm window reads false and the artifact
+    // is self-declared direction-valid only
     val allProbes = (probeBefore +: midProbes.toSeq) :+ probeAfter
-    val probeQuiet = allProbes.forall(_._2 >= QuietProbeMedianFloor)
+    val probeQuiet = allProbes.forall(sampleQuiet)
+    val stealJson = stealRuns.map(m => jmap(m, 2)).mkString("[", ",", "]")
+    val gcJson = gcRuns.map(m => jmap(m, 2)).mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_worst":${jmap(steadyWorst)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"runs_query_steal_pct":$stealJson,"runs_query_gc_sec":$gcJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_worst":${jmap(steadyWorst)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"probe_quiet_steal_max_pct":$QuietProbeStealMaxPct,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev run must never clobber the committed
     // full-suite record (r7 postmortem: a 3-query rerun overwrote the
     // round's only full-suite detail) — filtered runs get their own file
