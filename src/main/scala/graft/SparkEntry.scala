@@ -1803,29 +1803,42 @@ object SparkEntry {
     // probe VALUES are the verbatim mirror of Nvd.VersionProbes; version
     // rank = major*10^6 + minor*10^3 + patch in exact integers on both
     // sides (dvnum ≡ Nvd.vnum); the interval test reads all four
-    // schema.json bounds, each applying only when present
-    // config-TREE semantics (operator/negate/vulnerable — see
-    // Nvd.qNvdVersionMatch): non-negated reachable vulnerable matches
-    // hit; a negated child's applying matches carve the (probe, cve,
-    // node) out; carve-out scope is the node, so sibling nodes survive
+    // schema.json bounds, each applying only when present.
+    // Full config-TREE semantics (see Nvd.qNvdVersionMatch): per-child
+    // operator decides a child's match (OR any / AND all entries),
+    // per-node operator decides the node (OR any component / AND every
+    // own entry + every non-negated child), a matching NEGATED child
+    // vetoes the node, and a hit needs a vulnerable applying entry in
+    // the node's own list or a MATCHED non-negated child. The schema
+    // has no node-level negate field (only children carry negate), so
+    // child negation is the entire negation surface. DuckDB's
+    // list_transform index is 1-based vs posexplode's 0-based — both
+    // are pure identity keys, never output.
     "q_nvd_version_match" ->
       s"""$nvdFeedCte,
            n AS (SELECT item.cve.CVE_data_meta.ID AS cve_id,
                    unnest(list_transform(item.configurations.nodes,
                      (nd, i) -> struct_pack(node := nd, idx := i))) AS ni
                  FROM f),
-           own AS (SELECT cve_id, ni.idx AS node_idx, false AS neg,
-                     unnest(ni.node.cpe_match) AS m
-                   FROM n WHERE ni.node.cpe_match IS NOT NULL),
-           ch0 AS (SELECT cve_id, ni.idx AS node_idx,
-                     unnest(ni.node.children) AS ch
-                   FROM n WHERE ni.node.children IS NOT NULL),
-           chm AS (SELECT cve_id, node_idx,
-                     coalesce(ch.negate, false) AS neg,
-                     unnest(ch.cpe_match) AS m
-                   FROM ch0 WHERE ch.cpe_match IS NOT NULL),
+           nn AS (SELECT cve_id, ni.idx AS node_idx,
+                    upper(coalesce(ni.node.operator, 'OR')) AS op,
+                    ni.node AS node FROM n),
+           own AS (SELECT cve_id, node_idx, op, -1 AS src_idx,
+                     false AS cneg, 'OR' AS cop,
+                     unnest(node.cpe_match) AS m
+                   FROM nn WHERE node.cpe_match IS NOT NULL),
+           ch0 AS (SELECT cve_id, node_idx, op,
+                     unnest(list_transform(node.children,
+                       (c, i) -> struct_pack(ch := c, idx := i))) AS ci
+                   FROM nn WHERE node.children IS NOT NULL),
+           chm AS (SELECT cve_id, node_idx, op, ci.idx AS src_idx,
+                     coalesce(ci.ch.negate, false) AS cneg,
+                     upper(coalesce(ci.ch.operator, 'OR')) AS cop,
+                     unnest(ci.ch.cpe_match) AS m
+                   FROM ch0 WHERE ci.ch.cpe_match IS NOT NULL),
            u AS (SELECT * FROM own UNION ALL SELECT * FROM chm),
-           m AS (SELECT cve_id, node_idx, neg, m.vulnerable AS vul,
+           m AS (SELECT cve_id, node_idx, op, src_idx, cneg, cop,
+                   m.vulnerable AS vul,
                    string_split(m.cpe23Uri, ':')[5] AS product,
                    string_split(m.cpe23Uri, ':')[6] AS uver,
                    m.versionEndExcluding AS ee,
@@ -1833,13 +1846,22 @@ object SparkEntry {
                    m.versionStartIncluding AS si,
                    m.versionStartExcluding AS se
                  FROM u),
+           ctot AS (SELECT cve_id, node_idx, src_idx,
+                      CAST(count(*) AS BIGINT) AS n_tot
+                    FROM m WHERE src_idx >= 0 GROUP BY 1, 2, 3),
+           ntot AS (SELECT cve_id, node_idx,
+                      CAST(sum(CASE WHEN src_idx = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_own_total,
+                      count(DISTINCT CASE WHEN src_idx >= 0 AND NOT cneg
+                        THEN src_idx END) AS n_pos_children
+                    FROM m GROUP BY cve_id, node_idx),
            p(product, qversion) AS (VALUES
                  ('product0', '0.5'), ('product4', '2.0'),
                  ('product4', '1.2.0'), ('product5', '5.0.2'),
                  ('product6', '7.0.5'), ('linux_kernel', '5.4'),
                  ('device1', '1.0'), ('product2', '2.150.1')),
            ap AS (SELECT p.product, p.qversion, m.cve_id, m.node_idx,
-                    m.neg, m.vul
+                    m.op, m.src_idx, m.cneg, m.cop, m.vul
                  FROM p JOIN m USING (product)
                  WHERE CASE WHEN m.ee IS NOT NULL OR m.ei IS NOT NULL
                               OR m.si IS NOT NULL OR m.se IS NOT NULL
@@ -1852,17 +1874,42 @@ object SparkEntry {
                         AND (m.ee IS NULL OR
                                ${dvnum("p.qversion")} < ${dvnum("m.ee")})
                        ELSE m.uver = p.qversion END),
-           hit AS (SELECT DISTINCT product, qversion, cve_id, node_idx
-                 FROM ap WHERE NOT neg AND vul),
-           ex AS (SELECT DISTINCT product, qversion, cve_id, node_idx
-                 FROM ap WHERE neg),
-           keep AS (SELECT DISTINCT h.product, h.qversion, h.cve_id
-                 FROM hit h WHERE NOT EXISTS (SELECT 1 FROM ex e
-                   WHERE e.product = h.product AND e.qversion = h.qversion
-                     AND e.cve_id = h.cve_id AND e.node_idx = h.node_idx))
+           persrc AS (SELECT product, qversion, cve_id, node_idx, op,
+                        src_idx, cneg, cop,
+                        CAST(count(*) AS BIGINT) AS n_app,
+                        max(CASE WHEN NOT cneg AND vul THEN 1 ELSE 0 END)
+                          AS vul_app
+                      FROM ap GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+           srcev AS (SELECT s.*,
+                       CASE WHEN s.src_idx = -1 THEN true
+                            WHEN s.cop = 'AND' THEN s.n_app = c.n_tot
+                            ELSE s.n_app > 0 END AS matched
+                     FROM persrc s LEFT JOIN ctot c
+                       ON s.cve_id = c.cve_id AND s.node_idx = c.node_idx
+                          AND s.src_idx = c.src_idx),
+           nodeev AS (SELECT product, qversion, cve_id, node_idx, op,
+                        CAST(sum(CASE WHEN src_idx = -1 THEN n_app
+                          ELSE 0 END) AS BIGINT) AS n_own_app,
+                        count(DISTINCT CASE WHEN src_idx >= 0 AND NOT cneg
+                          AND matched THEN src_idx END)
+                          AS n_pos_child_matched,
+                        max(CASE WHEN cneg AND matched THEN 1 ELSE 0 END)
+                          AS neg_bad,
+                        max(CASE WHEN src_idx = -1 THEN vul_app
+                                 WHEN NOT cneg AND matched THEN vul_app
+                                 ELSE 0 END) AS vul_hit
+                      FROM srcev GROUP BY 1, 2, 3, 4, 5),
+           hit AS (SELECT DISTINCT product, qversion, e.cve_id
+                   FROM nodeev e JOIN ntot t
+                     ON e.cve_id = t.cve_id AND e.node_idx = t.node_idx
+                   WHERE neg_bad = 0 AND vul_hit = 1
+                     AND CASE WHEN op = 'AND'
+                          THEN n_own_app = t.n_own_total
+                           AND n_pos_child_matched = t.n_pos_children
+                          ELSE n_own_app > 0 OR n_pos_child_matched > 0 END)
          SELECT product, qversion, CAST(count(*) AS BIGINT) AS n_cves,
                 min(cve_id) AS first_cve, max(cve_id) AS last_cve
-         FROM keep GROUP BY product, qversion
+         FROM hit GROUP BY product, qversion
          ORDER BY product, qversion""",
 
     "q_nvd_product_top" ->

@@ -269,61 +269,96 @@ object Nvd {
 
   /** §2.1 q_nvd_version_match: the NVD's core point query — "which CVEs
     * affect product P at version V" — evaluated for a fixed probe set
-    * with NEGATED-CHILD-CARVE-OUT tree semantics (schema.json:198-312:
-    * `negate` on CHILD nodes, `vulnerable` per cpe_match), not the flat
-    * applicability union. Scope, stated exactly: a top-level node's OWN
-    * `negate` is not honored (own matches always read as non-negated),
-    * and node `operator` is not consulted — own/child matches combine
-    * as OR, so an AND node whose children only jointly describe a
-    * configuration reads as any-of. The oracle implements the identical
-    * scope, so the gate grades this reading, and the fixture's
-    * discriminating CVEs (k%19) exercise the part that IS tree-aware:
+    * with FULL configuration-tree semantics over everything the data
+    * contract carries (schema.json:198-312): node-level `operator`
+    * (AND/OR), child-level `operator` and `negate`, `vulnerable` per
+    * cpe_match. The contract has NO node-level `negate` field — negate
+    * exists only on children (schema.json, /configurations/nodes vs
+    * /configurations/nodes/children; the reference's bq.py:24-82 loads
+    * the same schema) — so child negation is the entire negation
+    * surface, consulted in full. The evaluation, stated exactly, per
+    * (probe, cve, top-level node):
     *
-    *  - a probe HITS via a top-level node when a VULNERABLE cpe_match for
-    *    its product applies — from the node's own cpe_match or from a
-    *    NON-negated child (negate absent/false);
-    *  - a NEGATED child is an inverted conjunct — "this configuration,
-    *    EXCEPT": if ANY of its cpe_match entries (vulnerable or not —
-    *    exclusions describe configurations, not vulnerabilities) covers
-    *    the probe's product+version, that node's conjunction fails and
-    *    the node yields NO hit for the probe, even though a flat reading
-    *    counts the top-level match (the fixture's k%19 CVEs encode
-    *    exactly this disagreement; the oracle grades the tree answer);
-    *  - exclusion scope is per (cve, node): a hit from a sibling
-    *    top-level node survives another node's carve-out.
+    *  - a cpe_match ENTRY applies iff its product equals the probe's,
+    *    and: ANY of the four schema.json range bounds present → the
+    *    full interval test (V ≥ versionStartIncluding,
+    *    V > versionStartExcluding, V ≤ versionEndIncluding,
+    *    V < versionEndExcluding — absent bounds leave that side open);
+    *    NO bound present → the URI pins V exactly;
+    *  - a CHILD matches per its own `operator`: OR (default) → any of
+    *    its entries applies; AND → every one of its entries applies;
+    *  - the NODE evaluates per its `operator` over its components (own
+    *    entries + non-negated children): AND → every own entry applies
+    *    and every non-negated child matches; OR (default) → any own
+    *    entry applies or any non-negated child matches. The probe is a
+    *    single (product, version) inventory, so an AND node whose
+    *    components name different products cannot match — the
+    *    conservative reading: a CPE that merely RUNS ON a vulnerable
+    *    configuration (the running-on × vulnerable-to conjunction
+    *    q_nvd_child_cpes reads) no longer counts as vulnerable, where
+    *    the flat-OR reading counted it (the fixture's odd-k·(k%7=0)
+    *    CVEs — AND nodes whose linux/device children apply while the
+    *    own product entry does not — encode exactly this disagreement;
+    *    the oracle grades the tree answer);
+    *  - a NEGATED child is an inverted conjunct under EITHER node
+    *    operator — "this configuration, EXCEPT": if the child matches
+    *    the probe (vulnerable or not — exclusions describe
+    *    configurations, not vulnerabilities), the node yields NO hit
+    *    (the fixture's k%19 CVEs grade this carve-out);
+    *  - a hit additionally needs a VULNERABLE applying entry among the
+    *    node's own entries or its MATCHED non-negated children — a
+    *    child that does not match cannot donate its vulnerable flag;
+    *  - scope is per (cve, node): a hit from a sibling top-level node
+    *    survives another node's failed conjunction or carve-out
+    *    (top-level nodes union, the schema's implicit OR).
     *
-    * A cpe_match applies iff its product equals the probe's, and: ANY of
-    * the four schema.json range bounds present → the full interval test
-    * (V ≥ versionStartIncluding, V > versionStartExcluding,
-    * V ≤ versionEndIncluding, V < versionEndExcluding — absent bounds
-    * leave that side open); NO bound present → the URI pins V exactly.
-    *
-    * Scale shape: the probe table broadcasts into the match scan (one
-    * row per reachable cpe_match, never the CVE row multiplied), the
-    * carve-out is a slim (probe, cve, node) left-anti join, the
-    * (probe, cve) dedup collapses before counting, and version order is
-    * exact integer arithmetic end to end.
+    * Scale shape: the probe table broadcasts into the entry scan (one
+    * row per reachable cpe_match, never the CVE row multiplied); the
+    * per-child and per-node rollups are integer-count aggregates over
+    * slim keyed relations; component totals join back hash-by-hash;
+    * version order is exact integer arithmetic end to end.
     */
-  def qNvdVersionMatch(spark: SparkSession, dir: String): DataFrame = {
-    // (cve, node_idx, node) — node identity scopes the negated carve-out
-    val nodes = cves(spark)
+  def qNvdVersionMatch(spark: SparkSession, dir: String): DataFrame =
+    versionMatchOver(spark, cves(spark))
+
+  /** Tree evaluation over an arbitrary CVE corpus — split out so specs
+    * can drive operator/negate shapes the committed fixture does not
+    * carry (AND children, multi-entry AND nodes) from tiny generated
+    * feeds.
+    */
+  private[graft] def versionMatchOver(spark: SparkSession,
+      cveDf: DataFrame): DataFrame = {
+    // (cve, node_idx, op, node) — node identity scopes the conjunction
+    // and the carve-out; operator defaults OR (schema: NULLABLE STRING)
+    val nodes = cveDf
       .select(NvdEtl.cveId.as("cve_id"),
         posexplode(col("configurations.nodes")))
       .toDF("cve_id", "node_idx", "node")
-    val own = nodes
-      .filter(col("node.cpe_match").isNotNull)
-      .select(col("cve_id"), col("node_idx"), lit(false).as("neg"),
+      .select(col("cve_id"), col("node_idx"),
+        upper(coalesce(col("node.operator"), lit("OR"))).as("op"),
+        col("node"))
+    // entry-level relation: src_idx = -1 → the node's own cpe_match;
+    // src_idx ≥ 0 → child position (child identity for per-child
+    // match + totals). A child with NULL cpe_match has no entries and
+    // is not a component.
+    val own = nodes.filter(col("node.cpe_match").isNotNull)
+      .select(col("cve_id"), col("node_idx"), col("op"),
+        lit(-1).as("src_idx"), lit(false).as("cneg"), lit("OR").as("cop"),
         explode(col("node.cpe_match")).as("m"))
-    val fromChildren = nodes
-      .filter(col("node.children").isNotNull)
-      .select(col("cve_id"), col("node_idx"),
-        explode(col("node.children")).as("ch"))
+    val fromChildren = nodes.filter(col("node.children").isNotNull)
+      .select(col("cve_id"), col("node_idx"), col("op"),
+        posexplode(col("node.children")))
+      .toDF("cve_id", "node_idx", "op", "src_idx", "ch")
       .filter(col("ch.cpe_match").isNotNull)
-      .select(col("cve_id"), col("node_idx"),
-        coalesce(col("ch.negate"), lit(false)).as("neg"),
+      .select(col("cve_id"), col("node_idx"), col("op"), col("src_idx"),
+        coalesce(col("ch.negate"), lit(false)).as("cneg"),
+        upper(coalesce(col("ch.operator"), lit("OR"))).as("cop"),
         explode(col("ch.cpe_match")).as("m"))
-    val matches = own.unionAll(fromChildren)
-      .select(col("cve_id"), col("node_idx"), col("neg"),
+    // three consumers (child totals, node totals, probe join) — persist
+    // with the eager-count contract (CLAUDE.md)
+    val entries = own.unionAll(fromChildren)
+      .select(col("cve_id"), col("node_idx"), col("op"), col("src_idx"),
+        col("cneg"), col("cop"),
         col("m.vulnerable").as("vul"),
         split(col("m.cpe23Uri"), ":").getItem(4).as("product"),
         split(col("m.cpe23Uri"), ":").getItem(5).as("uver"),
@@ -331,6 +366,19 @@ object Nvd {
         col("m.versionEndIncluding").as("ei"),
         col("m.versionStartIncluding").as("si"),
         col("m.versionStartExcluding").as("se"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    entries.count()
+    // probe-independent component totals: per child (for AND children —
+    // every entry must apply) and per node (for AND nodes — every own
+    // entry and every non-negated child must match)
+    val childTot = entries.filter(col("src_idx") >= 0)
+      .groupBy(col("cve_id"), col("node_idx"), col("src_idx"))
+      .agg(count(lit(1)).as("n_tot"))
+    val nodeTot = entries.groupBy(col("cve_id"), col("node_idx"))
+      .agg(sum(when(col("src_idx") === -1, 1L).otherwise(0L))
+        .as("n_own_total"),
+        countDistinct(when(col("src_idx") >= 0 && !col("cneg"),
+          col("src_idx"))).as("n_pos_children"))
     val probes = spark.createDataFrame(VersionProbes)
       .toDF("product", "qversion")
     val q = vnum(col("qversion"))
@@ -343,15 +391,40 @@ object Nvd {
         (col("ee").isNull || q < vnum(col("ee")))
     val applies = (ranged && inInterval) ||
       (!ranged && col("uver") === col("qversion"))
-    val applying = broadcast(probes).join(matches, Seq("product"))
+    val applying = broadcast(probes).join(entries, Seq("product"))
       .filter(applies)
-    val hits = applying.filter(!col("neg") && col("vul"))
-      .select(col("product"), col("qversion"), col("cve_id"), col("node_idx"))
-    val carveOuts = applying.filter(col("neg"))
-      .select(col("product"), col("qversion"), col("cve_id"), col("node_idx"))
-    hits
-      .join(carveOuts, Seq("product", "qversion", "cve_id", "node_idx"),
-        "left_anti")
+    // per-(probe, node, component) rollup: applying-entry count + the
+    // vulnerable flag of this component's applying entries
+    val perSrc = applying
+      .groupBy(col("product"), col("qversion"), col("cve_id"),
+        col("node_idx"), col("op"), col("src_idx"), col("cneg"), col("cop"))
+      .agg(count(lit(1)).as("n_app"),
+        max(when(!col("cneg") && col("vul"), 1).otherwise(0)).as("vul_app"))
+    // child match per its own operator; own entries roll up at node level
+    val srcEval = perSrc
+      .join(childTot, Seq("cve_id", "node_idx", "src_idx"), "left")
+      .withColumn("matched",
+        when(col("src_idx") === -1, lit(true))
+          .when(col("cop") === "AND", col("n_app") === col("n_tot"))
+          .otherwise(col("n_app") > 0))
+    val nodeEval = srcEval
+      .groupBy(col("product"), col("qversion"), col("cve_id"),
+        col("node_idx"), col("op"))
+      .agg(sum(when(col("src_idx") === -1, col("n_app")).otherwise(0L))
+        .as("n_own_app"),
+        countDistinct(when(col("src_idx") >= 0 && !col("cneg") &&
+          col("matched"), col("src_idx"))).as("n_pos_child_matched"),
+        max(when(col("cneg") && col("matched"), 1).otherwise(0))
+          .as("neg_bad"),
+        max(when(col("src_idx") === -1, col("vul_app"))
+          .when(!col("cneg") && col("matched"), col("vul_app"))
+          .otherwise(0)).as("vul_hit"))
+    nodeEval.join(nodeTot, Seq("cve_id", "node_idx"))
+      .filter(col("neg_bad") === 0 && col("vul_hit") === 1 &&
+        when(col("op") === "AND",
+          col("n_own_app") === col("n_own_total") &&
+            col("n_pos_child_matched") === col("n_pos_children"))
+          .otherwise(col("n_own_app") > 0 || col("n_pos_child_matched") > 0))
       .select(col("product"), col("qversion"), col("cve_id"))
       .distinct()
       .groupBy(col("product"), col("qversion"))
