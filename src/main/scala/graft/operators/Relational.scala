@@ -3259,9 +3259,16 @@ object Relational {
     * expected sign for a bipartite commerce graph; a sign flip after a
     * data refresh flags a crawl/join defect no per-node metric shows).
     * Same integer discipline as spearman: degrees and all five scatter
-    * moments are exact BIGINTs (M·Σxy ≲ 5e16 at sf0.1 — far inside
-    * BIGINT; the 100 TB path re-derives the moments in DECIMAL(38)),
-    * with exactly one sqrt and one division at the end.
+    * moments are exact integers, with exactly one sqrt and one division
+    * at the end. The moment WIDTH is size-conditional (the pagerank
+    * routing pattern): at or under [[AssortativityBigintMaxEdges]]
+    * edges the moments are BIGINTs (M·Σxy ≲ 5e16 at sf0.1 — far
+    * inside); above it — the 100 TB regime, where M·max_deg² can pass
+    * 2⁶³ — every degree casts to DECIMAL(19,0) once and the five sums
+    * accumulate in DECIMAL(38,0), exact to ~10³⁸ (M ≈ 10¹² edges with
+    * 10⁶-degree hubs gives moments ≈ 10²⁴ and scatter products ≈ 10³⁶
+    * — inside). Both paths produce the identical integers wherever
+    * BIGINT is exact; AlgebraPropSpec asserts the parity at sf0.01.
     *
     * Scale shape: the degree table is one map-side-combined count off
     * the edge relation; endpoint degrees join back hash-by-hash (slim
@@ -3280,18 +3287,38 @@ object Relational {
     val edges = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
       .persist()
-    edges.count() // eager: degree table + the endpoint joins consume
+    val m = edges.count() // eager: degree table + endpoint joins consume
+    assortativityFrom(edges, useDecimal = m > AssortativityBigintMaxEdges)
+  }
+
+  /** BIGINT-safe edge-count ceiling for the assortativity moments: below
+    * it M·max_deg² ≤ M³ ≤ 10¹⁸ < 2⁶³ even if one hub touches every
+    * edge; above it the DECIMAL(38,0) accumulation path engages.
+    */
+  private[graft] val AssortativityBigintMaxEdges = 1000000L
+
+  /** Degree-moment scatter over a symmetric edge relation; `useDecimal`
+    * selects the accumulation width (see [[graphAssortativity]]). Split
+    * out so the property spec can drive BOTH widths over one graph and
+    * assert bit parity.
+    */
+  private[graft] def assortativityFrom(edges: DataFrame,
+      useDecimal: Boolean): DataFrame = {
     val deg = edges.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("deg"))
+    // one cast per degree column; products then land in DECIMAL(38,0)
+    // (19+19+1 caps at 38) and the sums never leave decimal
+    def w(c: org.apache.spark.sql.Column) =
+      if (useDecimal) c.cast(DecimalType(19, 0)) else c
     edges
       .join(deg.select(col("v").as("src"), col("deg").as("dx")), Seq("src"))
       .join(deg.select(col("v").as("dst"), col("deg").as("dy")), Seq("dst"))
       .agg(count(lit(1)).as("m"),
         countDistinct(col("src")).as("n_vertices"),
-        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"),
-        sum(col("dx") * col("dy")).as("sxy"))
+        sum(w(col("dx"))).as("sx"), sum(w(col("dy"))).as("sy"),
+        sum(w(col("dx")) * w(col("dx"))).as("sxx"),
+        sum(w(col("dy")) * w(col("dy"))).as("syy"),
+        sum(w(col("dx")) * w(col("dy"))).as("sxy"))
       .select(col("m").as("n_edges"), col("n_vertices"),
         round(col("sx").cast("double") / col("m").cast("double"), 6)
           .as("avg_degree"),
