@@ -114,10 +114,15 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("exact dedup candidate joins stay equi-keyed — no cartesian/BNLJ fallback") {
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_editdistance",
-        "dedup_containment", "sim_dbscan", "warehouse_ivm",
-        "q_markov_stationary")) {
-      val p = plan(q)
+    // sim_dbscan's public query now returns the stored-labeling scan
+    // (ArtifactStore), so the audit reads the labeling PIPELINE's plan
+    // directly
+    val dbscanPlan = graft.operators.Dedup
+      .dbscanLabels(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    for ((q, p) <- Seq("dedup_ngram_jaccard", "dedup_editdistance",
+        "dedup_containment", "warehouse_ivm", "q_markov_stationary")
+        .map(q => q -> plan(q)) :+ ("sim_dbscan(labels)" -> dbscanPlan)) {
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
