@@ -105,12 +105,33 @@ final case class FeedSource(
   /** Fetch feed `name` into `localDir`, enforcing the truncation
     * contract; returns the staged file's absolute path (download.py's
     * return shape, localPath + filename).
+    *
+    * Transient-transport retry mirrors the reference's 3-try loop
+    * (etl.py:138-154: "from time to time the GCS upload will fail, so
+    * to be safe we'll retry 3 times" — the last reference behavior
+    * without a mirror): an IOException from the fetcher retries up to
+    * [[FeedSource.MaxFetchAttempts]] total attempts before the final
+    * failure raises through. A [[TruncatedFeedException]] is NOT
+    * transient — it is the data-integrity contract and raises
+    * immediately (the reference's ContentTooShortError path likewise
+    * aborts, download.py:50-54; only the transport retries).
     */
   def download(name: String, localDir: String): String = {
     val dest = Paths.get(localDir).resolve(feedFileName(name)).toAbsolutePath
-    val (got, declared) = fetcher.fetch(feedUrl(name), dest)
+    var attempt = 1
+    var fetched: Option[(Long, Option[Long])] = None
+    while (fetched.isEmpty) {
+      try fetched = Some(fetcher.fetch(feedUrl(name), dest))
+      catch {
+        case e: java.io.IOException =>
+          Files.deleteIfExists(dest) // never leave a poisoned staging file
+          if (attempt >= FeedSource.MaxFetchAttempts) throw e
+          attempt += 1
+      }
+    }
+    val (got, declared) = fetched.get
     declared.filter(_ != got).foreach { d =>
-      Files.deleteIfExists(dest) // never leave a poisoned staging file
+      Files.deleteIfExists(dest)
       throw new TruncatedFeedException(feedUrl(name), got, d)
     }
     dest.toString
@@ -153,6 +174,11 @@ final case class FeedSource(
 }
 
 object FeedSource {
+  /** Total fetch attempts before a transient transport failure raises
+    * (the reference's `try_count < 3` loop, etl.py:138-154).
+    */
+  val MaxFetchAttempts = 3
+
   /** Reference config.yml `url_base`. */
   val DefaultUrlBase = "https://nvd.nist.gov/feeds/json/cve/1.1/"
 

@@ -226,4 +226,70 @@ class FeedSourceSpec extends AnyFunSuite {
     assert(FeedSource.fromConfig(cfg, env = partial).feedUrl("x")
       === "https://yaml.example/yaml-x.gz")
   }
+
+  // ---- transient-transport retry (etl.py:138-154's 3-try loop)
+
+  /** Loopback server failing the first `failures` requests with 500,
+    * then serving `bytes`; counts requests.
+    */
+  private def flakyServer(failures: Int, bytes: Array[Byte]) = {
+    val count = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feeds/", { exchange =>
+      if (count.incrementAndGet() <= failures) {
+        exchange.sendResponseHeaders(500, -1)
+        exchange.close()
+      } else {
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        val os = exchange.getResponseBody
+        os.write(bytes); os.close()
+      }
+    })
+    server.start()
+    (server, count)
+  }
+
+  test("download retries a flaky transport and succeeds on attempt 3 " +
+      "(reference etl.py:138-154)") {
+    val bytes = "feed-bytes".getBytes
+    val (server, count) = flakyServer(failures = 2, bytes)
+    try {
+      val fs = FeedSource(
+        urlBase = s"http://127.0.0.1:${server.getAddress.getPort}/feeds/",
+        fetcher = HttpFeedFetcher)
+      val staged = fs.download("recent", tmpDir())
+      assert(Files.readAllBytes(Paths.get(staged)).sameElements(bytes))
+      assert(count.get() === 3)
+    } finally server.stop(0)
+  }
+
+  test("download raises after MaxFetchAttempts transport failures, " +
+      "staging nothing") {
+    val (server, count) = flakyServer(failures = 99, "x".getBytes)
+    try {
+      val fs = FeedSource(
+        urlBase = s"http://127.0.0.1:${server.getAddress.getPort}/feeds/",
+        fetcher = HttpFeedFetcher)
+      val stage = tmpDir()
+      intercept[java.io.IOException](fs.download("recent", stage))
+      assert(count.get() === FeedSource.MaxFetchAttempts)
+      assert(!Files.exists(
+        Paths.get(stage).resolve("nvdcve-1.1-recent.json.gz")))
+    } finally server.stop(0)
+  }
+
+  test("truncation is NOT transient: it raises through without a retry") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lying = new FeedFetcher {
+      def fetch(url: String, dest: Path): (Long, Option[Long]) = {
+        calls.incrementAndGet()
+        Files.write(dest, Array.fill[Byte](10)(1))
+        (10L, Some(9999L))
+      }
+    }
+    val fs = FeedSource(fetcher = lying)
+    intercept[TruncatedFeedException](fs.download("modified", tmpDir()))
+    assert(calls.get() === 1)
+  }
 }
