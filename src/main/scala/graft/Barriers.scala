@@ -30,11 +30,22 @@ object Barriers {
     */
   val ReliableBarrierConf = "spark.graft.reliableBarriers"
 
-  /** Cut `df`'s lineage eagerly, per the session's barrier mode. */
+  /** Cut `df`'s lineage eagerly, per the session's barrier mode.
+    *
+    * The checkpointed plan is rebuilt WITHOUT origin statistics
+    * ([[org.apache.spark.sql.graft.StatsBarrier]]): checkpoint stats
+    * propagation compounds doubly-exponentially through loops whose
+    * rounds reference the previous barrier more than once — the r11
+    * large-regime drill caught the connected-components pointer-jump
+    * driver spending minutes per round multiplying 10⁹-bit size
+    * estimates. Loops own their join strategies explicitly, so the
+    * estimates a barrier could carry decide nothing anyway.
+    */
   def roundBarrier(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption(ReliableBarrierConf)
-        .exists(_.trim.equalsIgnoreCase("true")))
-      df.checkpoint() // eager; survives executor loss
-    else
-      df.localCheckpoint() // eager; executor-local blocks
+    org.apache.spark.sql.graft.StatsBarrier.strip(
+      if (df.sparkSession.conf.getOption(ReliableBarrierConf)
+          .exists(_.trim.equalsIgnoreCase("true")))
+        df.checkpoint() // eager; survives executor loss
+      else
+        df.localCheckpoint()) // eager; executor-local blocks
 }

@@ -9,11 +9,175 @@ import graft.{Tables => T}
   * driver's oracle gate runs at sf0.01, so this re-checks LSH/blocking
   * equivalence and recall at the bench SF where candidate statistics
   * differ. Not part of the driver contract.
+  *
+  * `runMain graft.ScaleCheck graph [nEdges]` runs the LARGE-REGIME graph
+  * drill instead (r10 verdict #6): a generated power-law graph (default
+  * 25M directed edge draws, ~2.5M vertices, Zipf-ish hubs) drives the
+  * three distributed fallback regimes that the shipped corpora never
+  * reach — connected components' pointer-jump fixpoint (forced past the
+  * 4M driver-finish bound), k-core's distributed peel (forced past its
+  * driver bound), and LPA + pagerank's repartition routing (engaged
+  * NATURALLY: the vertex count exceeds PagerankBroadcastMaxVertices) —
+  * with per-phase wall times and structural validations printed as
+  * SCALECHECK lines (see BASELINE.md "Large-regime graph drill").
   */
 object ScaleCheck {
+
+  /** Deterministic skewed random graph: edge n draws
+    * src = ⌊V·u₁³⌋ (Zipf-ish — vertex density ∝ v^(−2/3), so vertex 0
+    * is a ~2%-of-all-edges hub and the degree tail spans 4 orders of
+    * magnitude) and dst = ⌊V·u₂⌋ (uniform), u from xxhash64(n) — no RNG
+    * state, every run identical. Returned as distinct undirected (i, j)
+    * pairs with i < j.
+    */
+  private def powerLawPairs(spark: org.apache.spark.sql.SparkSession,
+      nDraws: Long, nVertices: Long): org.apache.spark.sql.DataFrame = {
+    def u(seed: Int) =
+      pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L))
+        .cast("double") / 1.0e9
+    spark.range(nDraws)
+      .select(
+        floor(lit(nVertices.toDouble) * pow(u(1), 3.0)).cast("bigint")
+          .as("a"),
+        floor(lit(nVertices.toDouble) * u(2)).cast("bigint").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .distinct()
+  }
+
+  private def timed[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"SCALECHECK graph $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    r
+  }
+
+  /** The large-regime drill: see the object doc. `ccOnly` restricts to
+    * the connected-components phases (the debug loop for the pointer-
+    * jump regime).
+    */
+  private def graphDrill(spark: org.apache.spark.sql.SparkSession,
+      nDraws: Long, ccOnly: Boolean = false): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val v = nDraws / 10 // avg undirected degree ≈ 20 before dedup
+    val pairs = powerLawPairs(spark, nDraws, v)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = timed("build_pairs")(pairs.count())
+    val deg = pairs.select(col("i").as("id"))
+      .unionAll(pairs.select(col("j").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTouched = deg.count()
+    val skew = deg.agg(max(col("d")).as("dmax"),
+      sum(when(col("d") > 1000, 1L).otherwise(0L)).as("hubs1k")).head()
+    println(s"SCALECHECK graph edges=$e vertices=$nTouched " +
+      s"max_degree=${skew.getLong(0)} hubs_gt1k=${skew.getLong(1)}")
+    deg.unpersist()
+
+    // 1) connected components, pointer-jump regime FORCED (bound 0):
+    // the exact-labeling invariants — no edge crosses labels, labels are
+    // fixpoints, labels never exceed their member ids
+    def ccValidate(tag: String, edgeRel: org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val universe = edgeRel.select(col("i").as("id"))
+        .unionAll(edgeRel.select(col("j").as("id"))).distinct()
+      val cc = timed(s"cc_pointer_jump_$tag") {
+        val cc0 = operators.Dedup.connectedComponents(spark, edgeRel,
+          universe, driverFinishEdgeBound = 0L, verbose = true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cc0.count(); cc0
+      }
+      val crossing = edgeRel
+        .join(cc.select(col("id").as("i"), col("canonical_id").as("ci")),
+          Seq("i"))
+        .join(cc.select(col("id").as("j"), col("canonical_id").as("cj")),
+          Seq("j"))
+        .filter(col("ci") =!= col("cj")).count()
+      val nonFix = cc
+        .join(cc.select(col("id").as("cid"), col("canonical_id").as("cc2")),
+          col("canonical_id") === col("cid"))
+        .filter(col("cc2") =!= col("canonical_id")).count()
+      val above = cc.filter(col("canonical_id") > col("id")).count()
+      val nComp = cc.select(col("canonical_id")).distinct().count()
+      println(s"SCALECHECK graph cc_$tag components=$nComp " +
+        s"crossing_edges=$crossing non_fixpoint=$nonFix " +
+        s"label_above_id=$above " +
+        s"ok=${crossing == 0 && nonFix == 0 && above == 0}")
+      cc.unpersist()
+    }
+    // giant regime: the skewed graph is one connected component — the
+    // fixpoint must still hold exactly
+    if (!ccOnly) ccValidate("giant", pairs)
+    // fragmented regime: the same draws constrained to 100k-id blocks
+    // (hub structure preserved WITHIN each block) — the labeling must
+    // recover ~nVertices/100k disjoint components with zero crossings
+    val blocked = pairs.filter(expr("i div 100000") === expr("j div 100000"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"SCALECHECK graph blocked_edges=${blocked.count()}")
+    ccValidate("blocked", blocked)
+    blocked.unpersist()
+    if (ccOnly) { pairs.unpersist(); return }
+
+    // 2) k-core, distributed peel FORCED (bound 0): k above the typical
+    // uniform-side degree so the sparse mass peels in cascades while the
+    // hub-adjacent core survives non-empty
+    val k = 8
+    val (core, rounds) = timed("kcore_distributed") {
+      val (c, r) = operators.Relational.kCoreCore(pairs, k,
+        driverEdgeBound = 0L)
+      val cp = c.persist(StorageLevel.MEMORY_AND_DISK); cp.count()
+      (cp, r)
+    }
+    val coreStats = core.agg(count(lit(1)).as("n"),
+      coalesce(min(col("core_degree")), lit(-1L)).as("dmin")).head()
+    println(s"SCALECHECK graph kcore k=$k rounds=$rounds " +
+      s"core_size=${coreStats.getLong(0)} min_core_degree=${coreStats.getLong(1)} " +
+      s"ok=${coreStats.getLong(0) == 0 || coreStats.getLong(1) >= k}")
+    core.unpersist()
+
+    // 3+4) LPA and pagerank over the symmetrized relation: the vertex
+    // count sits ABOVE PagerankBroadcastMaxVertices, so the repartition
+    // routing engages exactly as it would on a cluster — no forcing
+    val sym = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+    assert(nTouched > operators.Relational.PagerankBroadcastMaxVertices,
+      s"drill graph too small to engage the repartition branch: $nTouched")
+    val lpa = timed("lpa_repartition") {
+      val l = operators.Relational.lpaCore(sym)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      l.count(); l
+    }
+    val lpaStats = lpa.agg(count(lit(1)).as("n"),
+      countDistinct(col("lbl")).as("comms")).head()
+    println(s"SCALECHECK graph lpa labeled=${lpaStats.getLong(0)} " +
+      s"communities=${lpaStats.getLong(1)} " +
+      s"ok=${lpaStats.getLong(0) == nTouched}")
+    lpa.unpersist()
+    val pr = timed("pagerank_repartition") {
+      val p = operators.Relational.pagerankCore(sym)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val prStats = pr.agg(count(lit(1)).as("n"), min(col("s")).as("smin"),
+      max(col("s")).as("smax")).head()
+    println(s"SCALECHECK graph pagerank scored=${prStats.getLong(0)} " +
+      s"min_score=${prStats.getLong(1)} hub_score=${prStats.getLong(2)} " +
+      s"ok=${prStats.getLong(0) == nTouched && prStats.getLong(1) >= 150000L}")
+    pr.unpersist()
+    pairs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(32)
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(a => a == "graph" || a == "graphcc")) {
+      graphDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(25000000L),
+        ccOnly = args.head == "graphcc")
+      spark.stop()
+      return
+    }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
 
     // 1) minhash LSH == Spark exhaustive all-pairs

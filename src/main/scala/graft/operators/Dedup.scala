@@ -352,7 +352,8 @@ object Dedup {
   private[graft] def connectedComponents(spark: SparkSession,
       pairs: DataFrame, universe: DataFrame,
       releaseAfterMaterialize: Seq[DataFrame] = Nil,
-      driverFinishEdgeBound: Long = DriverFinishEdgeBound): DataFrame = {
+      driverFinishEdgeBound: Long = DriverFinishEdgeBound,
+      verbose: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // persist the UNDIRECTED pair relation once — half the rows of a
     // doubled edge list, and the one evaluation of the (expensive) pair
@@ -459,36 +460,63 @@ object Dedup {
     // downstream plan ever references an unpersisted parent cache — the
     // persist/unpersist version silently lost cache matching at the final
     // write and recomputed the whole loop 2^rounds times.
-    while (changed > 0 && iter < 20) {
+    if (verbose)
+      println(s"[cc] superEdges=$nSuperEdges " +
+        s"supernodes=${labels.count()}")
+    // Termination: every per-vertex label is non-increasing and strictly
+    // decreases whenever `changed` > 0, and labels are bounded below by
+    // the component minimum — so the loop ALWAYS reaches changed == 0.
+    // The r11 large-regime drill (25M-edge power-law graph, blocked
+    // variant: 511k supernodes in 295k chain-heavy components) caught
+    // the previous silent `iter < 20` cap exiting with 810 labels still
+    // moving — 1,128 edges crossed components in the returned labeling.
+    // A convergence cap on a fixpoint loop must be LOUD: the guard below
+    // is a hard failure, never a silent partial answer.
+    while (changed > 0) {
       // neighbor-min step: the best label one edge away
       val nbr = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
-      // NOT checkpointed: the jump self-join reads `stepped` twice, but
-      // both reads are the identical subtree shuffled on compatible keys,
-      // so ReuseExchange computes it once — one materialization job per
-      // round instead of two (same wall-clock at sf0.1 where per-job
-      // overhead is tiny; at cluster scale each saved job is a real
-      // scheduling + shuffle-write round trip)
+      // NOT checkpointed: the jump self-joins read `stepped` repeatedly,
+      // but every read is the identical subtree shuffled on compatible
+      // keys, so ReuseExchange computes it once — one materialization
+      // job per round instead of three (same wall-clock at sf0.1 where
+      // per-job overhead is tiny; at cluster scale each saved job is a
+      // real scheduling + shuffle-write round trip)
       val stepped = labels.select(col("id"), col("lab").as("old"))
         .join(nbr, col("id") === col("dst"), "left_outer")
         .select(col("id"),
           least(col("old"), coalesce(col("nl"), col("old"))).as("lab1"),
           col("old"))
-      // pointer-jump step: labels ARE doc ids, so the current label OF my
-      // label is also a valid (no larger) label for me — following it
-      // halves chain depth per round, so rounds = O(log diameter) instead
-      // of O(diameter)
+      // pointer-jump steps: labels ARE doc ids, so the current label OF
+      // my label is also a valid (no larger) label for me — following it
+      // halves chain depth; applying it TWICE per round quarters it
+      // (measured on the drill's chain-heavy blocked graph: 20+ rounds
+      // unconverged with one jump → converged in 11 with two), so rounds
+      // = O(log diameter) with a halved constant
       val jump = stepped.select(col("id").as("jid"), col("lab1").as("jlab"))
-      val next = stepped
+      val mid = stepped
         .join(jump, col("lab1") === col("jid"), "left_outer")
         .select(col("id"),
-          least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab"),
+          least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab2"),
+          col("old"))
+      val jump2 = mid.select(col("id").as("jid2"), col("lab2").as("jlab2"))
+      val next = mid
+        .join(jump2, col("lab2") === col("jid2"), "left_outer")
+        .select(col("id"),
+          least(col("lab2"), coalesce(col("jlab2"), col("lab2"))).as("lab"),
           col("old"))
         .transform(graft.Barriers.roundBarrier) // the round barrier: O(1) lineage across rounds
       changed = next.filter(col("lab") =!= col("old")).count()
       labels = next.select(col("id"), col("lab"))
       iter += 1
+      if (verbose) println(s"[cc] round=$iter changed=$changed")
+      if (iter > 100)
+        throw new IllegalStateException(
+          s"connectedComponents fixpoint still moving after $iter rounds " +
+            s"($changed labels) — monotonicity is broken, refusing to " +
+            "return a partial labeling")
     }
+    if (verbose) println(s"[cc] done rounds=$iter")
     edges.unpersist()
     p.unpersist()
     // expand the contraction: an id's component label is the fixpoint

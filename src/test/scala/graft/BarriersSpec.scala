@@ -58,4 +58,26 @@ class BarriersSpec extends AnyFunSuite {
     assert(rddDirs() === afterReliable,
       "default barriers must stay executor-local")
   }
+
+  test("roundBarrier strips origin stats: loop estimates stay constant " +
+      "round over round instead of compounding") {
+    // each round self-joins the previous barrier TWICE — with checkpoint
+    // origin-stats propagation the size estimate squares per round
+    // (doubly exponential bits; the r11 large-regime drill measured the
+    // driver minutes-per-round inside BigInteger by round 12), with the
+    // strip it is the constant default leaf estimate
+    var cur = Barriers.roundBarrier(
+      spark.range(64).select(col("id")))
+    var sizes = List.empty[BigInt]
+    for (_ <- 1 to 5) {
+      val dup = cur.select(col("id").as("id2"))
+      val joined = cur.join(dup, col("id") === col("id2"))
+        .join(dup.select(col("id2").as("id3")), col("id") === col("id3"))
+        .select(col("id"))
+      cur = Barriers.roundBarrier(joined)
+      sizes ::= cur.queryExecution.optimizedPlan.stats.sizeInBytes
+    }
+    assert(sizes.distinct.size === 1,
+      s"barrier stats must not grow across rounds: $sizes")
+  }
 }
