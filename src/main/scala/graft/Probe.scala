@@ -11,9 +11,11 @@ package graft
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val (mn, md, mx, steal) = Bench.probeWithSteal()
+    val s @ (mn, md, mx, steal) = Bench.probeWithSteal()
+    // the SHARED gate (median floor AND steal band) — r11 closed the
+    // median-only hole, and this tool must agree with probe_quiet
     println(s"""{"min":$mn,"median":$md,"max":$mx,""" +
       f""""steal_pct":$steal%.2f,""" +
-      s""""quiet":${md >= Bench.QuietProbeMedianFloor}}""")
+      s""""quiet":${Bench.sampleQuiet(s)}}""")
   }
 }
