@@ -231,6 +231,7 @@ object SparkEntry {
     "mm_vad" -> (Multimodal.mmVad _),
     "q_nvd_score_drift" -> (Nvd.qNvdScoreDrift _),
     "q_nvd_severity_transition" -> (Nvd.qNvdSeverityTransition _),
+    "q_nvd_cvss_recompute" -> (Nvd.qNvdCvssRecompute _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -1911,6 +1912,102 @@ object SparkEntry {
                 min(cve_id) AS first_cve, max(cve_id) AS last_cve
          FROM hit GROUP BY product, qversion
          ORDER BY product, qversion""",
+
+    // CVSS v3.1 §7.1 base-score re-derivation: every constant double,
+    // every formula an explicit multiply chain in the SAME association
+    // order as the Spark plan (no pow — libm pow is not bit-specified;
+    // the 15th power is the y→y²→y⁴→y⁸ squaring chain), and the spec's
+    // own integer-inspection Roundup — so the recomputed doubles agree
+    // bit-for-bit before the 1dp landing
+    "q_nvd_cvss_recompute" ->
+      s"""$nvdFeedCte,
+           v AS (SELECT item.impact.baseMetricV3.cvssV3.baseScore AS stored,
+                   item.impact.baseMetricV3.cvssV3.attackVector AS av,
+                   item.impact.baseMetricV3.cvssV3.attackComplexity AS ac,
+                   item.impact.baseMetricV3.cvssV3.privilegesRequired AS pr,
+                   item.impact.baseMetricV3.cvssV3.userInteraction AS ui,
+                   item.impact.baseMetricV3.cvssV3.scope AS sc,
+                   item.impact.baseMetricV3.cvssV3.confidentialityImpact AS c,
+                   item.impact.baseMetricV3.cvssV3.integrityImpact AS i,
+                   item.impact.baseMetricV3.cvssV3.availabilityImpact AS a
+                 FROM f WHERE item.impact.baseMetricV3 IS NOT NULL),
+           w AS (SELECT stored, sc, av,
+                   CAST(CASE av WHEN 'NETWORK' THEN 0.85
+                     WHEN 'ADJACENT_NETWORK' THEN 0.62
+                     WHEN 'LOCAL' THEN 0.55 ELSE 0.2 END AS DOUBLE) AS wav,
+                   CAST(CASE ac WHEN 'LOW' THEN 0.77 ELSE 0.44 END
+                     AS DOUBLE) AS wac,
+                   CAST(CASE WHEN sc = 'CHANGED' THEN
+                       CASE pr WHEN 'NONE' THEN 0.85 WHEN 'LOW' THEN 0.68
+                         ELSE 0.5 END
+                     ELSE
+                       CASE pr WHEN 'NONE' THEN 0.85 WHEN 'LOW' THEN 0.62
+                         ELSE 0.27 END
+                     END AS DOUBLE) AS wpr,
+                   CAST(CASE ui WHEN 'NONE' THEN 0.85 ELSE 0.62 END
+                     AS DOUBLE) AS wui,
+                   CAST(CASE c WHEN 'HIGH' THEN 0.56 WHEN 'LOW' THEN 0.22
+                     ELSE 0.0 END AS DOUBLE) AS wc,
+                   CAST(CASE i WHEN 'HIGH' THEN 0.56 WHEN 'LOW' THEN 0.22
+                     ELSE 0.0 END AS DOUBLE) AS wi,
+                   CAST(CASE a WHEN 'HIGH' THEN 0.56 WHEN 'LOW' THEN 0.22
+                     ELSE 0.0 END AS DOUBLE) AS wa
+                 FROM v),
+           s AS (SELECT stored, sc, av,
+                   CAST(1.0 AS DOUBLE) - ((CAST(1.0 AS DOUBLE) - wc) *
+                     (CAST(1.0 AS DOUBLE) - wi)) *
+                     (CAST(1.0 AS DOUBLE) - wa) AS iss,
+                   ((CAST(8.22 AS DOUBLE) * wav) * wac) * (wpr * wui)
+                     AS expl
+                 FROM w),
+           y1 AS (SELECT *, iss - CAST(0.02 AS DOUBLE) AS y FROM s),
+           y2 AS (SELECT *, y * y AS yy FROM y1),
+           y4 AS (SELECT *, yy * yy AS y4v FROM y2),
+           y8 AS (SELECT *, y4v * y4v AS y8v FROM y4),
+           imp AS (SELECT stored, sc, av, expl,
+                   CASE WHEN sc = 'CHANGED'
+                     THEN CAST(7.52 AS DOUBLE) *
+                            (iss - CAST(0.029 AS DOUBLE)) -
+                          CAST(3.25 AS DOUBLE) *
+                            (((y8v * y4v) * yy) * y)
+                     ELSE CAST(6.42 AS DOUBLE) * iss END AS impact
+                 FROM y8),
+           raw AS (SELECT stored, sc, av,
+                   CASE WHEN impact <= CAST(0.0 AS DOUBLE)
+                          THEN CAST(0.0 AS DOUBLE)
+                        WHEN sc = 'CHANGED' THEN
+                          CASE WHEN CAST(1.08 AS DOUBLE) * (impact + expl)
+                                 < CAST(10.0 AS DOUBLE)
+                            THEN CAST(1.08 AS DOUBLE) * (impact + expl)
+                            ELSE CAST(10.0 AS DOUBLE) END
+                        ELSE
+                          CASE WHEN impact + expl < CAST(10.0 AS DOUBLE)
+                            THEN impact + expl
+                            ELSE CAST(10.0 AS DOUBLE) END
+                   END AS rawscore
+                 FROM imp),
+           rs AS (SELECT stored, sc, av,
+                   CAST(floor(rawscore * CAST(100000.0 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS iscore
+                 FROM raw),
+           fin AS (SELECT stored, sc, av,
+                   CASE WHEN iscore % 10000 = 0
+                     THEN CAST(iscore AS DOUBLE) /
+                          CAST(100000.0 AS DOUBLE)
+                     ELSE (floor(CAST(iscore AS DOUBLE) /
+                            CAST(10000.0 AS DOUBLE)) +
+                            CAST(1.0 AS DOUBLE)) / CAST(10.0 AS DOUBLE)
+                   END AS recomputed
+                 FROM rs)
+         SELECT sc AS scope, av AS attack_vector,
+                CAST(count(*) AS BIGINT) AS n_cves,
+                min(recomputed) AS min_score, max(recomputed) AS max_score,
+                CAST(sum(CAST(recomputed AS DECIMAL(18,1))) AS DOUBLE)
+                  AS sum_score,
+                CAST(sum(CASE WHEN recomputed > stored THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_above_stored
+         FROM fin GROUP BY scope, attack_vector
+         ORDER BY scope, attack_vector""",
 
     "q_nvd_product_top" ->
       s"""$nvdFeedCte,

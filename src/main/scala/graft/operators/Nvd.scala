@@ -434,6 +434,111 @@ object Nvd {
       .orderBy(col("product"), col("qversion"))
   }
 
+  /** §2.1 q_nvd_cvss_recompute: re-derive every CVSS v3.1 base score
+    * from its vector COMPONENTS (first.org CVSS v3.1 specification
+    * §7.1: ISS → Impact with the scope-changed 15th-power term →
+    * Exploitability → Roundup) and grade the recomputation against the
+    * stored baseScore — the integrity audit a vulnerability warehouse
+    * runs on ingest (a feed whose stored scores drift from their own
+    * vectors is corrupt upstream). The fixture's scores are synthetic,
+    * so the interesting outputs are the recomputed distribution per
+    * (scope, attackVector) cell and how often recomputed > stored.
+    *
+    * Float discipline, cross-engine exact: every constant is an IEEE
+    * double and every formula is an EXPLICIT multiply/add chain in the
+    * identical association order on both engines — no pow() (libm pow
+    * is not bit-specified; (ISS−0.02)¹⁵ is y·y→y²·y²→y⁴·y⁴ then
+    * ((y⁸·y⁴)·y²)·y), so both engines produce bit-identical doubles.
+    * The spec's own Roundup (§Appendix A: integer inspection at 1e5,
+    * designed by first.org precisely to kill float ambiguity) then
+    * lands every score on an exact 1dp value, and the sum aggregates
+    * in DECIMAL(18,1).
+    *
+    * Scale shape: one scan, all arithmetic map-side inside codegen,
+    * one map-side-combined aggregate into ≤ |scopes|·|vectors| cells.
+    */
+  def qNvdCvssRecompute(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("impact.baseMetricV3.cvssV3")
+    val base = cves(spark)
+      .filter(col("impact.baseMetricV3").isNotNull)
+      .select(m.getField("baseScore").as("stored"),
+        m.getField("attackVector").as("av"),
+        m.getField("attackComplexity").as("ac"),
+        m.getField("privilegesRequired").as("pr"),
+        m.getField("userInteraction").as("ui"),
+        m.getField("scope").as("sc"),
+        m.getField("confidentialityImpact").as("c"),
+        m.getField("integrityImpact").as("i"),
+        m.getField("availabilityImpact").as("a"))
+    def cia(x: org.apache.spark.sql.Column) =
+      when(x === "HIGH", lit(0.56)).when(x === "LOW", lit(0.22))
+        .otherwise(lit(0.0))
+    val w = base.select(col("stored"), col("sc"), col("av"),
+      when(col("av") === "NETWORK", lit(0.85))
+        .when(col("av") === "ADJACENT_NETWORK", lit(0.62))
+        .when(col("av") === "LOCAL", lit(0.55)).otherwise(lit(0.2))
+        .as("wav"),
+      when(col("ac") === "LOW", lit(0.77)).otherwise(lit(0.44)).as("wac"),
+      when(col("sc") === "CHANGED",
+        when(col("pr") === "NONE", lit(0.85))
+          .when(col("pr") === "LOW", lit(0.68)).otherwise(lit(0.5)))
+        .otherwise(
+          when(col("pr") === "NONE", lit(0.85))
+            .when(col("pr") === "LOW", lit(0.62)).otherwise(lit(0.27)))
+        .as("wpr"),
+      when(col("ui") === "NONE", lit(0.85)).otherwise(lit(0.62)).as("wui"),
+      cia(col("c")).as("wc"), cia(col("i")).as("wi"), cia(col("a")).as("wa"))
+    val s = w.select(col("stored"), col("sc"), col("av"),
+      (lit(1.0) - ((lit(1.0) - col("wc")) * (lit(1.0) - col("wi"))) *
+        (lit(1.0) - col("wa"))).as("iss"),
+      (((lit(8.22) * col("wav")) * col("wac")) * (col("wpr") * col("wui")))
+        .as("expl"))
+    // the 15th power as the explicit squaring chain — same association
+    // order as the oracle so the doubles agree bit-for-bit
+    val y1 = s.withColumn("y", col("iss") - lit(0.02))
+    val y2 = y1.withColumn("yy", col("y") * col("y"))
+    val y4 = y2.withColumn("y4v", col("yy") * col("yy"))
+    val y8 = y4.withColumn("y8v", col("y4v") * col("y4v"))
+    val imp = y8.select(col("stored"), col("sc"), col("av"), col("expl"),
+      when(col("sc") === "CHANGED",
+        lit(7.52) * (col("iss") - lit(0.029)) -
+          lit(3.25) * (((col("y8v") * col("y4v")) * col("yy")) * col("y")))
+        .otherwise(lit(6.42) * col("iss")).as("impact"))
+    val raw = imp.select(col("stored"), col("sc"), col("av"),
+      when(col("impact") <= lit(0.0), lit(0.0))
+        .when(col("sc") === "CHANGED",
+          when(lit(1.08) * (col("impact") + col("expl")) < lit(10.0),
+            lit(1.08) * (col("impact") + col("expl"))).otherwise(lit(10.0)))
+        .otherwise(
+          when(col("impact") + col("expl") < lit(10.0),
+            col("impact") + col("expl")).otherwise(lit(10.0)))
+        .as("rawscore"))
+    // CVSS v3.1 Roundup: inspect at 1e5 in integers (the spec's own
+    // float-proofing), then 1 decimal place; the quotient runs in
+    // doubles (iscore ≤ 1e6 — exact) because Spark's bigint `/` is
+    // already double division
+    val fin = raw
+      .withColumn("iscore",
+        floor(col("rawscore") * lit(100000.0) + lit(0.5)).cast("bigint"))
+      .select(col("stored"), col("sc"), col("av"),
+        when(col("iscore") % 10000L === 0L,
+          col("iscore").cast("double") / lit(100000.0))
+          .otherwise(
+            (floor(col("iscore").cast("double") / lit(10000.0)) + lit(1.0))
+              / lit(10.0))
+          .as("recomputed"))
+    fin
+      .groupBy(col("sc").as("scope"), col("av").as("attack_vector"))
+      .agg(count(lit(1)).as("n_cves"),
+        min(col("recomputed")).as("min_score"),
+        max(col("recomputed")).as("max_score"),
+        sum(col("recomputed").cast(DecimalType(18, 1))).cast("double")
+          .as("sum_score"),
+        sum(when(col("recomputed") > col("stored"), 1L).otherwise(0L))
+          .as("n_above_stored"))
+      .orderBy(col("scope"), col("attack_vector"))
+  }
+
   /** §2.1 q_nvd_score_corr: CVSS v2↔v3 score agreement — Pearson
     * correlation, sample covariance, and both sample deviations over CVEs
     * carrying both metrics (the "did the v3 rescoring change the ranking"
