@@ -88,6 +88,7 @@ object SparkEntry {
     "q_events_entropy_rate" -> (Relational.qEventsEntropyRate _),
     "q_orders_mad_outliers" -> (Relational.qOrdersMadOutliers _),
     "graph_modularity" -> (Relational.graphModularity _),
+    "graph_louvain_gain" -> (Relational.graphLouvainGain _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -1072,6 +1073,67 @@ object SparkEntry {
                 round(CAST(total AS DOUBLE) /
                       CAST(4 * m * m AS DOUBLE), 6) AS modularity
          FROM t ORDER BY community_type, community_key""",
+
+    // one-move Louvain ΔQ over the recomputed LPA labels (grades the
+    // STORED labeling the Spark side reads): gain_num = 2m(k_vB −
+    // k_vA′) − k_v(D_B − D_A + k_v) stays BIGINT; best move per vertex
+    // by (gain desc, community asc); top-20 total order (gain_num desc,
+    // vertex asc) mirrored before projection; ONE division lands 6dp
+    "graph_louvain_gain" ->
+      s"""WITH cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+                        l.l_suppkey * 2 + 1 AS s
+                      FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey),
+            e AS (SELECT c AS src, s AS dst FROM cs
+                  UNION ALL
+                  SELECT s AS src, c AS dst FROM cs),
+            lp0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+            ${lpaSteps(4)},
+            deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+                    FROM e GROUP BY src),
+            mm AS (SELECT CAST(sum(d) AS BIGINT) // 2 AS m FROM deg),
+            dc AS (SELECT p.lbl, CAST(sum(d.d) AS BIGINT) AS dsum
+                   FROM lp4 p JOIN deg d ON d.v = p.v GROUP BY p.lbl),
+            vnb AS (SELECT e.src, p.lbl AS nl,
+                        CAST(count(*) AS BIGINT) AS kvb
+                    FROM e JOIN lp4 p ON p.v = e.dst
+                    GROUP BY e.src, p.lbl),
+            own AS (SELECT v AS src, lbl AS la FROM lp4),
+            kva AS (SELECT vnb.src, kvb AS kvown
+                    FROM vnb JOIN own ON own.src = vnb.src
+                    WHERE vnb.nl = own.la),
+            cand AS (SELECT vnb.src, own.la, vnb.nl, vnb.kvb,
+                        COALESCE(kva.kvown, CAST(0 AS BIGINT)) AS kvown,
+                        dv.d AS kv, db.dsum AS db, da.dsum AS da, mm.m
+                     FROM vnb
+                     JOIN own ON own.src = vnb.src
+                     LEFT JOIN kva ON kva.src = vnb.src
+                     JOIN deg dv ON dv.v = vnb.src
+                     JOIN dc db ON db.lbl = vnb.nl
+                     JOIN dc da ON da.lbl = own.la
+                     CROSS JOIN mm
+                     WHERE vnb.nl <> own.la),
+            g AS (SELECT src, la, nl, kv, m,
+                      2 * m * (kvb - kvown) - kv * (db - da + kv)
+                        AS gain_num
+                  FROM cand),
+            best AS (SELECT src, la, kv, m, gain_num, nl AS lb
+                     FROM (SELECT *, row_number() OVER (
+                             PARTITION BY src
+                             ORDER BY gain_num DESC, nl ASC) AS rn
+                           FROM g)
+                     WHERE rn = 1),
+            topk AS (SELECT * FROM best
+                     ORDER BY gain_num DESC, src LIMIT 20)
+         SELECT CASE WHEN src % 2 = 0 THEN 'customer'
+                ELSE 'supplier' END AS node_type,
+                CAST(src // 2 AS BIGINT) AS entity_key,
+                CAST(la AS BIGINT) AS from_label,
+                CAST(lb AS BIGINT) AS to_label,
+                kv AS degree,
+                round(CAST(gain_num AS DOUBLE) /
+                      CAST(2 * m * m AS DOUBLE), 6) AS gain
+         FROM topk ORDER BY gain_num DESC, src""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions
