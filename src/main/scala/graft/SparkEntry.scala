@@ -212,6 +212,7 @@ object SparkEntry {
     "pipeline_pack" -> (TextAnalysis.pipelinePack _),
     "pipeline_mixture" -> (TextAnalysis.pipelineMixture _),
     "text_tfidf" -> (TextAnalysis.textTfidf _),
+    "text_perplexity" -> (TextAnalysis.textPerplexity _),
     "text_bm25" -> (TextAnalysis.textBm25 _),
     "pipeline_epoch_shuffle" -> (TextAnalysis.pipelineEpochShuffle _),
     "text_vocab_growth" -> (TextAnalysis.textVocabGrowth _),
@@ -4343,6 +4344,49 @@ object SparkEntry {
                            AS DOUBLE) / count(*), 6) AS kept_frac
          FROM b GROUP BY source, rate_pct
          ORDER BY source""",
+
+    // bigram-LM cross-entropy: per-doc log-prob sums fold SEQUENTIALLY
+    // over the token-ordered bigram list (list_reduce ≡ Spark aggregate
+    // with an exact 0.0 seed), 6dp rounds land in DECIMAL(18,6), so the
+    // per-source mean/min/max aggregate exactly — no order-dependent
+    // float sum crosses a group
+    "text_perplexity" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+            big AS (SELECT doc_id, source, u.pos AS pos,
+                        t[u.pos] AS w1, t[u.pos + 1] AS w2
+                    FROM d, LATERAL unnest(generate_series(1, len(t) - 1))
+                      AS u(pos)),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+                   FROM big GROUP BY w1, w2),
+            hist AS (SELECT w1, CAST(count(*) AS BIGINT) AS ch
+                     FROM big GROUP BY w1),
+            voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                    FROM (SELECT unnest(t) AS tok FROM d)),
+            scored AS (SELECT big.doc_id, big.source, big.pos,
+                          log2((CAST(cbg AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+                               (CAST(ch AS DOUBLE) + CAST(v AS DOUBLE)))
+                            AS lp
+                       FROM big JOIN bc ON bc.w1 = big.w1
+                                       AND bc.w2 = big.w2
+                                JOIN hist ON hist.w1 = big.w1
+                                CROSS JOIN voc),
+            pd AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nbg,
+                       list(lp ORDER BY pos) AS lst
+                   FROM scored GROUP BY doc_id, source),
+            h AS (SELECT doc_id, source, nbg,
+                      CAST(round(-list_reduce(lst, (a, b) -> a + b) /
+                                 CAST(nbg AS DOUBLE), 6) AS DECIMAL(18,6))
+                        AS hd
+                  FROM pd)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nbg) AS BIGINT) AS n_bigrams,
+                (SELECT v FROM voc) AS vocab_size,
+                CAST(min(hd) AS DOUBLE) AS min_ce,
+                CAST(max(hd) AS DOUBLE) AS max_ce,
+                round(CAST(sum(hd) AS DOUBLE) / count(*), 6) AS avg_ce
+         FROM h GROUP BY source ORDER BY source""",
 
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

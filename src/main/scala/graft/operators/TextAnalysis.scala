@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -392,6 +393,78 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_terms"), col("best.t").as("top_term"),
         round(col("best.neg") * -1.0, 6).as("top_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** §2.4 text_perplexity: bigram-LM cross-entropy per document,
+    * rolled up per source — the perplexity-proxy quality signal a
+    * pretraining pipeline computes before mixture decisions (docs whose
+    * own-corpus bigram surprise is high are boilerplate-free but noisy;
+    * low = templated): train add-one-smoothed bigram counts over the
+    * WHOLE corpus in one pass, score every document under the shared
+    * model, P(w₂|w₁) = (c(w₁,w₂)+1)/(c₁(w₁)+V).
+    *
+    * Float discipline (the d2/list_reduce pattern): each document's
+    * log-probability sum is a SEQUENTIAL left fold over its bigram list
+    * in token order — collect_list(struct(pos, lp)) sorted, then
+    * `aggregate` — so both engines add the identical doubles in the
+    * identical order (DuckDB's list_reduce folds left with x₁ as init;
+    * Spark's 0.0 seed is exact under IEEE +). Per-doc cross-entropies
+    * round to 6dp and land in DECIMAL(18,6), so the per-source
+    * mean/min/max aggregate EXACTLY — no order-dependent float sum ever
+    * crosses a shuffle.
+    *
+    * Scale shape: the bigram relation persists once (model counts +
+    * history counts + the scoring join consume it — eager-count
+    * contract); model counts are map-side-combined aggregates; scoring
+    * joins are equi-keyed on the bigram/history; the per-doc fold runs
+    * over that document's own list only.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val big = docs.select(col("doc_id"), col("source"),
+      posexplode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col("doc_id"), col("source"), (col("pos") + 1).as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    big.count() // eager: model counts + history counts + scoring join
+    val bc = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cbg"))
+    val hist = big.groupBy(col("w1")).agg(count(lit(1)).as("ch"))
+    val voc = docs.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = big
+      .join(bc, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"), col("source"), col("pos"),
+        log2((col("cbg").cast("double") + lit(1.0)) /
+          (col("ch").cast("double") + col("v").cast("double"))).as("lp"))
+    val perDoc = scored
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nbg"),
+        sort_array(collect_list(struct(col("pos"), col("lp")))).as("lst"))
+      .select(col("doc_id"), col("source"), col("nbg"),
+        round(-aggregate(col("lst"), lit(0.0),
+          (acc, x) => acc + x.getField("lp")) /
+          col("nbg").cast("double"), 6).cast(DecimalType(18, 6)).as("hd"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nbg")).cast("bigint").as("n_bigrams"),
+        min(col("hd")).cast("double").as("min_ce"),
+        max(col("hd")).cast("double").as("max_ce"),
+        sum(col("hd")).as("sum_hd"))
+      .crossJoin(broadcast(voc))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("v").as("vocab_size"), col("min_ce"), col("max_ce"),
+        round(col("sum_hd").cast("double") / col("n_docs").cast("double"), 6)
+          .as("avg_ce"))
+      .orderBy(col("source"))
   }
 
   /** §2.4 pipeline_mixture: corpus mixing — each source is downsampled at
