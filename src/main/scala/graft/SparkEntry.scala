@@ -89,6 +89,7 @@ object SparkEntry {
     "q_orders_mad_outliers" -> (Relational.qOrdersMadOutliers _),
     "graph_modularity" -> (Relational.graphModularity _),
     "graph_louvain_gain" -> (Relational.graphLouvainGain _),
+    "graph_betweenness" -> (Relational.graphBetweenness _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -467,6 +468,79 @@ object SparkEntry {
     * all-integer argmax — count desc, label asc — exactly the Spark
     * loop's min(struct(-cnt, lbl)).
     */
+  /** The k-source Brandes oracle, unrolled to
+    * [[graft.operators.Relational.BetweennessMaxLevel]] forward and
+    * backward steps — every aggregation a list_reduce over an
+    * explicitly ORDERed list so the doubles fold in the identical order
+    * as the Spark plan's sorted collect_list folds.
+    */
+  private def betweennessOracle(maxLvl: Int): String = {
+    val fwd = (1 to maxLvl).map { k =>
+      s"""f$k AS MATERIALIZED (SELECT t.root, t.dst AS v,
+             list_reduce(list(t.sig ORDER BY t.u), (a, b) -> a + b) AS sig
+           FROM (SELECT p.root, p.v AS u, e.dst, p.sig
+                 FROM f${k - 1} p JOIN e ON e.src = p.v
+                 WHERE NOT EXISTS (SELECT 1 FROM vz${k - 1} z
+                     WHERE z.root = p.root AND z.v = e.dst)) t
+           GROUP BY t.root, t.dst),
+         vz$k AS MATERIALIZED (SELECT * FROM vz${k - 1}
+                  UNION ALL SELECT root, v FROM f$k)"""
+    }.mkString(",\n         ")
+    val visUnion = (0 to maxLvl).map(l =>
+      s"SELECT root, v, $l AS lvl, sig FROM f$l").mkString("\n           UNION ALL ")
+    val bwd = (maxLvl - 1) to 0 by -1
+    val bwdSteps = bwd.map { l =>
+      s"""d$l AS MATERIALIZED (SELECT x.root, x.v,
+             COALESCE(s.dsum, CAST(0.0 AS DOUBLE)) AS delta
+           FROM (SELECT root, v FROM vis WHERE lvl = $l) x
+           LEFT JOIN (SELECT t.root, t.v,
+                 list_reduce(list(t.t ORDER BY t.w), (a, b) -> a + b)
+                   AS dsum
+               FROM (SELECT sp.root, sp.v, sp.w,
+                       sp.sigv / sp.sigw *
+                         (CAST(1.0 AS DOUBLE) + dn.delta) AS t
+                     FROM sp JOIN dall${l + 1} dn
+                       ON dn.root = sp.root AND dn.v = sp.w
+                     WHERE sp.lvl = $l) t
+               GROUP BY t.root, t.v) s
+             ON s.root = x.root AND s.v = x.v),
+         dall$l AS MATERIALIZED (SELECT * FROM dall${l + 1}
+                    UNION ALL SELECT * FROM d$l)"""
+    }.mkString(",\n         ")
+    s"""WITH cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+                        l.l_suppkey * 2 + 1 AS s
+                      FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey),
+         e AS MATERIALIZED (SELECT c AS src, s AS dst FROM cs
+               UNION ALL
+               SELECT s AS src, c AS dst FROM cs),
+         verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+         r AS (SELECT v AS root FROM verts ORDER BY v LIMIT 8),
+         f0 AS MATERIALIZED (SELECT root, root AS v, CAST(1.0 AS DOUBLE) AS sig FROM r),
+         vz0 AS MATERIALIZED (SELECT root, v FROM f0),
+         $fwd,
+         vis AS MATERIALIZED ($visUnion),
+         sp AS MATERIALIZED (SELECT a.root, a.v, a.lvl, a.sig AS sigv,
+                    b.v AS w, b.sig AS sigw
+                FROM vis a JOIN e ON e.src = a.v
+                JOIN vis b ON b.root = a.root AND b.v = e.dst
+                          AND b.lvl = a.lvl + 1),
+         d$maxLvl AS MATERIALIZED (SELECT root, v, CAST(0.0 AS DOUBLE) AS delta
+                      FROM vis WHERE lvl = $maxLvl),
+         dall$maxLvl AS MATERIALIZED (SELECT * FROM d$maxLvl),
+         $bwdSteps,
+         bt AS (SELECT v,
+                  list_reduce(list(delta ORDER BY root), (a, b) -> a + b)
+                    AS c
+                FROM dall0 WHERE v <> root GROUP BY v)
+       SELECT CASE WHEN verts.v % 2 = 0 THEN 'customer'
+              ELSE 'supplier' END AS node_type,
+              CAST(verts.v // 2 AS BIGINT) AS entity_key,
+              round(COALESCE(bt.c, CAST(0.0 AS DOUBLE)), 6) AS centrality
+       FROM verts LEFT JOIN bt ON bt.v = verts.v
+       ORDER BY node_type, entity_key"""
+  }
+
   private def lpaSteps(n: Int): String =
     (1 to n).map { k =>
       s"""lp$k AS (
@@ -1074,6 +1148,12 @@ object SparkEntry {
                 round(CAST(total AS DOUBLE) /
                       CAST(4 * m * m AS DOUBLE), 6) AS modularity
          FROM t ORDER BY community_type, community_key""",
+
+    // 8-source Brandes, forward+backward unrolled to the shared level
+    // cap; every float aggregation is an ORDERed list_reduce mirroring
+    // the Spark plan's sorted collect_list folds
+    "graph_betweenness" ->
+      betweennessOracle(graft.operators.Relational.BetweennessMaxLevel),
 
     // one-move Louvain ΔQ over the recomputed LPA labels (grades the
     // STORED labeling the Spark side reads): gain_num = 2m(k_vB −

@@ -1893,6 +1893,148 @@ object Relational {
       rounds)
   }
 
+  /** Forward-BFS level cap for [[graphBetweenness]] — both engines
+    * unroll/loop exactly this many expansions, so the truncation (a
+    * no-op whenever the graph's eccentricity from the roots is smaller,
+    * as it is on both shipped SFs) is part of the graded definition.
+    */
+  private[graft] val BetweennessMaxLevel = 12
+
+  /** §2.2 graph_betweenness: k-source Brandes betweenness centrality
+    * (Brandes 2001) over the commerce graph — the "who brokers the
+    * flow" metric beside pagerank's "who receives it": from the 8
+    * smallest vertex ids as sources, level-synchronous BFS counts
+    * shortest paths σ, then the backward pass accumulates dependencies
+    * δ(v) = Σ_{w ∈ succ(v)} (σ_v/σ_w)(1 + δ(w)) level by level;
+    * centrality(v) = Σ_roots δ(root, v). A fixed-source subset is the
+    * standard scalable estimator (exact all-pairs is O(V·E)); the
+    * source set is deterministic, not sampled.
+    *
+    * Float discipline, cross-engine exact: σ and δ are doubles, but
+    * EVERY aggregation in both passes is a SEQUENTIAL fold over a
+    * sorted list (predecessor-sorted for σ, successor-sorted for δ,
+    * root-sorted for the final sum — the d2/list_reduce pattern), so
+    * both engines add the identical doubles in the identical order and
+    * the 6dp landing is bit-safe. σ beyond 2⁵³ would degrade to an
+    * approximation gracefully — identically on both engines.
+    *
+    * Scale shape: the edge cache is stationary (persisted, eagerly
+    * counted); each BFS round shuffles only the slim (root, vertex, σ)
+    * frontier with an anti-join against the visited set; rounds are
+    * barriered ([[graft.Barriers.roundBarrier]] — O(1) lineage, stats
+    * stripped); the successor relation builds once and both backward
+    * joins are equi-keyed on (root, vertex). At 8 roots the state is
+    * ≤ 8·|V| rows end to end.
+    */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      .repartition(col("src")) // stationary: only slim frontiers shuffle
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: every BFS round + the successor build consume
+    val verts = edges.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count() // eager: roots + the final left join consume
+    val roots = verts.orderBy(col("v")).limit(8).select(col("v").as("root"))
+    // sequential sorted fold: both engines reduce the list left-to-right
+    def fold(lst: org.apache.spark.sql.Column, field: String) =
+      aggregate(lst, lit(0.0), (acc, x) => acc + x.getField(field))
+    var frontier = graft.Barriers.roundBarrier(
+      roots.select(col("root"), col("root").as("v"), lit(0).as("lvl"),
+        lit(1.0).as("sig")))
+    // visited = the union of the checkpointed per-level frontiers —
+    // accumulating PARTS instead of re-checkpointing a growing union
+    // per round turns O(levels²) materialized rows into O(levels)
+    var parts = List(frontier)
+    def visited = parts.reduce(_ unionAll _)
+    var lvl = 0
+    var more = frontier.count() > 0
+    while (more && lvl < BetweennessMaxLevel) {
+      val nxt = frontier
+        .join(edges, col("v") === col("src"))
+        .join(visited.select(col("root").as("vr"), col("v").as("vv")),
+          col("root") === col("vr") && col("dst") === col("vv"),
+          "left_anti")
+        .groupBy(col("root"), col("dst"))
+        .agg(sort_array(collect_list(struct(col("v").as("u"),
+          col("sig").as("s")))).as("lst"))
+        .select(col("root"), col("dst").as("v"), lit(lvl + 1).as("lvl"),
+          fold(col("lst"), "s").as("sig"))
+      frontier = graft.Barriers.roundBarrier(nxt)
+      parts ::= frontier
+      lvl += 1
+      more = frontier.count() > 0
+    }
+    val vis = visited.persist(StorageLevel.MEMORY_AND_DISK)
+    val maxLvl = vis.agg(coalesce(max(col("lvl")), lit(0)).as("m"))
+      .head().getInt(0)
+    // shortest-path DAG successors: (root, v at l, w at l+1, σv, σw)
+    val sp = vis.select(col("root"), col("v"), col("lvl"),
+        col("sig").as("sigv"))
+      .join(edges, col("v") === col("src"))
+      .join(vis.select(col("root").as("wr"), col("v").as("w"),
+        col("lvl").as("wl"), col("sig").as("sigw")),
+        col("root") === col("wr") && col("dst") === col("w") &&
+          col("wl") === col("lvl") + 1)
+      .select(col("root"), col("v"), col("lvl"), col("sigv"), col("w"),
+        col("sigw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sp.count() // eager: one consumer per backward level
+    // backward: only the PREVIOUS level's δ is ever joined (successors
+    // of level-l vertices sit exactly at level l+1), so each round
+    // checkpoints one slim level and the full relation is the union of
+    // the checkpointed parts
+    var prevDelta = graft.Barriers.roundBarrier(
+      vis.filter(col("lvl") === maxLvl)
+        .select(col("root"), col("v"), lit(0.0).as("delta")))
+    var deltaParts = List(prevDelta)
+    for (l <- (maxLvl - 1) to 0 by -1) {
+      val dsum = sp.filter(col("lvl") === l)
+        .join(prevDelta.select(col("root").as("dr"), col("v").as("dv"),
+          col("delta").as("dw")),
+          col("root") === col("dr") && col("w") === col("dv"))
+        .select(col("root"), col("v"),
+          struct(col("w").as("w"),
+            (col("sigv") / col("sigw") * (lit(1.0) + col("dw"))).as("t"))
+            .as("st"))
+        .groupBy(col("root"), col("v"))
+        .agg(sort_array(collect_list(col("st"))).as("lst"))
+        .select(col("root"), col("v"), fold(col("lst"), "t").as("dsum"))
+      val dl = vis.filter(col("lvl") === l)
+        .select(col("root"), col("v"))
+        .join(dsum, Seq("root", "v"), "left_outer")
+        .select(col("root"), col("v"),
+          coalesce(col("dsum"), lit(0.0)).as("delta"))
+      prevDelta = graft.Barriers.roundBarrier(dl)
+      deltaParts ::= prevDelta
+    }
+    val delta = deltaParts.reduce(_ unionAll _)
+    val contrib = delta.filter(col("v") =!= col("root"))
+      .select(col("v"), struct(col("root").as("r"), col("delta").as("d"))
+        .as("st"))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(col("st"))).as("lst"))
+      .select(col("v"), fold(col("lst"), "d").as("centrality"))
+    val out = verts
+      .join(contrib, Seq("v"), "left_outer")
+      .select(
+        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("v div 2").cast("bigint").as("entity_key"),
+        round(coalesce(col("centrality"), lit(0.0)), 6).as("centrality"))
+      .orderBy(col("node_type"), col("entity_key"))
+    out
+  }
+
   /** §2.2 graph_louvain_gain: the Louvain refinement step over the
     * STORED LPA communities — for every vertex, the modularity gain of
     * moving it to each neighboring community (the one-move ΔQ of
