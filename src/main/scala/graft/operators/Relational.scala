@@ -1927,7 +1927,6 @@ object Relational {
     * ≤ 8·|V| rows end to end.
     */
   def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val cs = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir)
@@ -1936,8 +1935,26 @@ object Relational {
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+    val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    betweennessCore(spark, edges0)
+      .select(
+        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("v div 2").cast("bigint").as("entity_key"),
+        col("centrality"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** The k-source Brandes loop under graph_betweenness, on a SYMMETRIC
+    * (src, dst) edge relation: (v, centrality) for every vertex, 6dp.
+    * Split out so BetweennessSpec can grade the distributed passes
+    * against a driver-side brute-force Brandes on closed-form graphs.
+    */
+  private[graft] def betweennessCore(spark: SparkSession,
+      edges0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = edges0
       .repartition(col("src")) // stationary: only slim frontiers shuffle
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager: every BFS round + the successor build consume
@@ -2024,15 +2041,10 @@ object Relational {
       .groupBy(col("v"))
       .agg(sort_array(collect_list(col("st"))).as("lst"))
       .select(col("v"), fold(col("lst"), "d").as("centrality"))
-    val out = verts
+    verts
       .join(contrib, Seq("v"), "left_outer")
-      .select(
-        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
-          .as("node_type"),
-        expr("v div 2").cast("bigint").as("entity_key"),
+      .select(col("v"),
         round(coalesce(col("centrality"), lit(0.0)), 6).as("centrality"))
-      .orderBy(col("node_type"), col("entity_key"))
-    out
   }
 
   /** §2.2 graph_louvain_gain: the Louvain refinement step over the
