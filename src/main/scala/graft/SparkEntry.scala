@@ -235,6 +235,7 @@ object SparkEntry {
     "q_nvd_score_drift" -> (Nvd.qNvdScoreDrift _),
     "q_nvd_severity_transition" -> (Nvd.qNvdSeverityTransition _),
     "q_nvd_cvss_recompute" -> (Nvd.qNvdCvssRecompute _),
+    "q_nvd_cvss_v2_recompute" -> (Nvd.qNvdCvssV2Recompute _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -2151,6 +2152,85 @@ object SparkEntry {
                   AS BIGINT) AS n_above_stored
          FROM fin GROUP BY scope, attack_vector
          ORDER BY scope, attack_vector""",
+
+    // CVSS v2.0 recompute: same contract as the v3.1 oracle above —
+    // identical weight CASEs, identical multiply/add association order,
+    // and the pinned half-up 1dp landing floor(x*10+0.5)/10 on all
+    // three sub-scores, so the doubles agree bit-for-bit
+    "q_nvd_cvss_v2_recompute" ->
+      s"""$nvdFeedCte,
+           v AS (SELECT item.impact.baseMetricV2.cvssV2.baseScore AS stored,
+                   item.impact.baseMetricV2.impactScore AS stored_imp,
+                   item.impact.baseMetricV2.exploitabilityScore
+                     AS stored_expl,
+                   item.impact.baseMetricV2.cvssV2.accessVector AS av,
+                   item.impact.baseMetricV2.cvssV2.accessComplexity AS ac,
+                   item.impact.baseMetricV2.cvssV2.authentication AS au,
+                   item.impact.baseMetricV2.cvssV2.confidentialityImpact
+                     AS c,
+                   item.impact.baseMetricV2.cvssV2.integrityImpact AS i,
+                   item.impact.baseMetricV2.cvssV2.availabilityImpact AS a
+                 FROM f WHERE item.impact.baseMetricV2 IS NOT NULL),
+           w AS (SELECT stored, stored_imp, stored_expl, av, ac,
+                   CAST(CASE av WHEN 'NETWORK' THEN 1.0
+                     WHEN 'ADJACENT_NETWORK' THEN 0.646
+                     ELSE 0.395 END AS DOUBLE) AS wav,
+                   CAST(CASE ac WHEN 'LOW' THEN 0.71 WHEN 'MEDIUM' THEN 0.61
+                     ELSE 0.35 END AS DOUBLE) AS wac,
+                   CAST(CASE au WHEN 'NONE' THEN 0.704
+                     WHEN 'SINGLE' THEN 0.56 ELSE 0.45 END AS DOUBLE)
+                     AS wau,
+                   CAST(CASE c WHEN 'COMPLETE' THEN 0.66
+                     WHEN 'PARTIAL' THEN 0.275 ELSE 0.0 END AS DOUBLE)
+                     AS wc,
+                   CAST(CASE i WHEN 'COMPLETE' THEN 0.66
+                     WHEN 'PARTIAL' THEN 0.275 ELSE 0.0 END AS DOUBLE)
+                     AS wi,
+                   CAST(CASE a WHEN 'COMPLETE' THEN 0.66
+                     WHEN 'PARTIAL' THEN 0.275 ELSE 0.0 END AS DOUBLE)
+                     AS wa
+                 FROM v),
+           s AS (SELECT stored, stored_imp, stored_expl, av, ac,
+                   CAST(10.41 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+                     ((CAST(1.0 AS DOUBLE) - wc) *
+                      (CAST(1.0 AS DOUBLE) - wi)) *
+                     (CAST(1.0 AS DOUBLE) - wa)) AS impact,
+                   ((CAST(20.0 AS DOUBLE) * wav) * wac) * wau AS expl
+                 FROM w),
+           raw AS (SELECT stored, stored_imp, stored_expl, av, ac,
+                   impact, expl,
+                   CASE WHEN impact = CAST(0.0 AS DOUBLE)
+                     THEN CAST(0.0 AS DOUBLE)
+                     ELSE ((CAST(0.6 AS DOUBLE) * impact) +
+                           (CAST(0.4 AS DOUBLE) * expl) -
+                           CAST(1.5 AS DOUBLE)) * CAST(1.176 AS DOUBLE)
+                   END AS rawscore
+                 FROM s),
+           fin AS (SELECT av, ac,
+                   CAST(CAST(floor(rawscore * CAST(10.0 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE) /
+                     CAST(10.0 AS DOUBLE) AS recomputed,
+                   CAST(CAST(floor(impact * CAST(10.0 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE) /
+                     CAST(10.0 AS DOUBLE) AS imp1,
+                   CAST(CAST(floor(expl * CAST(10.0 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE) /
+                     CAST(10.0 AS DOUBLE) AS expl1,
+                   stored, stored_imp, stored_expl
+                 FROM raw)
+         SELECT av AS access_vector, ac AS access_complexity,
+                CAST(count(*) AS BIGINT) AS n_cves,
+                min(recomputed) AS min_score, max(recomputed) AS max_score,
+                CAST(sum(CAST(recomputed AS DECIMAL(18,1))) AS DOUBLE)
+                  AS sum_score,
+                CAST(sum(CASE WHEN recomputed > stored THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_above_stored,
+                CAST(sum(CASE WHEN imp1 > stored_imp THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_impact_above,
+                CAST(sum(CASE WHEN expl1 > stored_expl THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_expl_above
+         FROM fin GROUP BY access_vector, access_complexity
+         ORDER BY access_vector, access_complexity""",
 
     "q_nvd_product_top" ->
       s"""$nvdFeedCte,

@@ -539,6 +539,98 @@ object Nvd {
       .orderBy(col("scope"), col("attack_vector"))
   }
 
+  /** §2.1 q_nvd_cvss_v2_recompute: re-derive every CVSS v2.0 base score
+    * from its vector COMPONENTS (first.org CVSS v2 complete guide
+    * §3.2.1: Impact = 10.41·(1−(1−C)(1−I)(1−A)), Exploitability =
+    * 20·AV·AC·Au, BaseScore = round₁(((0.6·I)+(0.4·E)−1.5)·f(I)) with
+    * f(I) = 1.176 unless I = 0) and grade it against the stored
+    * baseScore / impactScore / exploitabilityScore triple — the v2 leg
+    * of the ingest integrity audit beside [[qNvdCvssRecompute]]'s v3.1
+    * leg (reference mirrors bq-nvd's schema surface: schema.json
+    * baseMetricV2; the reference stores these fields verbatim, etl.py:
+    * 94-116, and never validates them — this is the audit it should
+    * run). Fixture scores are synthetic, so the graded outputs are the
+    * recomputed distribution per (accessVector, accessComplexity) cell
+    * and the above-stored counts for all three sub-scores.
+    *
+    * Float discipline, cross-engine exact: every constant is an IEEE
+    * double, every formula an explicit multiply/add chain in the
+    * identical association order on both engines (no pow anywhere in
+    * v2), and the 1dp landing is the integer inspection
+    * floor(x·10+0.5)/10 — v2 predates v3.1's Roundup so the graded
+    * definition pins half-up explicitly; Impact = 0 happens only as
+    * exact 1−(1·1)·1, so f(I)'s branch is float-safe.
+    *
+    * Scale shape: one scan, all arithmetic map-side inside codegen,
+    * one map-side-combined aggregate into ≤ |AV|·|AC| cells.
+    */
+  def qNvdCvssV2Recompute(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("impact.baseMetricV2")
+    val base = cves(spark)
+      .filter(col("impact.baseMetricV2").isNotNull)
+      .select(m.getField("cvssV2").getField("baseScore").as("stored"),
+        m.getField("impactScore").as("stored_imp"),
+        m.getField("exploitabilityScore").as("stored_expl"),
+        m.getField("cvssV2").getField("accessVector").as("av"),
+        m.getField("cvssV2").getField("accessComplexity").as("ac"),
+        m.getField("cvssV2").getField("authentication").as("au"),
+        m.getField("cvssV2").getField("confidentialityImpact").as("c"),
+        m.getField("cvssV2").getField("integrityImpact").as("i"),
+        m.getField("cvssV2").getField("availabilityImpact").as("a"))
+    def cia(x: org.apache.spark.sql.Column) =
+      when(x === "COMPLETE", lit(0.66)).when(x === "PARTIAL", lit(0.275))
+        .otherwise(lit(0.0))
+    val w = base.select(col("stored"), col("stored_imp"),
+      col("stored_expl"), col("av"), col("ac"),
+      when(col("av") === "NETWORK", lit(1.0))
+        .when(col("av") === "ADJACENT_NETWORK", lit(0.646))
+        .otherwise(lit(0.395)).as("wav"),
+      when(col("ac") === "LOW", lit(0.71))
+        .when(col("ac") === "MEDIUM", lit(0.61)).otherwise(lit(0.35))
+        .as("wac"),
+      when(col("au") === "NONE", lit(0.704))
+        .when(col("au") === "SINGLE", lit(0.56)).otherwise(lit(0.45))
+        .as("wau"),
+      cia(col("c")).as("wc"), cia(col("i")).as("wi"), cia(col("a")).as("wa"))
+    val s = w.select(col("stored"), col("stored_imp"), col("stored_expl"),
+      col("av"), col("ac"),
+      (lit(10.41) * (lit(1.0) -
+        ((lit(1.0) - col("wc")) * (lit(1.0) - col("wi"))) *
+        (lit(1.0) - col("wa")))).as("impact"),
+      (((lit(20.0) * col("wav")) * col("wac")) * col("wau")).as("expl"))
+    val raw = s.select(col("stored"), col("stored_imp"), col("stored_expl"),
+      col("av"), col("ac"), col("impact"), col("expl"),
+      when(col("impact") === lit(0.0), lit(0.0))
+        .otherwise(((lit(0.6) * col("impact")) +
+          (lit(0.4) * col("expl")) - lit(1.5)) * lit(1.176))
+        .as("rawscore"))
+    // v2 1dp landing: integer inspection half-up, identical on both
+    // engines (raw ≥ 0 by the formula's floor at Impact = 0)
+    def round1(x: org.apache.spark.sql.Column) =
+      floor(x * lit(10.0) + lit(0.5)).cast("bigint").cast("double") /
+        lit(10.0)
+    val fin = raw.select(col("av"), col("ac"),
+      round1(col("rawscore")).as("recomputed"),
+      round1(col("impact")).as("imp1"),
+      round1(col("expl")).as("expl1"),
+      col("stored"), col("stored_imp"), col("stored_expl"))
+    fin
+      .groupBy(col("av").as("access_vector"),
+        col("ac").as("access_complexity"))
+      .agg(count(lit(1)).as("n_cves"),
+        min(col("recomputed")).as("min_score"),
+        max(col("recomputed")).as("max_score"),
+        sum(col("recomputed").cast(DecimalType(18, 1))).cast("double")
+          .as("sum_score"),
+        sum(when(col("recomputed") > col("stored"), 1L).otherwise(0L))
+          .as("n_above_stored"),
+        sum(when(col("imp1") > col("stored_imp"), 1L).otherwise(0L))
+          .as("n_impact_above"),
+        sum(when(col("expl1") > col("stored_expl"), 1L).otherwise(0L))
+          .as("n_expl_above"))
+      .orderBy(col("access_vector"), col("access_complexity"))
+  }
+
   /** §2.1 q_nvd_score_corr: CVSS v2↔v3 score agreement — Pearson
     * correlation, sample covariance, and both sample deviations over CVEs
     * carrying both metrics (the "did the v3 rescoring change the ranking"
