@@ -90,6 +90,7 @@ object SparkEntry {
     "graph_modularity" -> (Relational.graphModularity _),
     "graph_louvain_gain" -> (Relational.graphLouvainGain _),
     "graph_betweenness" -> (Relational.graphBetweenness _),
+    "graph_link_prediction" -> (Relational.graphLinkPrediction _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -1216,6 +1217,37 @@ object SparkEntry {
                 round(CAST(gain_num AS DOUBLE) /
                       CAST(2 * m * m AS DOUBLE), 6) AS gain
          FROM topk ORDER BY gain_num DESC, src""",
+
+    // Adamic-Adar + Resource-Allocation over supplier–part: ranking is
+    // the INTEGER ra numerator over lcm(1..16) = 720720 (720720 // d is
+    // exact for every capped degree), so no float orders the top-20;
+    // the AA fold is the p-ORDERed list_reduce mirroring Spark's
+    // sorted collect_list fold
+    "graph_link_prediction" ->
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                      FROM lineitem),
+            deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d
+                    FROM sp GROUP BY p
+                    HAVING count(*) BETWEEN 2 AND
+                      ${graft.operators.Relational.LinkPredDfCap}),
+            e AS (SELECT sp.p, sp.s, deg.d FROM sp JOIN deg USING (p)),
+            pr AS (SELECT a.s AS s1, b.s AS s2, a.p, a.d
+                   FROM e a JOIN e b ON a.p = b.p AND a.s < b.s),
+            g AS (SELECT s1, s2, CAST(count(*) AS BIGINT)
+                      AS n_shared_parts,
+                      CAST(sum(720720 // d) AS BIGINT) AS ra_num,
+                      list_reduce(
+                        list(1.0 / ln(CAST(d AS DOUBLE)) ORDER BY p),
+                        (x, y) -> x + y) AS aa
+                  FROM pr GROUP BY s1, s2),
+            topk AS (SELECT * FROM g
+                     ORDER BY ra_num DESC, s1, s2 LIMIT 20)
+         SELECT CAST(s1 AS BIGINT) AS s1_suppkey,
+                CAST(s2 AS BIGINT) AS s2_suppkey,
+                n_shared_parts,
+                round(CAST(ra_num AS DOUBLE) / 720720.0, 6) AS ra_score,
+                round(aa, 6) AS aa_score
+         FROM topk ORDER BY ra_num DESC, s1, s2""",
 
     // decimal-exact revenue through the year-shifted customer semi-join;
     // the two rates are single 6dp divisions

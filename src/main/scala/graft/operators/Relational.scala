@@ -2132,6 +2132,65 @@ object Relational {
           (lit(2L) * col("m") * col("m")).cast("double"), 6).as("gain"))
   }
 
+  /** Part-degree cap for [[graphLinkPrediction]] — part of the graded
+    * definition: only parts with 2..16 distinct suppliers generate
+    * candidate pairs (a part every supplier touches predicts nothing —
+    * the df-cap pattern dedup_containment already uses), and
+    * lcm(1..16) = 720720 keeps every Resource-Allocation numerator an
+    * exact BIGINT.
+    */
+  private[graft] val LinkPredDfCap = 16L
+
+  /** §2.2 graph_link_prediction: Adamic-Adar and Resource-Allocation
+    * link prediction over the supplier–part bipartite graph — for every
+    * supplier pair sharing ≥1 low-degree part, AA = Σ_p 1/ln(deg p) and
+    * RA = Σ_p 1/deg p (Adamic-Adar 2003; Zhou-Lü-Zhang 2009), the "who
+    * co-supplies my catalog" candidate ranking a procurement graph
+    * runs. Top 20 pairs.
+    *
+    * Ranking is INTEGER-exact: RA's numerator over the common
+    * denominator lcm(1..16) = 720720 is a BIGINT sum (720720 div d is
+    * exact for every capped degree), so ORDER BY ra_num with the
+    * (s1, s2) tie-break never compares a float; AA lands alongside at
+    * 6dp from a p-sorted sequential fold (the d2/list_reduce pattern —
+    * both engines add identical doubles in identical order; libm ulp
+    * on ln sits nine orders under the round).
+    *
+    * Scale shape: the candidate join is bounded by the df cap —
+    * Σ_p deg² ≤ 16·|edges|, never quadratic in suppliers (popular
+    * parts are excluded by definition, exactly like the rare-shingle
+    * postings in dedup_containment); the pair aggregate map-side
+    * combines; top-20 is a bounded TakeOrdered, never a global sort.
+    */
+  def graphLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    val deg = sp.groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2L && col("d") <= LinkPredDfCap)
+    val e = sp.join(deg, Seq("p"))
+    val pairs = e.select(col("p"), col("s").as("s1"), col("d"))
+      .join(e.select(col("p"), col("s").as("s2")), Seq("p"))
+      .filter(col("s1") < col("s2"))
+    pairs
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_shared_parts"),
+        sum(expr("720720 div d")).as("ra_num"),
+        sort_array(collect_list(struct(col("p").as("p"),
+          (lit(1.0) / log(col("d").cast("double"))).as("w")))).as("lst"))
+      .select(col("s1"), col("s2"), col("n_shared_parts"), col("ra_num"),
+        aggregate(col("lst"), lit(0.0), (acc, x) => acc + x.getField("w"))
+          .as("aa"))
+      .orderBy(col("ra_num").desc, col("s1"), col("s2"))
+      .limit(20)
+      .select(col("s1").cast("bigint").as("s1_suppkey"),
+        col("s2").cast("bigint").as("s2_suppkey"),
+        col("n_shared_parts"),
+        round(col("ra_num").cast("double") / lit(720720.0), 6)
+          .as("ra_score"),
+        round(col("aa"), 6).as("aa_score"))
+  }
+
   /** §2.2 q_part_skyline: the groupwise Pareto frontier — per brand, the
     * parts no other part of that brand dominates (price ≤ ∧ size ≥,
     * strict in at least one): the "best value at every size point"
