@@ -154,6 +154,8 @@ object SparkEntry {
     "q_orders_mom" -> (Relational.qOrdersMom _),
     "q_abc_analysis" -> (Relational.qAbcAnalysis _),
     "q_events_dow_profile" -> (Relational.qEventsDowProfile _),
+    "q_events_mutual_info" -> (Relational.qEventsMutualInfo _),
+    "q_orders_hill_tail" -> (Relational.qOrdersHillTail _),
     "q_events_attribution" -> (Relational.qEventsAttribution _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -193,6 +195,8 @@ object SparkEntry {
     "text_tokencount" -> (TextAnalysis.textTokencount _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
+    "text_readability" -> (TextAnalysis.textReadability _),
+    "text_js_divergence" -> (TextAnalysis.textJsDivergence _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_top_terms" -> (TextAnalysis.textTopTerms _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
@@ -3595,6 +3599,167 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2
          ORDER BY dow, hr""",
+
+    // MI over the type×dow contingency: every ln argument a ratio of
+    // exact BIGINT products; every cell/marginal aggregation an ORDERed
+    // list_reduce mirroring Spark's sorted collect_list folds; sqrt is
+    // IEEE-correctly-rounded on both engines
+    "q_events_mutual_info" ->
+      """WITH c AS (SELECT event_type AS x,
+                        CAST(dayofweek(ts) + 1 AS BIGINT) AS y,
+                        CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      CAST(count(*) AS BIGINT) AS n_cells FROM c),
+            cx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx
+                   FROM c GROUP BY x),
+            cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy
+                   FROM c GROUP BY y),
+            t AS (SELECT c.x, c.y, n.n, n.n_cells,
+                      CAST(c.c AS DOUBLE) *
+                        ln(CAST(c.c * n.n AS DOUBLE) /
+                           CAST(cx.cx * cy.cy AS DOUBLE)) AS t
+                  FROM c JOIN cx USING (x) JOIN cy USING (y)
+                  CROSS JOIN n),
+            mi AS (SELECT n, n_cells,
+                       list_reduce(list(t ORDER BY x, y),
+                         (a, b) -> a + b) AS smi
+                   FROM t GROUP BY n, n_cells),
+            hx AS (SELECT list_reduce(
+                       list(CAST(cx AS DOUBLE) * ln(CAST(cx AS DOUBLE))
+                            ORDER BY x), (a, b) -> a + b) AS sx
+                   FROM cx),
+            hy AS (SELECT list_reduce(
+                       list(CAST(cy AS DOUBLE) * ln(CAST(cy AS DOUBLE))
+                            ORDER BY y), (a, b) -> a + b) AS sy
+                   FROM cy)
+         SELECT n AS n_events, n_cells,
+                round(smi / CAST(n AS DOUBLE), 6) AS mi_nats,
+                round(ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE), 6)
+                  AS h_type,
+                round(ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE), 6)
+                  AS h_dow,
+                round((smi / CAST(n AS DOUBLE)) /
+                      sqrt((ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE))
+                         * (ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE))),
+                      6) AS nmi
+         FROM mi CROSS JOIN hx CROSS JOIN hy""",
+
+    // Hill tail index on the top-200 totals: membership/ranking decided
+    // on exact DECIMAL cents with the order key tie-break; ln args are
+    // identical cast/divide chains; the log-sum is a rank-ORDERed
+    // list_reduce mirroring Spark's sorted fold
+    "q_orders_hill_tail" ->
+      s"""WITH top AS (SELECT o_totalprice AS x, o_orderkey
+                       FROM orders
+                       ORDER BY x DESC, o_orderkey
+                       LIMIT ${graft.operators.Relational.HillTailK + 1}),
+            ranked AS (SELECT x, o_orderkey, row_number() OVER (
+                         ORDER BY x DESC, o_orderkey) AS rn FROM top),
+            thr AS (SELECT x AS xmin FROM ranked
+                    WHERE rn = ${graft.operators.Relational.HillTailK + 1}),
+            logs AS (SELECT rn,
+                         ln(CAST(x AS DOUBLE) / CAST(xmin AS DOUBLE))
+                           AS lx, xmin
+                     FROM ranked CROSS JOIN thr
+                     WHERE rn <= ${graft.operators.Relational.HillTailK}),
+            f AS (SELECT xmin, list_reduce(list(lx ORDER BY rn),
+                      (a, b) -> a + b) AS slog
+                  FROM logs GROUP BY xmin)
+         SELECT CAST(${graft.operators.Relational.HillTailK} AS BIGINT)
+                  AS k,
+                CAST(xmin AS DOUBLE) AS threshold,
+                round(slog, 6) AS sum_log,
+                round(CAST(${graft.operators.Relational.HillTailK}
+                  AS DOUBLE) / slog, 6) AS alpha,
+                round((CAST(${graft.operators.Relational.HillTailK}
+                  AS DOUBLE) / slog) /
+                  sqrt(CAST(${graft.operators.Relational.HillTailK}
+                    AS DOUBLE)), 6) AS alpha_se
+         FROM f""",
+
+    // Flesch/FK from exact per-source integer totals (document = one
+    // sentence, documented degeneracy — the corpus has no punctuation);
+    // identical char-class regexes on both engines; single double
+    // chains over BIGINTs, one 6dp landing per metric
+    "text_readability" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS toks, text
+                    FROM documents),
+            p AS (SELECT source,
+                      CAST(len(toks) AS BIGINT) AS w,
+                      CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                        AS BIGINT) AS syl,
+                      CAST(len(list_filter(toks, x -> regexp_matches(x,
+                        '([aeiouy]+[^aeiouy]+){2}[aeiouy]')))
+                        AS BIGINT) AS cplx
+                  FROM d),
+            g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(w) AS BIGINT) AS nw,
+                      CAST(sum(syl) AS BIGINT) AS ns,
+                      CAST(sum(cplx) AS BIGINT) AS nc
+                  FROM p GROUP BY source)
+         SELECT source, n_docs, nw AS n_words, ns AS n_syllables,
+                nc AS n_complex_words,
+                round(CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE), 6)
+                  AS syl_per_word,
+                round(CAST(nc AS DOUBLE) / CAST(nw AS DOUBLE), 6)
+                  AS complex_ratio,
+                round(206.835 - 1.015 *
+                      (CAST(nw AS DOUBLE) / CAST(n_docs AS DOUBLE)) -
+                      84.6 * (CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE)), 6)
+                  AS flesch,
+                round(0.39 *
+                      (CAST(nw AS DOUBLE) / CAST(n_docs AS DOUBLE)) +
+                      11.8 * (CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE)) -
+                      15.59, 6) AS fk_grade
+         FROM g ORDER BY source""",
+
+    // per-source JSD vs rest: every per-term contribution a
+    // bit-identical double (ln args are ratios of BIGINT products),
+    // quantized ONCE to the DECIMAL(28,12) grid and summed exactly —
+    // order-free, no list_reduce needed; absent-term q-parts enter in
+    // closed form via the missing rest mass; ln2 is the pinned literal
+    "text_js_divergence" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' '))
+                       AS term FROM documents),
+            st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS ca
+                   FROM tk GROUP BY source, term),
+            g AS (SELECT term, CAST(sum(ca) AS BIGINT) AS ct
+                  FROM st GROUP BY term),
+            ps AS (SELECT source, CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                   FROM st GROUP BY source),
+            tot AS (SELECT CAST(sum(na) AS BIGINT) AS n FROM ps),
+            j AS (SELECT st.source, st.ca, g.ct - st.ca AS cr, ps.na,
+                      tot.n - ps.na AS nr, ps.n_terms,
+                      st.ca * (tot.n - ps.na) AS u,
+                      (g.ct - st.ca) * ps.na AS v
+                  FROM st JOIN g USING (term)
+                  JOIN ps ON ps.source = st.source CROSS JOIN tot),
+            t AS (SELECT source, na, nr, n_terms, cr,
+                      CAST(
+                        0.5 * ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) *
+                          ln(CAST(2 * u AS DOUBLE) /
+                             CAST(u + v AS DOUBLE)))
+                        + CASE WHEN cr > 0 THEN
+                            0.5 * ((CAST(cr AS DOUBLE) /
+                              CAST(nr AS DOUBLE)) *
+                              ln(CAST(2 * v AS DOUBLE) /
+                                 CAST(u + v AS DOUBLE)))
+                          ELSE 0.0 END
+                        AS DECIMAL(28,12)) AS t
+                  FROM j),
+            s AS (SELECT source, na, nr, n_terms, sum(t) AS sdec,
+                      CAST(sum(cr) AS BIGINT) AS sr
+                  FROM t GROUP BY source, na, nr, n_terms)
+         SELECT source, n_terms, na AS n_tokens,
+                round(CAST(sdec AS DOUBLE) + 0.5 * 0.6931471805599453 *
+                      (CAST(nr - sr AS DOUBLE) / CAST(nr AS DOUBLE)), 6)
+                  AS jsd_nats,
+                round((CAST(sdec AS DOUBLE) + 0.5 * 0.6931471805599453 *
+                       (CAST(nr - sr AS DOUBLE) / CAST(nr AS DOUBLE))) /
+                      0.6931471805599453, 6) AS jsd_bits
+         FROM s ORDER BY source""",
 
     "text_langid_confusion" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks

@@ -56,6 +56,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.4 text_readability: Flesch reading-ease / Flesch-Kincaid grade
+    * per source (Flesch 1948; Kincaid 1975), with vowel-group syllable
+    * counting — the classic corpus-quality profile a training-data
+    * pipeline reports beside Gopher rules. The shipped corpus carries
+    * no sentence punctuation, so the graded definition takes each
+    * DOCUMENT as one sentence (documented degeneracy: words/sentences
+    * becomes words/doc); syllables are [aeiouy]+ runs, complex words
+    * are tokens with ≥3 vowel groups (the SMOG notion).
+    *
+    * Cross-engine exact: all counts are integers from identical
+    * regex/class semantics (Java regex and RE2 agree on these character
+    * classes); per-source sums are exact BIGINTs; both formulas are
+    * single double chains over those integers in identical association
+    * order, landing once at 6dp — no per-document float is ever summed.
+    *
+    * Scale shape: one scan, per-row regex work map-side inside codegen,
+    * ONE map-side-combined aggregate into ≤ |sources| rows.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val w = size(toks).cast("bigint")
+    val syl = size(regexp_extract_all(col("text"), lit("[aeiouy]+"),
+      lit(0))).cast("bigint")
+    val cplx = size(filter(toks,
+      t => t.rlike("([aeiouy]+[^aeiouy]+){2}[aeiouy]"))).cast("bigint")
+    val g = Tables.documents(spark, dir)
+      .select(col("source"), w.as("w"), syl.as("syl"), cplx.as("cplx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("nw"),
+        sum(col("syl")).as("ns"), sum(col("cplx")).as("nc"))
+    val nd = col("n_docs").cast("double")
+    val nwd = col("nw").cast("double")
+    val nsd = col("ns").cast("double")
+    g.select(col("source"), col("n_docs"), col("nw").as("n_words"),
+        col("ns").as("n_syllables"), col("nc").as("n_complex_words"),
+        round(nsd / nwd, 6).as("syl_per_word"),
+        round(col("nc").cast("double") / nwd, 6).as("complex_ratio"),
+        round(lit(206.835) - lit(1.015) * (nwd / nd) -
+          lit(84.6) * (nsd / nwd), 6).as("flesch"),
+        round(lit(0.39) * (nwd / nd) + lit(11.8) * (nsd / nwd) -
+          lit(15.59), 6).as("fk_grade"))
+      .orderBy(col("source"))
+  }
+
   private val enStops = Seq("the", "a", "of", "and", "to", "in")
   private val esStops = Seq("el", "la", "de", "y", "que", "en")
   private val deStops = Seq("der", "die", "das", "und", "ist", "zu")
@@ -657,6 +700,80 @@ object TextAnalysis {
         round(col("sum_ppm").cast("double") / col("n_terms") / 1000000.0, 6)
           .as("mean_rarity"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The correctly-rounded double of ln 2, pinned as a LITERAL on both
+    * engines ([[textJsDivergence]]) — constant-folding Math.log(2.0)
+    * vs libm log(2.0) is not bit-specified, a pinned literal is. */
+  private[graft] val Ln2 = 0.6931471805599453
+
+  /** §2.4 text_js_divergence: Jensen-Shannon divergence of each
+    * source's unigram distribution against the REST of the corpus
+    * (Lin 1991) — "which source is distributionally distinct", the
+    * screen a mixture-weighting pipeline (DoReMi-style domain
+    * reweighting) runs before tuning sampling rates. Reports JSD in
+    * nats and bits per source.
+    *
+    * Float discipline, cross-engine exact WITHOUT any ordered fold:
+    * each term's contribution t = ½p·ln(2u/(u+v)) + ½q·ln(2v/(u+v))
+    * (u = c_a·N_r, v = c_r·N_a — every ln argument a ratio of exact
+    * BIGINT products) is a bit-identical double on both engines, is
+    * quantized ONCE to the 12dp DECIMAL(28,12) grid (part of the
+    * graded definition; grid error ≤ 5e-13·|vocab| — four orders under
+    * the 6dp landing; a single cast, never round-then-cast, so no
+    * double-rounding seam) and summed in DECIMAL, which is EXACT and
+    * order-free — no float summation ever crosses partitions. Terms absent from the source
+    * enter in closed form: their q-parts collapse to ½·ln2·(missing
+    * rest mass), computed from two BIGINTs — this removes the
+    * |sources|×|vocab| cross join a naive JSD would need. ln 2 is the
+    * pinned literal [[Ln2]] on both engines.
+    *
+    * Scale shape: one explode → ONE map-side-combined (source, term)
+    * aggregate; vocab totals derive from it; the per-source rollup is
+    * a second combined aggregate; output ≤ |sources| rows. The
+    * (source, term) relation is persisted + eagerly counted (three
+    * consumers).
+    */
+  def textJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val perST = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("ca"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    perST.count() // eager: vocab totals, source totals, and the join
+    val glob = perST.groupBy(col("term")).agg(sum(col("ca")).as("ct"))
+    val perS = perST.groupBy(col("source"))
+      .agg(sum(col("ca")).as("na"), count(lit(1)).as("n_terms"))
+    val tot = perS.agg(sum(col("na")).as("n"))
+    val j = perST.join(glob, Seq("term")).join(perS, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cr", col("ct") - col("ca"))
+      .withColumn("nr", col("n") - col("na"))
+      .withColumn("u", col("ca") * col("nr"))
+      .withColumn("v", col("cr") * col("na"))
+    val pPart = lit(0.5) * ((col("ca").cast("double") /
+      col("na").cast("double")) *
+      log((lit(2L) * col("u")).cast("double") /
+        (col("u") + col("v")).cast("double")))
+    val qPart = when(col("cr") > 0L,
+      lit(0.5) * ((col("cr").cast("double") / col("nr").cast("double")) *
+        log((lit(2L) * col("v")).cast("double") /
+          (col("u") + col("v")).cast("double")))).otherwise(lit(0.0))
+    val summed = j
+      .select(col("source"), col("na"), col("nr"), col("n_terms"),
+        col("cr"),
+        (pPart + qPart).cast(DecimalType(28, 12)).as("t"))
+      .groupBy(col("source"), col("na"), col("nr"), col("n_terms"))
+      .agg(sum(col("t")).as("sdec"), sum(col("cr")).as("sr"))
+    val jsdRaw = col("sdec").cast("double") +
+      lit(0.5) * lit(Ln2) * ((col("nr") - col("sr")).cast("double") /
+        col("nr").cast("double"))
+    summed.select(col("source"), col("n_terms"),
+        col("na").as("n_tokens"),
+        round(jsdRaw, 6).as("jsd_nats"),
+        round(jsdRaw / lit(Ln2), 6).as("jsd_bits"))
+      .orderBy(col("source"))
   }
 
   /** §2.4 text_keywords: per-document top-3 keywords by the rational
