@@ -91,6 +91,7 @@ object SparkEntry {
     "graph_louvain_gain" -> (Relational.graphLouvainGain _),
     "graph_betweenness" -> (Relational.graphBetweenness _),
     "graph_link_prediction" -> (Relational.graphLinkPrediction _),
+    "graph_closeness" -> (Relational.graphCloseness _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -480,7 +481,12 @@ object SparkEntry {
     * explicitly ORDERed list so the doubles fold in the identical order
     * as the Spark plan's sorted collect_list folds.
     */
-  private def betweennessOracle(maxLvl: Int): String = {
+  /** The Brandes forward-pass CTE chain (cs, e, verts, roots, fN, vis) shared
+    * by [[betweennessOracle]] and [[closenessOracle]] — both oracles
+    * RECOMPUTE the BFS the Spark side shares via the "brandes_vis"
+    * artifact, so stored ≡ recompute is exactly what the gate grades.
+    */
+  private def brandesForwardCtes(maxLvl: Int): String = {
     val fwd = (1 to maxLvl).map { k =>
       s"""f$k AS MATERIALIZED (SELECT t.root, t.dst AS v,
              list_reduce(list(t.sig ORDER BY t.u), (a, b) -> a + b) AS sig
@@ -494,6 +500,41 @@ object SparkEntry {
     }.mkString(",\n         ")
     val visUnion = (0 to maxLvl).map(l =>
       s"SELECT root, v, $l AS lvl, sig FROM f$l").mkString("\n           UNION ALL ")
+    s"""cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+                        l.l_suppkey * 2 + 1 AS s
+                      FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey),
+         e AS MATERIALIZED (SELECT c AS src, s AS dst FROM cs
+               UNION ALL
+               SELECT s AS src, c AS dst FROM cs),
+         verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+         r AS (SELECT v AS root FROM verts ORDER BY v LIMIT 8),
+         f0 AS MATERIALIZED (SELECT root, root AS v, CAST(1.0 AS DOUBLE) AS sig FROM r),
+         vz0 AS MATERIALIZED (SELECT root, v FROM f0),
+         $fwd,
+         vis AS MATERIALIZED ($visUnion)"""
+  }
+
+  /** k-source harmonic closeness over the shared forward pass —
+    * INTEGER-exact: 1/d sums as 27720 div d over lcm(1..12). */
+  private def closenessOracle(maxLvl: Int): String =
+    s"""WITH ${brandesForwardCtes(maxLvl)},
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS n_roots_reached,
+                  CAST(sum(lvl) AS BIGINT) AS sum_dist,
+                  CAST(sum(27720 // lvl) AS BIGINT) AS hnum
+               FROM vis WHERE lvl > 0 GROUP BY v)
+       SELECT CASE WHEN verts.v % 2 = 0 THEN 'customer'
+              ELSE 'supplier' END AS node_type,
+              CAST(verts.v // 2 AS BIGINT) AS entity_key,
+              COALESCE(h.n_roots_reached, CAST(0 AS BIGINT))
+                AS n_roots_reached,
+              COALESCE(h.sum_dist, CAST(0 AS BIGINT)) AS sum_dist,
+              round(CAST(COALESCE(h.hnum, 0) AS DOUBLE) / 27720.0, 6)
+                AS harmonic
+       FROM verts LEFT JOIN h ON h.v = verts.v
+       ORDER BY node_type, entity_key"""
+
+  private def betweennessOracle(maxLvl: Int): String = {
     val bwd = (maxLvl - 1) to 0 by -1
     val bwdSteps = bwd.map { l =>
       s"""d$l AS MATERIALIZED (SELECT x.root, x.v,
@@ -513,19 +554,7 @@ object SparkEntry {
          dall$l AS MATERIALIZED (SELECT * FROM dall${l + 1}
                     UNION ALL SELECT * FROM d$l)"""
     }.mkString(",\n         ")
-    s"""WITH cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
-                        l.l_suppkey * 2 + 1 AS s
-                      FROM orders o JOIN lineitem l
-                        ON l.l_orderkey = o.o_orderkey),
-         e AS MATERIALIZED (SELECT c AS src, s AS dst FROM cs
-               UNION ALL
-               SELECT s AS src, c AS dst FROM cs),
-         verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
-         r AS (SELECT v AS root FROM verts ORDER BY v LIMIT 8),
-         f0 AS MATERIALIZED (SELECT root, root AS v, CAST(1.0 AS DOUBLE) AS sig FROM r),
-         vz0 AS MATERIALIZED (SELECT root, v FROM f0),
-         $fwd,
-         vis AS MATERIALIZED ($visUnion),
+    s"""WITH ${brandesForwardCtes(maxLvl)},
          sp AS MATERIALIZED (SELECT a.root, a.v, a.lvl, a.sig AS sigv,
                     b.v AS w, b.sig AS sigw
                 FROM vis a JOIN e ON e.src = a.v
@@ -1160,6 +1189,13 @@ object SparkEntry {
     // the Spark plan's sorted collect_list folds
     "graph_betweenness" ->
       betweennessOracle(graft.operators.Relational.BetweennessMaxLevel),
+
+    // harmonic closeness over the SAME recomputed forward pass (the
+    // Spark side reads the shared brandes_vis artifact — stored ≡
+    // recompute is the graded claim); 1/d sums as the exact BIGINT
+    // 27720 // d, one division lands 6dp
+    "graph_closeness" ->
+      closenessOracle(graft.operators.Relational.BetweennessMaxLevel),
 
     // one-move Louvain ΔQ over the recomputed LPA labels (grades the
     // STORED labeling the Spark side reads): gain_num = 2m(k_vB −

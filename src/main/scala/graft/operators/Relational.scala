@@ -2052,7 +2052,7 @@ object Relational {
       .distinct()
     val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
-    betweennessCore(spark, edges0)
+    betweennessCore(spark, edges0, Some(dir))
       .select(
         when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
@@ -2066,16 +2066,56 @@ object Relational {
     * Split out so BetweennessSpec can grade the distributed passes
     * against a driver-side brute-force Brandes on closed-form graphs.
     */
-  private[graft] def betweennessCore(spark: SparkSession,
-      edges0: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = edges0
-      .repartition(col("src")) // stationary: only slim frontiers shuffle
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count() // eager: every BFS round + the successor build consume
-    val verts = edges.select(col("src").as("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    verts.count() // eager: roots + the final left join consume
+  /** §2.2 graph_closeness: k-source harmonic closeness centrality
+    * (Boldi-Vigna 2014's harmonic variant — finite on disconnected
+    * graphs, unlike classic closeness) over the commerce graph, from
+    * the same 8 deterministic roots as [[graphBetweenness]]: per
+    * vertex, how many roots reach it, the total root distance, and
+    * H(v) = Σ_roots 1/d(root, v) — "who is CLOSE to the flow" beside
+    * betweenness's "who brokers it".
+    *
+    * INTEGER-exact end to end: distances are BFS levels ≤ 12, so every
+    * 1/d sums as the exact BIGINT 27720 div d over the common
+    * denominator lcm(1..12) = 27720 — no float is ever aggregated (no
+    * sorted fold needed at all); ONE division lands the 6dp score.
+    *
+    * Scale shape: the forward BFS is the SHARED "brandes_vis" artifact
+    * (whichever of the two centrality queries runs first pays the
+    * pass; the other reads parquet — the stored-labeling contract, and
+    * this oracle RECOMPUTES the BFS so stored ≡ recompute is graded);
+    * the aggregation is one map-side-combined pass over the ≤ 8·|V|
+    * vis relation.
+    */
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, verts) = centralityGraph(spark, dir)
+    val vis = graft.ArtifactStore.readOrCompute(spark, "brandes_vis", dir)(
+      brandesForward(edges, verts))
+    val h = vis.filter(col("lvl") > 0)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_roots_reached"),
+        sum(col("lvl").cast("bigint")).as("sum_dist"),
+        sum(expr("27720 div lvl")).as("hnum"))
+    verts.join(h, Seq("v"), "left_outer")
+      .select(
+        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("v div 2").cast("bigint").as("entity_key"),
+        coalesce(col("n_roots_reached"), lit(0L)).as("n_roots_reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        round(coalesce(col("hnum"), lit(0L)).cast("double") / lit(27720.0),
+          6).as("harmonic"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** The level-synchronous k-source BFS under both [[graphBetweenness]]
+    * and [[graphCloseness]] (the Brandes forward pass): (root, v, lvl,
+    * σ) for every vertex each of the 8 smallest-id roots reaches within
+    * [[BetweennessMaxLevel]]. Takes ALREADY-persisted symmetric edges
+    * and the vertex relation; returns the unpersisted frontier union —
+    * callers persist or store it.
+    */
+  private[graft] def brandesForward(edges: DataFrame,
+      verts: DataFrame): DataFrame = {
     val roots = verts.orderBy(col("v")).limit(8).select(col("v").as("root"))
     // sequential sorted fold: both engines reduce the list left-to-right
     def fold(lst: org.apache.spark.sql.Column, field: String) =
@@ -2106,7 +2146,57 @@ object Relational {
       lvl += 1
       more = frontier.count() > 0
     }
-    val vis = visited.persist(StorageLevel.MEMORY_AND_DISK)
+    visited
+  }
+
+  /** The symmetric customer–supplier edge relation both centrality
+    * queries run on, persisted + eagerly counted, with its vertex set. */
+  private def centralityGraph(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      .repartition(col("src")) // stationary: only slim frontiers shuffle
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: every BFS round + the successor build consume
+    val verts = edges.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count() // eager: roots + the final left join consume
+    (edges, verts)
+  }
+
+  private[graft] def betweennessCore(spark: SparkSession,
+      edges0: DataFrame,
+      visStore: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = edges0
+      .repartition(col("src")) // stationary: only slim frontiers shuffle
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: every BFS round + the successor build consume
+    val verts = edges.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count() // eager: roots + the final left join consume
+    def fold(lst: org.apache.spark.sql.Column, field: String) =
+      aggregate(lst, lit(0.0), (acc, x) => acc + x.getField(field))
+    // the forward pass is the shared "brandes_vis" artifact when a
+    // store key is given (graph_closeness reads the same relation —
+    // stored ≡ recompute is what both oracles grade); σ doubles
+    // round-trip parquet bit-exactly
+    val visRaw = visStore match {
+      case Some(dir) => graft.ArtifactStore
+        .readOrCompute(spark, "brandes_vis", dir)(
+          brandesForward(edges, verts))
+      case None => brandesForward(edges, verts)
+    }
+    val vis = visRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val maxLvl = vis.agg(coalesce(max(col("lvl")), lit(0)).as("m"))
       .head().getInt(0)
     // shortest-path DAG successors: (root, v at l, w at l+1, σv, σw)
