@@ -198,6 +198,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_readability" -> (TextAnalysis.textReadability _),
     "text_js_divergence" -> (TextAnalysis.textJsDivergence _),
+    "pipeline_dsir_weights" -> (TextAnalysis.pipelineDsirWeights _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_top_terms" -> (TextAnalysis.textTopTerms _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
@@ -4780,6 +4781,58 @@ object SparkEntry {
                 CAST(max(hd) AS DOUBLE) AS max_ce,
                 round(CAST(sum(hd) AS DOUBLE) / count(*), 6) AS avg_ce
          FROM h GROUP BY source ORDER BY source""",
+
+    // DSIR bigram importance weights vs the src0 target model: per-doc
+    // log-ratio sums fold sequentially over the token-ordered bigram
+    // list (the text_perplexity contract); 6dp DECIMAL(18,6) weights
+    // rank exactly with the doc_id tie-break
+    "pipeline_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+            big AS (SELECT doc_id, source, u.pos AS pos,
+                        t[u.pos] AS w1, t[u.pos + 1] AS w2
+                    FROM d, LATERAL unnest(generate_series(1, len(t) - 1))
+                      AS u(pos)),
+            bca AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cba
+                    FROM big GROUP BY w1, w2),
+            cha AS (SELECT w1, CAST(count(*) AS BIGINT) AS cha
+                    FROM big GROUP BY w1),
+            va AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS va
+                   FROM (SELECT unnest(t) AS tok FROM d)),
+            bct AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbt
+                    FROM big WHERE source = 'src0' GROUP BY w1, w2),
+            cht AS (SELECT w1, CAST(count(*) AS BIGINT) AS cht
+                    FROM big WHERE source = 'src0' GROUP BY w1),
+            vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vt
+                   FROM (SELECT unnest(t) AS tok FROM d
+                         WHERE source = 'src0')),
+            scored AS (SELECT big.doc_id, big.source, big.pos,
+                          log2(CAST(COALESCE(bct.cbt, 0) + 1 AS DOUBLE) /
+                               CAST(COALESCE(cht.cht, 0) + vt.vt
+                                 AS DOUBLE)) -
+                          log2(CAST(bca.cba + 1 AS DOUBLE) /
+                               CAST(cha.cha + va.va AS DOUBLE)) AS ld
+                       FROM big
+                       JOIN bca ON bca.w1 = big.w1 AND bca.w2 = big.w2
+                       JOIN cha ON cha.w1 = big.w1
+                       LEFT JOIN bct ON bct.w1 = big.w1
+                                    AND bct.w2 = big.w2
+                       LEFT JOIN cht ON cht.w1 = big.w1
+                       CROSS JOIN va CROSS JOIN vt
+                       WHERE big.source <> 'src0'),
+            pd AS (SELECT doc_id, source,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       list(ld ORDER BY pos) AS lst
+                   FROM scored GROUP BY doc_id, source),
+            w AS (SELECT doc_id, source, n_bigrams,
+                      CAST(round(list_reduce(lst, (a, b) -> a + b) /
+                                 CAST(n_bigrams AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS wdec
+                  FROM pd)
+         SELECT doc_id, source, n_bigrams,
+                CAST(wdec AS DOUBLE) AS dsir_weight
+         FROM w ORDER BY wdec DESC, doc_id LIMIT 25""",
 
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

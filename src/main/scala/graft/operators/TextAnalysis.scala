@@ -510,6 +510,81 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** §2.4 pipeline_dsir_weights: Data Selection via Importance
+    * Resampling (Xie et al. 2023) in bigram form — for every document
+    * OUTSIDE the target domain (src0, the mixture policy's 100%-keep
+    * source), the importance weight log P_target(doc) − log P_raw(doc)
+    * under add-one-smoothed bigram models: the "which raw documents
+    * look most like my target domain" ranking that decides what to
+    * pull into a training mix. Top 25 candidates.
+    *
+    * Float discipline (the text_perplexity contract): each bigram's
+    * log-ratio difference is a bit-identical double (log2 of ratios of
+    * exact integer counts, identical association order); the per-doc
+    * sum folds SEQUENTIALLY over the token-ordered list; the per-doc
+    * weight rounds to 6dp and lands in DECIMAL(18,6), so the top-25
+    * ranking compares exact decimals with the unique doc_id tie-break —
+    * no float ever orders.
+    *
+    * Scale shape: the bigram relation persists once (both models and
+    * the scoring join consume it — eager-count contract); the target
+    * model is domain-sized; all scoring joins are equi-keyed on the
+    * bigram/history with LEFT joins for unseen-in-target mass; top-25
+    * is a bounded TakeOrdered.
+    */
+  def pipelineDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val target = "src0"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val big = docs.select(col("doc_id"), col("source"),
+      posexplode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col("doc_id"), col("source"), (col("pos") + 1).as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    big.count() // eager: two models' counts + the scoring join consume
+    val bcAll = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cba"))
+    val chAll = big.groupBy(col("w1")).agg(count(lit(1)).as("cha"))
+    val vAll = docs.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("va"))
+    val bigT = big.filter(col("source") === target)
+    val bcT = bigT.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cbt"))
+    val chT = bigT.groupBy(col("w1")).agg(count(lit(1)).as("cht"))
+    val vT = docs.filter(col("source") === target)
+      .select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vt"))
+    val scored = big.filter(col("source") =!= target)
+      .join(bcAll, Seq("w1", "w2"))
+      .join(chAll, Seq("w1"))
+      .join(bcT, Seq("w1", "w2"), "left_outer")
+      .join(chT, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vAll))
+      .crossJoin(broadcast(vT))
+      .select(col("doc_id"), col("source"), col("pos"),
+        (log2((coalesce(col("cbt"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cht"), lit(0L)) + col("vt")).cast("double")) -
+          log2((col("cba") + lit(1L)).cast("double") /
+            (col("cha") + col("va")).cast("double"))).as("ld"))
+    scored
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("ld")))).as("lst"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        round(aggregate(col("lst"), lit(0.0),
+          (acc, x) => acc + x.getField("ld")) /
+          col("n_bigrams").cast("double"), 6).cast(DecimalType(18, 6))
+          .as("wdec"))
+      .orderBy(col("wdec").desc, col("doc_id"))
+      .limit(25)
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("wdec").cast("double").as("dsir_weight"))
+  }
+
   /** §2.4 pipeline_mixture: corpus mixing — each source is downsampled at
     * its own target rate (the "data mixture weights" step of assembling a
     * training set). Keep/drop is the same content-hash bucket as
