@@ -157,6 +157,7 @@ object SparkEntry {
     "q_events_dow_profile" -> (Relational.qEventsDowProfile _),
     "q_events_mutual_info" -> (Relational.qEventsMutualInfo _),
     "q_orders_hill_tail" -> (Relational.qOrdersHillTail _),
+    "q_events_crosscorr" -> (Relational.qEventsCrosscorr _),
     "q_events_attribution" -> (Relational.qEventsAttribution _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -3681,6 +3682,37 @@ object SparkEntry {
                          * (ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE))),
                       6) AS nmi
          FROM mi CROSS JOIN hx CROSS JOIN hy""",
+
+    // click→purchase lead-lag correlogram over a zero-filled day spine:
+    // integer series, per-lag sample Pearson via moment aggregates
+    // (order-insensitive at 6dp for integer inputs — the
+    // q_nvd_score_corr precedent), rows keyed by lag
+    "q_events_crosscorr" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type
+                     FROM events
+                     WHERE event_type IN ('click', 'purchase')),
+            d AS (SELECT day,
+                      CAST(sum(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y
+                  FROM ev GROUP BY day),
+            span AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+                        INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+            s AS (SELECT spine.day, COALESCE(d.x, 0) AS x,
+                      COALESCE(d.y, 0) AS y
+                  FROM spine LEFT JOIN d USING (day)),
+            lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+            j AS (SELECT l.lag, a.x, b.y
+                  FROM s a CROSS JOIN lags l
+                  JOIN s b ON b.day = a.day + l.lag * INTERVAL 1 DAY)
+         SELECT CAST(lag AS BIGINT) AS lag_days,
+                CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(x) AS BIGINT) AS sum_clicks,
+                CAST(sum(y) AS BIGINT) AS sum_purchases,
+                round(corr(x, y), 6) AS corr_xy
+         FROM j GROUP BY lag ORDER BY lag_days""",
 
     // Hill tail index on the top-200 totals: membership/ranking decided
     // on exact DECIMAL cents with the order key tie-break; ln args are

@@ -1029,6 +1029,58 @@ object Relational {
         round((col("smi") / nd) / sqrt(hxr * hyr), 6).as("nmi"))
   }
 
+  /** §2.2 q_events_crosscorr: the click→purchase lead-lag correlogram —
+    * Pearson correlation between daily click counts and purchase counts
+    * L days LATER, for L = 0..7 (the "how long does demand take to
+    * convert" panel beside q_events_autocorr's self-correlation). Both
+    * series are zero-filled over the full day spine so gaps don't
+    * silently shift alignment; each lag correlates over the overlapping
+    * days only, as correlograms do.
+    *
+    * Cross-engine exactness: the series are exact integer counts on a
+    * deterministic date spine; corr's moment aggregates are
+    * order-insensitive at the 6dp landing for integer inputs (the
+    * q_nvd_score_corr precedent — moments of small-magnitude exact
+    * inputs), and every output row is keyed by its lag, never ranked by
+    * a float.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the fact to
+    * ≤ |days| rows; the spine join, the 8-way lag replication
+    * (broadcast literal relation), the shifted self-join, and the
+    * per-lag moments all run on that bounded relation.
+    */
+  def qEventsCrosscorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val s = spine.join(daily, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    s.count() // eager: both sides of the shifted self-join consume
+    val lags = spark.range(0, 8).select(col("id").cast("int").as("lag"))
+    s.select(col("day"), col("x"))
+      .crossJoin(broadcast(lags))
+      .select(col("x"), col("lag"), expr("date_add(day, lag)").as("tday"))
+      .join(s.select(col("day").as("tday"), col("y")), Seq("tday"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sum_clicks"),
+        sum(col("y")).as("sum_purchases"),
+        round(corr(col("x"), col("y")), 6).as("corr_xy"))
+      .select(col("lag").cast("bigint").as("lag_days"), col("n_days"),
+        col("sum_clicks"), col("sum_purchases"), col("corr_xy"))
+      .orderBy(col("lag_days"))
+  }
+
   /** §2.2 q_events_wau: daily + 7-day rolling active users — the standing
     * engagement dashboard. A rolling DISTINCT count can't come from a
     * running window (distinct doesn't decompose), so each distinct
