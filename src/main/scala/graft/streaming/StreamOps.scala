@@ -359,6 +359,80 @@ object StreamOps {
       .toDF()
   }
 
+  /** Keyed CUSUM state: prior moments (exact decimals, the
+    * [[AnomalyState]] discipline) plus both one-sided cumulative
+    * statistics. */
+  case class CusumState(n: Long, s1: BigDecimal, s2: BigDecimal,
+      spos: Double, sneg: Double)
+
+  /** One CUSUM alarm. */
+  case class CusumFlag(event_type: String, event_id: Long, at_us: Long,
+      value: Double, side: String, stat: Double, n_prior: Long)
+
+  /** stream_cusum: two-sided CUSUM change detection (Page 1954) per
+    * event type — stream_anomaly's cumulative sibling: each event's
+    * z-score against the PRIOR running moments feeds
+    * S⁺ = max(0, S⁺ + z − K) and S⁻ = max(0, S⁻ − z − K); a side
+    * alarms when it crosses H and resets to 0 — the detector that
+    * catches small SUSTAINED shifts a per-point 2σ test never flags.
+    * K = 0.25, H = 5.0 in z units; 30-point cold-start guard and
+    * σ = 0 batches fold in silently, like stream_anomaly.
+    *
+    * Batch-size invariance: events fold in strict (time, event_id)
+    * order within each micro-batch, moments carry exact decimals, and
+    * the doubles live only inside the deterministic per-event
+    * recurrence — one batch or fifty, replayed or re-chunked, the same
+    * events alarm (asserted in StreamingSpec across batch splits).
+    *
+    * Scale shape: state is five numbers per event type (O(|types|),
+    * no timeout); one ordered in-memory pass per micro-batch per key.
+    */
+  def streamCusum(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("value").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[(String, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(
+            CusumState(0L, BigDecimal(0), BigDecimal(0), 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumFlag]
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, eid, t, v) =>
+            if (s.n >= 30) {
+              val mean = s.s1.toDouble / s.n
+              val std = math.sqrt(s.s2.toDouble / s.n - mean * mean)
+              if (std > 0.0) {
+                val z = (v - mean) / std
+                var up = math.max(0.0, s.spos + z - 0.25)
+                var dn = math.max(0.0, s.sneg - z - 0.25)
+                if (up > 5.0) {
+                  out += CusumFlag(etype, eid, t, v, "up",
+                    math.rint(up * 1e6) / 1e6, s.n)
+                  up = 0.0
+                }
+                if (dn > 5.0) {
+                  out += CusumFlag(etype, eid, t, v, "down",
+                    math.rint(dn * 1e6) / 1e6, s.n)
+                  dn = 0.0
+                }
+                s = s.copy(spos = up, sneg = dn)
+              }
+            }
+            // fold in AFTER scoring — the stream_anomaly discipline
+            val vd = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            s = s.copy(n = s.n + 1, s1 = s.s1 + vd, s2 = s.s2 + vd * vd)
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Keyed incremental Pareto frontier: one brand's current skyline
     * members as (part key, price, size) triples.
     */

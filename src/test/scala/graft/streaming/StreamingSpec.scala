@@ -825,6 +825,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRun === expected)
   }
 
+  test("stream_cusum: alarms are batch-size invariant, match a driver " +
+      "reference, reset after crossing, and the batch path agrees") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val real = eventsAsCase()
+    val maxTs = real.map(e => micros(e.ts)).max
+    val maxId = real.map(_.event_id).max
+    // deterministic level-shift tails: a sustained +shift on 'click'
+    // (S⁺ must alarm and RESET repeatedly) and a −shift on 'purchase'
+    // (S⁻ side) — appended after the real series so the prior moments
+    // are the honest history
+    val tail = (1 to 25).map { i =>
+      Ev(maxId + i, new java.sql.Timestamp((maxTs / 1000) + i * 60000L),
+        1L, "click", 1e6)
+    } ++ (1 to 25).map { i =>
+      Ev(maxId + 100 + i,
+        new java.sql.Timestamp((maxTs / 1000) + (100 + i) * 60000L),
+        1L, "purchase", -1e6)
+    }
+    val evs = (real ++ tail).sortBy(e => (micros(e.ts), e.event_id))
+
+    // driver reference: the same two-sided CUSUM recurrence, exact
+    // BigDecimal moments, doubles only inside the per-event fold
+    val expected = evs.groupBy(_.event_type).toSeq.flatMap { case (et, es) =>
+      var n = 0L
+      var s1 = BigDecimal(0); var s2 = BigDecimal(0)
+      var spos = 0.0; var sneg = 0.0
+      es.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
+        val flags = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, String)]
+        if (n >= 30) {
+          val mean = s1.toDouble / n
+          val std = math.sqrt(s2.toDouble / n - mean * mean)
+          if (std > 0.0) {
+            val z = (e.value - mean) / std
+            spos = math.max(0.0, spos + z - 0.25)
+            sneg = math.max(0.0, sneg - z - 0.25)
+            if (spos > 5.0) { flags += ((et, e.event_id, "up")); spos = 0.0 }
+            if (sneg > 5.0) { flags += ((et, e.event_id, "down")); sneg = 0.0 }
+          }
+        }
+        val vd = BigDecimal(e.value)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        n += 1; s1 += vd; s2 += vd * vd
+        flags
+      }
+    }.toSet
+    // both sides must actually fire, and the reset must let the shifted
+    // tail alarm MORE than once per side
+    assert(expected.count(_._3 == "up") >= 2)
+    assert(expected.count(_._3 == "down") >= 2)
+
+    def streamed(chunks: Int): Set[(String, Long, String)] = {
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.streamCusum(stream.toDF())
+        .writeStream.format("memory").queryName("cusum_stream")
+        .outputMode("update").start()
+      try {
+        evs.grouped(math.max(1, evs.size / chunks + 1)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        spark.table("cusum_stream")
+          .select(col("event_type"), col("event_id"), col("side"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      } finally q.stop()
+    }
+
+    val one = streamed(1)
+    assert(one === expected)
+    assert(streamed(5) === one) // re-chunking cannot change the alarm set
+
+    // same code path in batch mode over the REAL corpus only (the
+    // synthetic tail is a stream fixture): subset relation must hold
+    val batchRun = StreamOps.streamCusum(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .select(col("event_type"), col("event_id"), col("side"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val realExpected = expected.filter(_._2 <= maxId)
+    assert(batchRun === realExpected)
+  }
+
   test("stream_benford: cumulative digit-drift scores match a driver " +
       "reference per batch and the batch path agrees") {
     import spark.implicits._
