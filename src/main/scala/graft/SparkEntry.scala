@@ -200,6 +200,7 @@ object SparkEntry {
     "text_readability" -> (TextAnalysis.textReadability _),
     "text_js_divergence" -> (TextAnalysis.textJsDivergence _),
     "pipeline_dsir_weights" -> (TextAnalysis.pipelineDsirWeights _),
+    "text_burstiness" -> (TextAnalysis.textBurstiness _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_top_terms" -> (TextAnalysis.textTopTerms _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
@@ -4813,6 +4814,26 @@ object SparkEntry {
                 CAST(max(hd) AS DOUBLE) AS max_ce,
                 round(CAST(sum(hd) AS DOUBLE) / count(*), 6) AS avg_ce
          FROM h GROUP BY source ORDER BY source""",
+
+    // Church-Gale burstiness: sample VMR as the exact rational
+    // (N·SS − S²)/(S·(N−1)) — integer rank, one 6dp division
+    "text_burstiness" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+            tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+                   FROM w GROUP BY doc_id, term),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents),
+            g AS (SELECT term, CAST(sum(c) AS BIGINT) AS s,
+                      CAST(sum(c * c) AS BIGINT) AS ss,
+                      CAST(count(*) AS BIGINT) AS doc_freq
+                  FROM tc GROUP BY term),
+            topk AS (SELECT * FROM g CROSS JOIN n
+                     ORDER BY s DESC, term LIMIT 20)
+         SELECT term, s AS total_count, doc_freq,
+                round(CAST(n_docs * ss - s * s AS DOUBLE) /
+                      CAST(s * (n_docs - 1) AS DOUBLE), 6) AS vmr
+         FROM topk ORDER BY s DESC, term""",
 
     // DSIR bigram importance weights vs the src0 target model: per-doc
     // log-ratio sums fold sequentially over the token-ordered bigram

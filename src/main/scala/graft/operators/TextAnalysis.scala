@@ -851,6 +851,43 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** §2.4 text_burstiness: Church-Gale term burstiness — for the 20
+    * highest-frequency terms, the variance-to-mean ratio of per-document
+    * counts (zeros included): VMR ≈ 1 is Poisson scatter, VMR ≫ 1 marks
+    * bursty/topical terms (Church-Gale 1995) — the contagion screen a
+    * stopword-vs-content classifier and a tf-idf damping choice both
+    * read.
+    *
+    * INTEGER-exact: with S = Σc_d, SS = Σc_d² over all N docs, the
+    * sample VMR is the rational (N·SS − S²)/(S·(N−1)) — both sides
+    * BIGINT (zeros contribute nothing, so only term-bearing docs are
+    * scanned while N enters symbolically), ONE division lands 6dp; the
+    * top-20 ranking is by integer total with the term as tie-break.
+    *
+    * Scale shape: one explode → ONE map-side-combined (doc, term)
+    * aggregate → one per-term rollup; top-20 is a bounded TakeOrdered;
+    * N is a broadcast 1-row crossJoin.
+    */
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tc = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("term"))
+      .agg(sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"),
+        count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .orderBy(col("s").desc, col("term"))
+      .limit(20)
+      .select(col("term"), col("s").as("total_count"), col("doc_freq"),
+        round((col("n_docs") * col("ss") - col("s") * col("s"))
+          .cast("double") /
+          (col("s") * (col("n_docs") - lit(1L))).cast("double"), 6)
+          .as("vmr"))
+  }
+
   /** §2.4 text_keywords: per-document top-3 keywords by the rational
     * tf·N/df weight (the multi-term extension of text_tfidf's argmax — the
     * keyword-extraction shape for tagging/indexing a corpus).
