@@ -92,6 +92,7 @@ object SparkEntry {
     "graph_betweenness" -> (Relational.graphBetweenness _),
     "graph_link_prediction" -> (Relational.graphLinkPrediction _),
     "graph_closeness" -> (Relational.graphCloseness _),
+    "graph_weighted_sssp" -> (Relational.graphWeightedSssp _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -516,6 +517,38 @@ object SparkEntry {
          vz0 AS MATERIALIZED (SELECT root, v FROM f0),
          $fwd,
          vis AS MATERIALIZED ($visUnion)"""
+  }
+
+  /** Bounded-horizon weighted SSSP: full Bellman-Ford relaxation
+    * unrolled to [[graft.operators.Relational.SsspMaxRounds]] rounds —
+    * all-integer day weights and BIGINT minima, so the frontier-relaxed
+    * Spark loop (identical ≤ k-edge-path semantics) matches
+    * bit-for-bit. */
+  private def ssspOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM d${k - 1}
+             UNION ALL
+             SELECT e.dst AS id, d.dist + e.w AS dist
+             FROM d${k - 1} d JOIN e ON e.src = d.id) GROUP BY id)"""
+    }.mkString(",\n         ")
+    s"""WITH b AS (SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s,
+                CAST(min(date_diff('day', o.o_orderdate, l.l_shipdate))
+                  AS BIGINT) AS w
+              FROM orders o JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2),
+         e AS MATERIALIZED (SELECT c AS src, s AS dst, w FROM b
+              UNION ALL SELECT s AS src, c AS dst, w FROM b),
+         s0 AS (SELECT src AS id FROM e WHERE src % 2 = 0
+                GROUP BY src ORDER BY src LIMIT 3),
+         d0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist FROM s0),
+         $steps
+       SELECT CASE WHEN id % 2 = 0 THEN 'customer'
+              ELSE 'supplier' END AS node_type,
+              CAST(id // 2 AS BIGINT) AS entity_key,
+              dist AS min_delay_days
+       FROM d$rounds ORDER BY node_type, entity_key"""
   }
 
   /** k-source harmonic closeness over the shared forward pass —
@@ -1199,6 +1232,12 @@ object SparkEntry {
     // 27720 // d, one division lands 6dp
     "graph_closeness" ->
       closenessOracle(graft.operators.Relational.BetweennessMaxLevel),
+
+    // weighted SSSP: all-integer Bellman-Ford, unrolled to the shared
+    // round cap; the Spark side's frontier relaxation has identical
+    // <= k-edge-path semantics per round
+    "graph_weighted_sssp" ->
+      ssspOracle(graft.operators.Relational.SsspMaxRounds),
 
     // one-move Louvain ΔQ over the recomputed LPA labels (grades the
     // STORED labeling the Spark side reads): gain_num = 2m(k_vB −

@@ -1914,6 +1914,89 @@ object Relational {
 
   private[graft] val BfsMaxHops = 8L
 
+  /** Relaxation-round cap for [[graphWeightedSssp]] — both engines run
+    * exactly this many Bellman-Ford rounds, so distances are the exact
+    * minima over ≤ 8-edge paths (the bounded-horizon SSSP contract; a
+    * converged run exits early with the identical result). */
+  private[graft] val SsspMaxRounds = 8
+
+  /** §2.2 graph_weighted_sssp: single-source shortest paths with edge
+    * WEIGHTS — distributed Bellman-Ford over the commerce graph where
+    * an edge costs the minimum fulfillment delay (days from order date
+    * to ship date) ever observed between that customer and supplier:
+    * "the fastest chain from the hub customers to anyone" — the
+    * weighted sibling of graph_shortest_paths' hop BFS (hop minimality
+    * ≠ delay minimality; a 3-hop chain of 1-day edges beats a 1-hop
+    * 30-day edge). Sources are the 3 smallest customer ids.
+    *
+    * INTEGER-exact: weights are day counts, distances are BIGINT sums,
+    * every round takes integer minima — no float exists anywhere, so
+    * the unrolled-CTE oracle matches bit-for-bit.
+    *
+    * Scale shape: the weighted edge relation collapses the fact join
+    * map-side (min per (c, s) pair), repartitions by src once and
+    * stays stationary; each round relaxes ONLY the vertices improved
+    * last round (frontier Bellman-Ford — identical ≤ k-edge-path
+    * semantics, a fraction of the edge touches), barriered with an
+    * early exit on convergence; the distance table updates by
+    * anti-join + union, never a full rebuild.
+    */
+  def graphWeightedSssp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+          col("l_shipdate")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint")
+          .as("d"))
+      .groupBy(col("c"), col("s")).agg(min(col("d")).as("w"))
+    val edges = base.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionAll(base.select(col("s").as("src"), col("c").as("dst"),
+        col("w")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: seeds + every relaxation round consume
+    val seeds = edges.filter(col("src") % 2 === 0)
+      .select(col("src").as("id")).distinct()
+      .orderBy(col("id")).limit(3)
+    var dist = graft.Barriers.roundBarrier(
+      seeds.select(col("id"), lit(0L).as("dist")))
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (round < SsspMaxRounds && !done) {
+      val cand = edges
+        .join(frontier.select(col("id").as("src"), col("dist").as("du")),
+          Seq("src"))
+        .select(col("dst").as("id"), (col("du") + col("w")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      val improved = graft.Barriers.roundBarrier(cand
+        .join(dist.select(col("id"), col("dist").as("old")), Seq("id"),
+          "left_outer")
+        .filter(col("old").isNull || col("nd") < col("old"))
+        .select(col("id"), col("nd").as("dist")))
+      if (improved.count() == 0) done = true
+      else {
+        dist = graft.Barriers.roundBarrier(
+          dist.join(improved.select(col("id").as("iid")),
+            col("id") === col("iid"), "left_anti")
+            .unionAll(improved))
+        frontier = improved
+      }
+      round += 1
+    }
+    dist.select(
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("id div 2").cast("bigint").as("entity_key"),
+        col("dist").as("min_delay_days"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
   /** The frontier BFS loop under graph_shortest_paths, on a general
     * DIRECTED edge list (pass both directions for undirected semantics,
     * as graphShortestPaths does). Seeds are the `nSeeds` smallest
