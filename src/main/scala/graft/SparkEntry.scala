@@ -159,6 +159,7 @@ object SparkEntry {
     "q_events_mutual_info" -> (Relational.qEventsMutualInfo _),
     "q_orders_hill_tail" -> (Relational.qOrdersHillTail _),
     "q_events_crosscorr" -> (Relational.qEventsCrosscorr _),
+    "q_lineitem_anova" -> (Relational.qLineitemAnova _),
     "q_events_attribution" -> (Relational.qEventsAttribution _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -3722,6 +3723,42 @@ object SparkEntry {
                          * (ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE))),
                       6) AS nmi
          FROM mi CROSS JOIN hx CROSS JOIN hy""",
+
+    // one-way ANOVA across return flags: exact BIGINT (n, S, SS) per
+    // group, S²/n one double division, group terms fold flag-ORDERed,
+    // F and eta² fixed 6dp chains
+    "q_lineitem_anova" ->
+      """WITH g AS (SELECT l_returnflag AS mode,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                          AS s,
+                        CAST(sum(CAST(l_quantity AS BIGINT) *
+                                 CAST(l_quantity AS BIGINT)) AS BIGINT)
+                          AS ss
+                    FROM lineitem GROUP BY l_returnflag),
+            f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(n) AS BIGINT) AS ntot,
+                      CAST(sum(s) AS BIGINT) AS stot,
+                      CAST(sum(ss) AS BIGINT) AS sstot,
+                      list_reduce(list(CAST(s * s AS DOUBLE) /
+                          CAST(n AS DOUBLE) ORDER BY mode),
+                        (a, b) -> a + b) AS tsum
+                  FROM g)
+         SELECT k AS n_groups, ntot AS n_rows,
+                round(tsum - CAST(stot * stot AS DOUBLE) /
+                      CAST(ntot AS DOUBLE), 6) AS ss_between,
+                round(CAST(sstot AS DOUBLE) - tsum, 6) AS ss_within,
+                round(((tsum - CAST(stot * stot AS DOUBLE) /
+                        CAST(ntot AS DOUBLE)) /
+                       CAST(k - 1 AS DOUBLE)) /
+                      ((CAST(sstot AS DOUBLE) - tsum) /
+                       CAST(ntot - k AS DOUBLE)), 6) AS f_stat,
+                round((tsum - CAST(stot * stot AS DOUBLE) /
+                       CAST(ntot AS DOUBLE)) /
+                      (CAST(sstot AS DOUBLE) -
+                       CAST(stot * stot AS DOUBLE) /
+                       CAST(ntot AS DOUBLE)), 6) AS eta_sq
+         FROM f""",
 
     // click→purchase lead-lag correlogram over a zero-filled day spine:
     // integer series, per-lag sample Pearson via moment aggregates

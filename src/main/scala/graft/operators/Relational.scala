@@ -4074,6 +4074,52 @@ object Relational {
               .cast("double")), 6).as("kendall_tau_b"))
   }
 
+  /** §2.2 q_lineitem_anova: one-way ANOVA — does order quantity differ
+    * by return flag? F = (SSB/(k−1)) / (SSW/(N−k)) plus η² = SSB/SST,
+    * the variance-decomposition member beside the rank tests
+    * (Mann-Whitney compares TWO groups; this screens k at once before
+    * pairwise drilldowns).
+    *
+    * Float discipline, cross-engine exact: quantities are integers, so
+    * every group's (n, S, SS) is an exact BIGINT triple (S² < 2⁵³
+    * through sf ≈ 10 — past that the DECIMAL(38) switch pattern
+    * applies); each group's S²/n is ONE double division of exact
+    * integers, the ≤ |flags| group terms fold in flag-sorted order
+    * (d2/list_reduce), and F/η² are fixed chains landing at 6dp.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the fact
+    * to |flags| rows; everything else runs on that bounded relation.
+    */
+  def qLineitemAnova(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("mode"),
+        col("l_quantity").cast("bigint").as("q"))
+      .groupBy(col("mode"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+    val folded = g
+      .select(col("mode"), col("n"), col("s"), col("ss"),
+        ((col("s") * col("s")).cast("double") / col("n").cast("double"))
+          .as("t"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("ntot"),
+        sum(col("s")).as("stot"), sum(col("ss")).as("sstot"),
+        sort_array(collect_list(struct(col("mode"), col("t")))).as("lst"))
+      .select(col("k"), col("ntot"), col("stot"), col("sstot"),
+        aggregate(col("lst"), lit(0.0), (a, x) => a + x.getField("t"))
+          .as("tsum"))
+    val grand = (col("stot") * col("stot")).cast("double") /
+      col("ntot").cast("double")
+    val ssb = col("tsum") - grand
+    val ssw = col("sstot").cast("double") - col("tsum")
+    val sst = col("sstot").cast("double") - grand
+    folded.select(col("k").as("n_groups"), col("ntot").as("n_rows"),
+      round(ssb, 6).as("ss_between"),
+      round(ssw, 6).as("ss_within"),
+      round((ssb / (col("k") - lit(1L)).cast("double")) /
+        (ssw / (col("ntot") - col("k")).cast("double")), 6).as("f_stat"),
+      round(ssb / sst, 6).as("eta_sq"))
+  }
+
   /** §2.2 q_part_chi2: chi-square independence test between part type
     * and brand, with Cramér's V — the CATEGORICAL-association member
     * beside the numeric correlation family (spearman/kendall rank
