@@ -93,6 +93,7 @@ object SparkEntry {
     "graph_link_prediction" -> (Relational.graphLinkPrediction _),
     "graph_closeness" -> (Relational.graphCloseness _),
     "graph_weighted_sssp" -> (Relational.graphWeightedSssp _),
+    "graph_ppr" -> (Relational.graphPersonalizedPagerank _),
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_orders_growth_decomp" -> (Relational.qOrdersGrowthDecomp _),
     "q_orders_interarrival" -> (Relational.qOrdersInterarrival _),
@@ -462,6 +463,20 @@ object SparkEntry {
                            FROM (SELECT i AS v FROM c${r - 1}
                                  UNION ALL SELECT j AS v FROM c${r - 1})
                            GROUP BY v HAVING count(*) >= $k))"""
+    }.mkString(",\n            ")
+
+  /** Personalized-pagerank rounds: contribution spread plus teleport
+    * rows landing only on the seed relation `sd`, summed per vertex —
+    * mirrors the Spark loop's union-before-aggregate shape. */
+  private def pprSteps(n: Int): String =
+    (1 to n).map { k =>
+      s"""pp$k AS MATERIALIZED (SELECT v, CAST(sum(x) AS BIGINT) AS s
+                FROM (SELECT e.dst AS v,
+                          (85 * p.s) // (100 * e.outdeg) AS x
+                      FROM pp${k - 1} p JOIN e ON e.src = p.v
+                      UNION ALL
+                      SELECT v, 150000 AS x FROM sd)
+                GROUP BY v)"""
     }.mkString(",\n            ")
 
   private def pagerankSteps(n: Int): String =
@@ -1771,6 +1786,31 @@ object SparkEntry {
                 s AS score_ppm
          FROM pr10
          ORDER BY score_ppm DESC, node_type, entity_key""",
+
+    // personalized pagerank: same integer spread arithmetic, teleport
+    // as literal union rows landing ONLY on the 4-seed set; 10
+    // unrolled rounds match the Spark loop bit-for-bit
+    "graph_ppr" ->
+      s"""WITH cs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+                        l.l_suppkey * 2 + 1 AS s
+                      FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey),
+            e0 AS (SELECT c AS src, s AS dst FROM cs
+                   UNION ALL
+                   SELECT s AS src, c AS dst FROM cs),
+            deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+            e AS MATERIALIZED (SELECT e0.src, e0.dst, deg.outdeg
+                  FROM e0 JOIN deg USING (src)),
+            sd AS MATERIALIZED (SELECT DISTINCT src AS v FROM e0
+                  WHERE src % 2 = 0 ORDER BY v LIMIT 4),
+            pp0 AS (SELECT v, 1000000::BIGINT AS s FROM sd),
+            ${pprSteps(10)}
+         SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                  AS node_type,
+                CAST(v // 2 AS BIGINT) AS entity_key,
+                s AS ppr_ppm
+         FROM pp10
+         ORDER BY ppr_ppm DESC, node_type, entity_key""",
 
     // same commerce graph; 4 unrolled synchronous vote rounds
     // (neighbors + self, count desc / label asc tie-break)

@@ -1704,6 +1704,71 @@ object Relational {
       .orderBy(col("score_ppm").desc, col("node_type"), col("entity_key"))
   }
 
+  /** §2.2 graph_ppr: personalized PageRank / random-walk-with-restart
+    * (Haveliwala 2002's topic-sensitive formulation) from the 4
+    * smallest customer ids — "who is important RELATIVE to these
+    * seeds", the recommendation kernel beside graph_pagerank's global
+    * rank: each round v receives Σ (85·s(u)) div (100·outdeg u) from
+    * its in-neighbors, and the 150,000-ppm teleport lands ONLY on the
+    * seed set (restart semantics — non-seed mass decays, which is the
+    * point: scores measure proximity to the seeds, and the ranking is
+    * relative).
+    *
+    * INTEGER-exact like graph_pagerank: ppm scores, floor-division
+    * spread, teleport as literal union rows — every round is one
+    * join + union + sum over BIGINTs, so the 10 unrolled oracle CTEs
+    * match bit-for-bit.
+    *
+    * Scale shape: the pagerank contract — stationary edge cache
+    * (persisted, partitioned by src, zero edge motion per round), slim
+    * score rows broadcast below [[PagerankBroadcastMaxVertices]] and
+    * co-partitioned above, barriered rounds.
+    */
+  def graphPersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    val edges = edges0
+      .join(edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: 10 rounds + the seed/routing builds consume
+    val nVerts = edges.select(col("src")).distinct().count()
+    val routed: DataFrame => DataFrame =
+      if (nVerts <= PagerankBroadcastMaxVertices) broadcast
+      else _.repartition(col("v"))
+    val seeds = graft.Barriers.roundBarrier(
+      edges.filter(col("src") % 2 === 0)
+        .select(col("src").as("v")).distinct()
+        .orderBy(col("v")).limit(4))
+    var scores = graft.Barriers.roundBarrier(
+      seeds.select(col("v"), lit(1000000L).as("s")))
+    for (_ <- 1 to 10) {
+      val next = edges.join(routed(scores), col("src") === col("v"))
+        .select(col("dst"), expr("(85 * s) div (100 * outdeg)").as("x"))
+        .unionAll(seeds.select(col("v").as("dst"), lit(150000L).as("x")))
+        .groupBy(col("dst")).agg(sum(col("x")).as("sn"))
+        .select(col("dst").as("v"), col("sn").as("s"))
+      scores = graft.Barriers.roundBarrier(next)
+    }
+    edges.unpersist() // checkpoint-truncated result references no cache
+    scores.select(
+        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("v div 2").cast("bigint").as("entity_key"),
+        col("s").as("ppr_ppm"))
+      .orderBy(col("ppr_ppm").desc, col("node_type"), col("entity_key"))
+  }
+
   /** The synchronous vote loop under graph_label_propagation, on a
     * general edge list: each round node v's new label is the argmax
     * (count desc, label asc) over the labels of every u with an edge
