@@ -415,4 +415,42 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), s"$q\n$p")
     }
   }
+
+  test("graph_link_prediction / text_burstiness / q_orders_hill_tail / " +
+      "pipeline_dsir_weights: top-k is a bounded TakeOrdered, candidate " +
+      "joins stay equi-keyed") {
+    for (q <- Seq("graph_link_prediction", "text_burstiness",
+        "q_orders_hill_tail", "pipeline_dsir_weights")) {
+      val p = plan(q)
+      // bounded top-k, never a global sort feeding a limit downstream
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // the df-capped pair join must not degenerate (dsir's 1-row
+    // vocab-size crossJoins are the accepted broadcast-literal BNLJs)
+    assert(!plan("graph_link_prediction")
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_readability: map-side regex work only — no join, no window, " +
+      "one aggregation shuffle") {
+    val p = plan("text_readability")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
+  test("q_events_mutual_info / q_lineitem_anova: fact collapses in ONE " +
+      "combined aggregate; cell-relation work rides broadcasts") {
+    for (q <- Seq("q_events_mutual_info", "q_lineitem_anova")) {
+      val p = plan(q)
+      assert(countOf(p, "HashAggregate") >= 2, s"$q:\n$p") // partial+final
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+    // anova is uncached: exactly one fact scan feeds everything
+    assert(countOf(plan("q_lineitem_anova"), "lineitem.parquet") === 1)
+    // MI's cell relation is the persisted multi-consumer cache — every
+    // consumer reads the InMemoryTableScan, never a fresh fact scan
+    assert(plan("q_events_mutual_info").contains("InMemoryTableScan"))
+  }
 }
