@@ -165,6 +165,47 @@ object ScaleCheck {
       s"min_score=${prStats.getLong(1)} hub_score=${prStats.getLong(2)} " +
       s"ok=${prStats.getLong(0) == nTouched && prStats.getLong(1) >= 150000L}")
     pr.unpersist()
+
+    // 5) personalized pagerank: the repartition routing engages like
+    // pagerank's; teleport must keep every seed alive and no score can
+    // go negative under integer floor division
+    val ppr = timed("ppr_repartition") {
+      val p = operators.Relational.pprCore(sym)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val seedMin = ppr.filter(col("v").isin(0L, 2L, 4L, 6L))
+      .agg(coalesce(min(col("s")), lit(-1L))).head().getLong(0)
+    val pprStats = ppr.agg(count(lit(1)).as("n"),
+      min(col("s")).as("smin")).head()
+    println(s"SCALECHECK graph ppr scored=${pprStats.getLong(0)} " +
+      s"min_score=${pprStats.getLong(1)} seed_min=$seedMin " +
+      s"ok=${pprStats.getLong(1) >= 0L && seedMin >= 150000L}")
+    ppr.unpersist()
+
+    // 6) weighted SSSP: deterministic 1..30-day weights; every non-seed
+    // distance must carry a WITNESS in-edge achieving it exactly
+    // (dist(u) + w == dist(v)) — true even under the 8-round horizon
+    val wsym = sym.withColumn("w",
+      pmod(col("src") + col("dst"), lit(30L)) + lit(1L))
+    val sp = timed("sssp_frontier") {
+      val d = operators.Relational.ssspCore(wsym)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      d.count(); d
+    }
+    val noWitness = sp.filter(col("dist") > 0L)
+      .join(wsym.select(col("dst").as("id"), col("src").as("u"), col("w")),
+        Seq("id"))
+      .join(sp.select(col("id").as("u"), col("dist").as("du")), Seq("u"))
+      .groupBy(col("id"), col("dist"))
+      .agg(min(col("du") + col("w")).as("best"))
+      .filter(col("best") =!= col("dist")).count()
+    val spStats = sp.agg(count(lit(1)).as("n"),
+      sum(when(col("dist") === 0L, 1L).otherwise(0L)).as("zeros")).head()
+    println(s"SCALECHECK graph sssp reached=${spStats.getLong(0)} " +
+      s"seeds_at_zero=${spStats.getLong(1)} no_witness=$noWitness " +
+      s"ok=${spStats.getLong(1) == 3L && noWitness == 0L}")
+    sp.unpersist()
     pairs.unpersist()
   }
 

@@ -66,6 +66,7 @@ object SparkEntry {
     "q_events_ewma" -> (Relational.qEventsEwma _),
     "q_cust_rolling_ltv" -> (Relational.qCustRollingLtv _),
     "warehouse_ivm" -> (Relational.warehouseIvm _),
+    "warehouse_ivm_join" -> (Relational.warehouseIvmJoin _),
     "q_dq_referential" -> (Relational.qDqReferential _),
     "mm_chunk_stats" -> (Multimodal.mmChunkStats _),
     "q_events_seasonality" -> (Relational.qEventsSeasonality _),
@@ -4930,6 +4931,18 @@ object SparkEntry {
                 CAST(max(hd) AS DOUBLE) AS max_ce,
                 round(CAST(sum(hd) AS DOUBLE) / count(*), 6) AS avg_ce
          FROM h GROUP BY source ORDER BY source""",
+
+    // join-view IVM graded as delta-merge ≡ FULL RECOMPUTE: the oracle
+    // is the plain L ⋈ O monthly rollup — any double-counted or dropped
+    // delta term hash-mismatches; decimal-exact revenue
+    "warehouse_ivm_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_lineitems,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                  AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY month ORDER BY month""",
 
     // Church-Gale burstiness: sample VMR as the exact rational
     // (N·SS − S²)/(S·(N−1)) — integer rank, one 6dp division

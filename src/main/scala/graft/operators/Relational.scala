@@ -1725,7 +1725,6 @@ object Relational {
     * co-partitioned above, barriered rounds.
     */
   def graphPersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val cs = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir)
@@ -1736,23 +1735,42 @@ object Relational {
       .distinct()
     val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    pprCore(edges0).select(
+        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("v div 2").cast("bigint").as("entity_key"),
+        col("s").as("ppr_ppm"))
+      .orderBy(col("ppr_ppm").desc, col("node_type"), col("entity_key"))
+  }
+
+  /** The restart loop under graph_ppr, on a general directed edge
+    * list: (v, s) ppm scores after `rounds` spreads with teleport
+    * confined to the `nSeeds` smallest even src ids. Split out so
+    * ScaleCheck drives the repartition-routing regime on the drill
+    * graph (score routing is the same size-conditional rule as
+    * [[pagerankCore]]).
+    */
+  private[graft] def pprCore(edges0: DataFrame, nSeeds: Int = 4,
+      rounds: Int = 10,
+      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = edges0
       .join(edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
         Seq("src"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count() // eager: 10 rounds + the seed/routing builds consume
+    edges.count() // eager: rounds + the seed/routing builds consume
     val nVerts = edges.select(col("src")).distinct().count()
     val routed: DataFrame => DataFrame =
-      if (nVerts <= PagerankBroadcastMaxVertices) broadcast
+      if (nVerts <= broadcastMaxVertices) broadcast
       else _.repartition(col("v"))
     val seeds = graft.Barriers.roundBarrier(
       edges.filter(col("src") % 2 === 0)
         .select(col("src").as("v")).distinct()
-        .orderBy(col("v")).limit(4))
+        .orderBy(col("v")).limit(nSeeds))
     var scores = graft.Barriers.roundBarrier(
       seeds.select(col("v"), lit(1000000L).as("s")))
-    for (_ <- 1 to 10) {
+    for (_ <- 1 to rounds) {
       val next = edges.join(routed(scores), col("src") === col("v"))
         .select(col("dst"), expr("(85 * s) div (100 * outdeg)").as("x"))
         .unionAll(seeds.select(col("v").as("dst"), lit(150000L).as("x")))
@@ -1761,12 +1779,7 @@ object Relational {
       scores = graft.Barriers.roundBarrier(next)
     }
     edges.unpersist() // checkpoint-truncated result references no cache
-    scores.select(
-        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
-          .as("node_type"),
-        expr("v div 2").cast("bigint").as("entity_key"),
-        col("s").as("ppr_ppm"))
-      .orderBy(col("ppr_ppm").desc, col("node_type"), col("entity_key"))
+    scores
   }
 
   /** The synchronous vote loop under graph_label_propagation, on a
@@ -2007,7 +2020,6 @@ object Relational {
     * anti-join + union, never a full rebuild.
     */
   def graphWeightedSssp(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       .join(Tables.lineitem(spark, dir)
@@ -2019,21 +2031,40 @@ object Relational {
         datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint")
           .as("d"))
       .groupBy(col("c"), col("s")).agg(min(col("d")).as("w"))
-    val edges = base.select(col("c").as("src"), col("s").as("dst"), col("w"))
+    val edges0 = base.select(col("c").as("src"), col("s").as("dst"),
+        col("w"))
       .unionAll(base.select(col("s").as("src"), col("c").as("dst"),
         col("w")))
+    ssspCore(edges0).select(
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("id div 2").cast("bigint").as("entity_key"),
+        col("dist").as("min_delay_days"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** The frontier Bellman-Ford loop under graph_weighted_sssp, on a
+    * general weighted (src, dst, w) relation: (id, dist) for every
+    * vertex within [[SsspMaxRounds]] relaxations of the seeds (the
+    * `nSeeds` smallest even vertex ids, the bfsCore hub rule). Split
+    * out so ScaleCheck can drive the loop on the 25M-edge drill graph.
+    */
+  private[graft] def ssspCore(edges0: DataFrame, nSeeds: Int = 3,
+      maxRounds: Int = SsspMaxRounds): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = edges0
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager: seeds + every relaxation round consume
     val seeds = edges.filter(col("src") % 2 === 0)
       .select(col("src").as("id")).distinct()
-      .orderBy(col("id")).limit(3)
+      .orderBy(col("id")).limit(nSeeds)
     var dist = graft.Barriers.roundBarrier(
       seeds.select(col("id"), lit(0L).as("dist")))
     var frontier = dist
     var round = 0
     var done = false
-    while (round < SsspMaxRounds && !done) {
+    while (round < maxRounds && !done) {
       val cand = edges
         .join(frontier.select(col("id").as("src"), col("dist").as("du")),
           Seq("src"))
@@ -2054,12 +2085,8 @@ object Relational {
       }
       round += 1
     }
-    dist.select(
-        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
-          .as("node_type"),
-        expr("id div 2").cast("bigint").as("entity_key"),
-        col("dist").as("min_delay_days"))
-      .orderBy(col("node_type"), col("entity_key"))
+    edges.unpersist() // checkpoint-truncated result references no cache
+    dist
   }
 
   /** The frontier BFS loop under graph_shortest_paths, on a general
@@ -3370,6 +3397,63 @@ object Relational {
         sum(when(col("lat") > 60, 1L).otherwise(0L)).cast("bigint")
           .as("n_over_60d"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** §2.2 warehouse_ivm_join: incremental maintenance of a JOIN view
+    * under deltas to BOTH base tables — the delta-join algebra
+    * warehouse_ivm's aggregate case doesn't exercise: for V = L ⋈ O
+    * with arriving ΔL and ΔO, ΔV = ΔL ⋈ (O∪ΔO)  ∪  L_old ⋈ ΔO (the
+    * standard two-term expansion; the cross term ΔL⋈ΔO lives in the
+    * first and is NOT double-counted because the second joins only the
+    * OLD lineitems). The deltas are deterministic "late-arriving"
+    * slices — ΔO = orders with key ≡ 7 (mod 10), ΔL = lineitems of the
+    * ≡3 orders plus the EVEN lines of the ≡7 orders — chosen so all
+    * three delta-join terms are non-empty. The maintained monthly
+    * rollup (rows, revenue) merges the standing view's aggregate with
+    * ΔV's; the oracle is the FULL recompute over L ⋈ O, so delta-merge
+    * ≡ recompute is the graded claim.
+    *
+    * Decimal-exact: revenue is the q1 discPrice decimal (2dp × 2dp —
+    * exact), counts are BIGINTs, the merge is a full-outer coalesce —
+    * no float until the final cast.
+    *
+    * Scale shape: at warehouse scale the standing rollup is a stored
+    * artifact (warehouse_ivm's aux-view contract) and refresh cost
+    * tracks |ΔL|·sel + |ΔO|·sel + |view|, never the standing fact;
+    * here both sides aggregate map-side before the month-keyed merge,
+    * and every join is equi-keyed on the order key.
+    */
+  def warehouseIvmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM")
+        .as("month"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), discPrice.as("rev"))
+    val dO = o.filter(col("o_orderkey") % 10 === 7)
+    val oOld = o.filter(col("o_orderkey") % 10 =!= 7)
+    val isDelta = col("l_orderkey") % 10 === 3 ||
+      (col("l_orderkey") % 10 === 7 && col("l_linenumber") % 2 === 0)
+    val dL = l.filter(isDelta)
+    val lOld = l.filter(!isDelta)
+    def rollup(df: DataFrame) = df
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("r"))
+    val base = rollup(lOld.join(oOld,
+      col("l_orderkey") === col("o_orderkey")))
+    val deltaV = dL.join(oOld.unionAll(dO),
+        col("l_orderkey") === col("o_orderkey"))
+      .unionAll(lOld.join(dO, col("l_orderkey") === col("o_orderkey")))
+    val delta = rollup(deltaV)
+    base.select(col("month"), col("n").as("bn"), col("r").as("br"))
+      .join(delta.select(col("month"), col("n").as("dn"),
+        col("r").as("dr")), Seq("month"), "full_outer")
+      .select(col("month"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_lineitems"),
+        (coalesce(col("br"), lit(BigDecimal(0)).cast(DecimalType(28, 4))) +
+          coalesce(col("dr"), lit(BigDecimal(0)).cast(DecimalType(28, 4))))
+          .cast("double").as("revenue"))
+      .orderBy(col("month"))
   }
 
   /** §2.2 warehouse_ivm: incremental view maintenance of a monthly
