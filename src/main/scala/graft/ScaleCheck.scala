@@ -183,29 +183,57 @@ object ScaleCheck {
       s"ok=${pprStats.getLong(1) >= 0L && seedMin >= 150000L}")
     ppr.unpersist()
 
-    // 6) weighted SSSP: deterministic 1..30-day weights; every non-seed
-    // distance must carry a WITNESS in-edge achieving it exactly
-    // (dist(u) + w == dist(v)) — true even under the 8-round horizon
+    // 6) weighted SSSP, deterministic 1..30 weights. The horizon BINDS
+    // on this graph (cheap long chains exist past 8 edges — SsspSpec
+    // pins that semantics on closed forms), so the graded invariant is
+    // frontier ≡ FULL Bellman-Ford at the same round cap: the frontier
+    // optimization must be lossless, bit-for-bit, at 2.5M vertices.
+    // relaxable_at_horizon is reported as the horizon-pressure metric,
+    // not a failure.
     val wsym = sym.withColumn("w",
       pmod(col("src") + col("dst"), lit(30L)) + lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    wsym.count() // eager: the loop, the reference, and the audit consume
     val sp = timed("sssp_frontier") {
       val d = operators.Relational.ssspCore(wsym)
         .persist(StorageLevel.MEMORY_AND_DISK)
       d.count(); d
     }
-    val noWitness = sp.filter(col("dist") > 0L)
+    val full = timed("sssp_full_reference") {
+      val seeds = wsym.filter(col("src") % 2 === 0)
+        .select(col("src").as("id")).distinct()
+        .orderBy(col("id")).limit(3)
+      var d = Barriers.roundBarrier(
+        seeds.select(col("id"), lit(0L).as("dist")))
+      for (_ <- 1 to operators.Relational.SsspMaxRounds)
+        d = Barriers.roundBarrier(
+          d.unionAll(
+            wsym.join(d.select(col("id").as("src"), col("dist").as("du")),
+              Seq("src"))
+              .select(col("dst").as("id"), (col("du") + col("w")).as("dist")))
+            .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+      val dp = d.persist(StorageLevel.MEMORY_AND_DISK); dp.count(); dp
+    }
+    val mismatch = sp
+      .join(full.select(col("id"), col("dist").as("fd")), Seq("id"),
+        "full_outer")
+      .filter(col("dist").isNull || col("fd").isNull ||
+        col("dist") =!= col("fd")).count()
+    val relaxable = sp.filter(col("dist") > 0L)
       .join(wsym.select(col("dst").as("id"), col("src").as("u"), col("w")),
         Seq("id"))
       .join(sp.select(col("id").as("u"), col("dist").as("du")), Seq("u"))
       .groupBy(col("id"), col("dist"))
       .agg(min(col("du") + col("w")).as("best"))
-      .filter(col("best") =!= col("dist")).count()
+      .filter(col("best") < col("dist")).count()
     val spStats = sp.agg(count(lit(1)).as("n"),
       sum(when(col("dist") === 0L, 1L).otherwise(0L)).as("zeros")).head()
     println(s"SCALECHECK graph sssp reached=${spStats.getLong(0)} " +
-      s"seeds_at_zero=${spStats.getLong(1)} no_witness=$noWitness " +
-      s"ok=${spStats.getLong(1) == 3L && noWitness == 0L}")
-    sp.unpersist()
+      s"seeds_at_zero=${spStats.getLong(1)} " +
+      s"frontier_vs_full_mismatch=$mismatch " +
+      s"relaxable_at_horizon=$relaxable " +
+      s"ok=${spStats.getLong(1) == 3L && mismatch == 0L}")
+    sp.unpersist(); full.unpersist(); wsym.unpersist()
     pairs.unpersist()
   }
 

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_cust_rolling_ltv" -> (Relational.qCustRollingLtv _),
     "warehouse_ivm" -> (Relational.warehouseIvm _),
     "warehouse_ivm_join" -> (Relational.warehouseIvmJoin _),
+    "q_dq_schema_profile" -> (Relational.qDqSchemaProfile _),
     "q_dq_referential" -> (Relational.qDqReferential _),
     "mm_chunk_stats" -> (Multimodal.mmChunkStats _),
     "q_events_seasonality" -> (Relational.qEventsSeasonality _),
@@ -4931,6 +4932,62 @@ object SparkEntry {
                 CAST(max(hd) AS DOUBLE) AS max_ce,
                 round(CAST(sum(hd) AS DOUBLE) / count(*), 6) AS avg_ce
          FROM h GROUP BY source ORDER BY source""",
+
+    // per-column profile: engine-stable renderings (decimal for the
+    // double, epoch micros for the timestamp), exact distinct counts
+    "q_dq_schema_profile" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nn0,
+              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd0,
+              CAST(min(o_orderkey) AS VARCHAR) AS mn0,
+              CAST(max(o_orderkey) AS VARCHAR) AS mx0,
+              CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nn1,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd1,
+              CAST(min(o_custkey) AS VARCHAR) AS mn1,
+              CAST(max(o_custkey) AS VARCHAR) AS mx1,
+              CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nn2,
+              CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd2,
+              CAST(min(o_orderstatus) AS VARCHAR) AS mn2,
+              CAST(max(o_orderstatus) AS VARCHAR) AS mx2,
+              CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nn3,
+              CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd3,
+              CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS mn3,
+              CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS mx3,
+              CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nn4,
+              CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd4,
+              CAST(min(CAST(epoch_us(o_orderdate) AS BIGINT)) AS VARCHAR)
+                AS mn4,
+              CAST(max(CAST(epoch_us(o_orderdate) AS BIGINT)) AS VARCHAR)
+                AS mx4,
+              CAST(sum(CASE WHEN o_orderpriority IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
+              CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd5,
+              CAST(min(o_orderpriority) AS VARCHAR) AS mn5,
+              CAST(max(o_orderpriority) AS VARCHAR) AS mx5
+            FROM orders)
+         SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val
+         FROM (
+           SELECT 'o_orderkey' AS col_name, n_rows, nn0 AS n_nulls,
+                  nd0 AS n_distinct, mn0 AS min_val, mx0 AS max_val
+           FROM a
+           UNION ALL SELECT 'o_custkey', n_rows, nn1, nd1, mn1, mx1
+           FROM a
+           UNION ALL SELECT 'o_orderstatus', n_rows, nn2, nd2, mn2, mx2
+           FROM a
+           UNION ALL SELECT 'o_totalprice', n_rows, nn3, nd3, mn3, mx3
+           FROM a
+           UNION ALL SELECT 'o_orderdate', n_rows, nn4, nd4, mn4, mx4
+           FROM a
+           UNION ALL SELECT 'o_orderpriority', n_rows, nn5, nd5, mn5, mx5
+           FROM a)
+         ORDER BY col_name""",
 
     // join-view IVM graded as delta-merge ≡ FULL RECOMPUTE: the oracle
     // is the plain L ⋈ O monthly rollup — any double-counted or dropped

@@ -3399,6 +3399,55 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** §2.2 q_dq_schema_profile: per-column warehouse profiling over
+    * orders — row count, null count, EXACT distinct count, min and max
+    * per column: the ANALYZE/profiler surface every warehouse exposes
+    * beside the targeted DQ audits (q_dq_audit checks rules;
+    * this reports shape).
+    *
+    * Cross-engine exactness by NORMALIZED rendering: min/max compute
+    * on native values and render through engine-stable forms — BIGINTs
+    * and strings directly, doubles through DECIMAL(18,2) (double→string
+    * formatting differs between engines; decimal→string does not),
+    * timestamps as epoch micros (the repo invariant). Exact distinct
+    * counts are the graded semantics; at 100 TB the profiler would run
+    * the HLL sketch instead (sketch_distinct) — profiling exactly is
+    * inherently a multi-Expand pass.
+    *
+    * Scale shape: ONE scan — all six columns profile in a single
+    * aggregate (Spark expands for the distinct counts, still one data
+    * pass), then a 6-row stack unpivot; no join, no window.
+    */
+  def qDqSchemaProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def prof(c: Column, norm: Column => Column) = Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)),
+      countDistinct(c),
+      min(norm(c)).cast("string"),
+      max(norm(c)).cast("string"))
+    val ident: Column => Column = x => x
+    val dec: Column => Column = _.cast(DecimalType(18, 2))
+    val us: Column => Column = unix_micros
+    val cols = Seq(
+      ("o_orderkey", ident), ("o_custkey", ident),
+      ("o_orderstatus", ident), ("o_totalprice", dec),
+      ("o_orderdate", us), ("o_orderpriority", ident))
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.zipWithIndex.flatMap { case ((n, f), i) =>
+        prof(col(n), f).zip(Seq("nn", "nd", "mn", "mx"))
+          .map { case (e, t) => e.as(s"${t}$i") }
+      }
+    val row = o.agg(aggs.head, aggs.tail: _*)
+    val stack = cols.zipWithIndex.map { case ((n, _), i) =>
+      s"'$n', nn$i, nd$i, mn$i, mx$i"
+    }.mkString(", ")
+    row.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stack) AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
   /** §2.2 warehouse_ivm_join: incremental maintenance of a JOIN view
     * under deltas to BOTH base tables — the delta-join algebra
     * warehouse_ivm's aggregate case doesn't exercise: for V = L ⋈ O
