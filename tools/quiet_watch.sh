@@ -23,7 +23,9 @@ while true; do
   if [ "$streak" -ge 2 ]; then
     # never race a foreign bench/verify JVM (e.g. the driver's own
     # round-end run): skip this trigger and keep watching
-    if pgrep -f "graft.(Bench|Verify)" > /dev/null; then
+    # match actual JVMs only — a supervising agent's own command line
+    # can contain these class names as prompt text
+    if pgrep -f "java.*graft\.(Bench|Verify)" > /dev/null; then
       echo "$(date +%H:%M:%S) quiet but a graft JVM is running — deferring" >> /tmp/quiet_watch.log
       streak=1
       sleep 240
