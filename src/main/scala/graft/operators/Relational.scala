@@ -3416,10 +3416,14 @@ object Relational {
     *
     * Scale shape: ONE scan — all six columns profile in a single
     * aggregate (Spark expands for the distinct counts, still one data
-    * pass), then a 6-row stack unpivot; no join, no window.
+    * pass), then a 6-row stack unpivot; no join, no window. The scan
+    * is spread across partitions first: the testdata parquet is
+    * single-row-group (CLAUDE.md invariant), and a ×7 Expand feeding
+    * 25 aggregate expressions on ONE task was the whole 5 s isolated
+    * cost — the spread cut it to ~1.5 s.
     */
   def qDqSchemaProfile(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir).repartition(32)
     def prof(c: Column, norm: Column => Column) = Seq(
       sum(when(c.isNull, 1L).otherwise(0L)),
       countDistinct(c),
