@@ -163,6 +163,8 @@ object SparkEntry {
     "q_orders_hill_tail" -> (Relational.qOrdersHillTail _),
     "q_events_crosscorr" -> (Relational.qEventsCrosscorr _),
     "q_lineitem_anova" -> (Relational.qLineitemAnova _),
+    "q_events_tail_dependence" -> (Relational.qEventsTailDependence _),
+    "text_ngram_novelty" -> (TextAnalysis.textNgramNovelty _),
     "q_events_attribution" -> (Relational.qEventsAttribution _),
     // §2.3 dedup + similarity
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -3765,6 +3767,72 @@ object SparkEntry {
                          * (ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE))),
                       6) AS nmi
          FROM mi CROSS JOIN hx CROSS JOIN hy""",
+
+    // upper-tail dependence at the exact-rank q80: thresholds by
+    // integer rank over the (value, day) total order, BIGINT counts,
+    // two 6dp divisions and their fixed-order quotient
+    "q_events_tail_dependence" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type
+                     FROM events
+                     WHERE event_type IN ('click', 'purchase')),
+            d AS (SELECT day,
+                      CAST(sum(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y
+                  FROM ev GROUP BY day),
+            r AS (SELECT x, y,
+                      CAST(row_number() OVER (ORDER BY x, day) AS BIGINT)
+                        AS rx,
+                      CAST(row_number() OVER (ORDER BY y, day) AS BIGINT)
+                        AS ry
+                  FROM d),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+            f AS (SELECT n.n,
+                      CASE WHEN rx * 5 > n.n * 4 THEN 1 ELSE 0 END AS ex,
+                      CASE WHEN ry * 5 > n.n * 4 THEN 1 ELSE 0 END AS ey
+                  FROM r CROSS JOIN n),
+            g AS (SELECT CAST(min(n) AS BIGINT) AS n_days,
+                      CAST(sum(ex) AS BIGINT) AS n_x_tail,
+                      CAST(sum(ey) AS BIGINT) AS n_y_tail,
+                      CAST(sum(ex * ey) AS BIGINT) AS n_joint
+                  FROM f)
+         SELECT n_days, n_x_tail, n_y_tail, n_joint,
+                round(CAST(n_joint AS DOUBLE) /
+                      CAST(n_x_tail AS DOUBLE), 6) AS chi_hat,
+                round(CAST(n_y_tail AS DOUBLE) /
+                      CAST(n_days AS DOUBLE), 6) AS baseline,
+                round((CAST(n_joint AS DOUBLE) /
+                       CAST(n_x_tail AS DOUBLE)) /
+                      (CAST(n_y_tail AS DOUBLE) /
+                       CAST(n_days AS DOUBLE)), 6) AS tail_lift
+         FROM g""",
+
+    // cross-document bigram novelty: per-doc DISTINCT bigram sets,
+    // exact (source, bigram) doc counts, one 6dp division
+    "text_ngram_novelty" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+            bg AS (SELECT source,
+                       unnest(list_distinct(list_transform(
+                         range(1, len(t)),
+                         i -> t[i] || ' ' || t[i + 1]))) AS b
+                   FROM d),
+            dc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS dc
+                   FROM bg GROUP BY source, b)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_bigram_types,
+                CAST(sum(dc) AS BIGINT) AS n_incidences,
+                CAST(sum(CASE WHEN dc >= 2 THEN dc ELSE 0 END) AS BIGINT)
+                  AS n_shared_incidences,
+                CAST(sum(CASE WHEN dc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_singleton_types,
+                round(CAST(sum(dc) -
+                        sum(CASE WHEN dc >= 2 THEN dc ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(dc) AS DOUBLE), 6)
+                  AS novelty_ratio
+         FROM dc GROUP BY source ORDER BY source""",
 
     // one-way ANOVA across return flags: exact BIGINT (n, S, SS) per
     // group, S²/n one double division, group terms fold flag-ORDERed,

@@ -1081,6 +1081,62 @@ object Relational {
       .orderBy(col("lag_days"))
   }
 
+  /** §2.2 q_events_tail_dependence: upper-tail dependence between
+    * daily click and purchase volumes — χ̂ = P(Y > q_Y | X > q_X) at
+    * the empirical 80th percentile, against the independence baseline
+    * P(Y > q_Y): "do extreme traffic days and extreme purchase days
+    * COINCIDE", the co-movement question Pearson correlation
+    * (q_events_crosscorr) cannot answer because it averages over the
+    * whole distribution (Coles 2001 §8's χ statistic, empirical form).
+    *
+    * INTEGER-exact: both thresholds are order statistics picked by
+    * exact integer rank over the (count, day) total order — no
+    * interpolated quantile; exceedance flags, joint counts, and both
+    * ratios' numerators/denominators are BIGINTs; two divisions land
+    * 6dp; the lift is their double quotient in fixed order.
+    *
+    * Scale shape: ONE combined aggregate collapses the fact to
+    * ≤ |days| rows; ranks are windows over that bounded relation; the
+    * reducer is a 1-row aggregate.
+    */
+  def qEventsTailDependence(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    // empirical q80 by exact rank over the (value, day) total order:
+    // a day exceeds when strictly more than 80% of days rank at or
+    // below it — both engines pick the identical threshold row
+    val wx = Window.orderBy(col("x"), col("day"))
+    val wy = Window.orderBy(col("y"), col("day"))
+    val ranked = daily
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+    ranked
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+      .select(col("n"),
+        when(col("rx") * 5L > col("n") * 4L, 1L).otherwise(0L).as("ex"),
+        when(col("ry") * 5L > col("n") * 4L, 1L).otherwise(0L).as("ey"))
+      .agg(first(col("n")).as("n_days"),
+        sum(col("ex")).as("n_x_tail"),
+        sum(col("ey")).as("n_y_tail"),
+        sum(col("ex") * col("ey")).as("n_joint"))
+      .select(col("n_days"), col("n_x_tail"), col("n_y_tail"),
+        col("n_joint"),
+        round(col("n_joint").cast("double") /
+          col("n_x_tail").cast("double"), 6).as("chi_hat"),
+        round(col("n_y_tail").cast("double") /
+          col("n_days").cast("double"), 6).as("baseline"),
+        round((col("n_joint").cast("double") /
+          col("n_x_tail").cast("double")) /
+          (col("n_y_tail").cast("double") /
+            col("n_days").cast("double")), 6).as("tail_lift"))
+  }
+
   /** §2.2 q_events_wau: daily + 7-day rolling active users — the standing
     * engagement dashboard. A rolling DISTINCT count can't come from a
     * running window (distinct doesn't decompose), so each distinct

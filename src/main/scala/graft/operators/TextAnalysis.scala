@@ -585,6 +585,49 @@ object TextAnalysis {
         col("wdec").cast("double").as("dsir_weight"))
   }
 
+  /** §2.4 text_ngram_novelty: cross-document bigram novelty per source
+    * — the self-BLEU-style diversity screen (Zhu et al. 2018's
+    * self-overlap notion in exact set form): of all (document, distinct
+    * bigram) incidences within a source, how many use a bigram that NO
+    * other document of the source contains? A templated/boilerplate
+    * source scores low novelty; text_ngram_repetition measures
+    * repetition WITHIN a document, this measures it ACROSS documents.
+    *
+    * INTEGER-exact: per-document bigram sets are distinct, so the
+    * (source, bigram) document count dc is exact; incidences Σdc,
+    * shared mass Σdc·[dc≥2], and singleton mass are BIGINTs; the
+    * novelty ratio is ONE 6dp division.
+    *
+    * Scale shape: one explode of per-doc DISTINCT bigrams → ONE
+    * map-side-combined (source, bigram) aggregate → one per-source
+    * rollup; no join at all.
+    */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val bigrams = array_distinct(zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+    Tables.documents(spark, dir)
+      .filter(size(t) >= 2)
+      .select(col("source"), explode(bigrams).as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("dc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigram_types"),
+        sum(col("dc")).as("n_incidences"),
+        sum(when(col("dc") >= 2L, col("dc")).otherwise(0L))
+          .as("n_shared_incidences"),
+        sum(when(col("dc") === 1L, 1L).otherwise(0L))
+          .as("n_singleton_types"))
+      .select(col("source"), col("n_bigram_types"), col("n_incidences"),
+        col("n_shared_incidences"), col("n_singleton_types"),
+        round((col("n_incidences") - col("n_shared_incidences"))
+          .cast("double") / col("n_incidences").cast("double"), 6)
+          .as("novelty_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** §2.4 pipeline_mixture: corpus mixing — each source is downsampled at
     * its own target rate (the "data mixture weights" step of assembling a
     * training set). Keep/drop is the same content-hash bucket as
