@@ -255,4 +255,123 @@ class AlgebraPropSpec extends AnyFunSuite {
         math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)) }
     })
   }
+
+  test("lcm denominators divide exactly AND integer-ranked RA equals " +
+      "rational-ranked RA (graph_link_prediction / graph_closeness " +
+      "exactness lemmas)") {
+    assert((2 to 16).forall(720720 % _ == 0))
+    assert((1 to 12).forall(27720 % _ == 0))
+    val degSetGen = Gen.nonEmptyListOf(Gen.chooseNum(2, 16))
+    check(Prop.forAll(degSetGen, degSetGen) { (a, b) =>
+      def raNum(ds: List[Int]): Long = ds.map(720720L / _).sum
+      def raExact(ds: List[Int]): BigDecimal =
+        ds.map(d => BigDecimal(1) / d).sum
+      // integer ordering agrees with exact rational ordering, always
+      raNum(a).compare(raNum(b)) ==
+        raExact(a).compare(raExact(b))
+    })
+  }
+
+  test("frontier Bellman-Ford equals full relaxation at every horizon " +
+      "(graph_weighted_sssp's losslessness lemma, model level)") {
+    val edgeGen = Gen.listOf(for {
+      u <- Gen.chooseNum(0L, 14L); v <- Gen.chooseNum(0L, 14L)
+      w <- Gen.chooseNum(1L, 9L) if u != v
+    } yield (u, v, w))
+    check(Prop.forAll(edgeGen, Gen.chooseNum(0, 6)) { (es, rounds) =>
+      val seeds = es.map(_._1).filter(_ % 2 == 0).distinct.sorted.take(2)
+      // full: relax EVERY known vertex each round
+      var full = Map[Long, Long](seeds.map(_ -> 0L): _*)
+      for (_ <- 1 to rounds) {
+        val next = scala.collection.mutable.Map(full.toSeq: _*)
+        for ((u, v, w) <- es; du <- full.get(u))
+          if (!next.contains(v) || du + w < next(v)) next(v) = du + w
+        full = next.toMap
+      }
+      // frontier: relax only last round's improved set
+      var dist = Map[Long, Long](seeds.map(_ -> 0L): _*)
+      var frontier = dist
+      var r = 0
+      while (r < rounds && frontier.nonEmpty) {
+        val cand = scala.collection.mutable.Map[Long, Long]()
+        for ((u, v, w) <- es; du <- frontier.get(u)) {
+          val nd = du + w
+          if (cand.get(v).forall(nd < _)) cand(v) = nd
+        }
+        val improved = cand.filter { case (v, nd) =>
+          dist.get(v).forall(nd < _) }.toMap
+        dist = dist ++ improved
+        frontier = improved
+        r += 1
+      }
+      dist == full
+    })
+  }
+
+  test("exact-rank q80 flags exactly n - floor(4n/5) days " +
+      "(q_events_tail_dependence's threshold lemma)") {
+    check(Prop.forAll(Gen.chooseNum(1L, 5000L)) { n =>
+      (1L to n).count(r => r * 5 > n * 4) == n - (4 * n) / 5
+    })
+  }
+
+  test("VMR over nonzero entries with N symbolic equals the full-vector " +
+      "sample variance/mean (text_burstiness' zeros lemma)") {
+    val gen = for {
+      nz <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 50L))
+      zeros <- Gen.chooseNum(1, 100)
+    } yield (nz, zeros)
+    check(Prop.forAll(gen) { case (nz, zeros) =>
+      val full = nz ++ List.fill(zeros)(0L)
+      val n = full.size
+      val mean = full.sum.toDouble / n
+      val varS = full.map(c => (c - mean) * (c - mean)).sum / (n - 1)
+      val brute = varS / mean
+      val s = nz.sum; val ss = nz.map(c => c * c).sum
+      val formula = (n.toLong * ss - s * s).toDouble / (s * (n - 1L))
+      math.abs(brute - formula) <= 1e-9 * math.max(1.0, math.abs(brute))
+    })
+  }
+
+  test("ANOVA sums decompose: SSB + SSW = SST off exact integer group " +
+      "moments (q_lineitem_anova's decomposition lemma)") {
+    val gGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 50L)))
+    check(Prop.forAll(gGen) { groups =>
+      val all = groups.flatten
+      val nTot = all.size.toLong
+      val sTot = all.sum
+      val ssTot = all.map(q => q * q).sum
+      val grand = (sTot * sTot).toDouble / nTot
+      val tsum = groups.map { g =>
+        val s = g.sum; (s * s).toDouble / g.size }.sum
+      val ssb = tsum - grand
+      val ssw = ssTot.toDouble - tsum
+      val sst = ssTot.toDouble - grand
+      math.abs(ssb + ssw - sst) <=
+        1e-9 * math.max(1.0, math.abs(sst))
+    })
+  }
+
+  test("MI is non-negative and bounded by both marginal entropies " +
+      "(q_events_mutual_info's information inequalities)") {
+    val tableGen = for {
+      rows <- Gen.chooseNum(2, 5); cols <- Gen.chooseNum(2, 7)
+      cells <- Gen.listOfN(rows * cols, Gen.chooseNum(0L, 200L))
+      if cells.sum > 0
+    } yield (rows, cols, cells)
+    check(Prop.forAll(tableGen) { case (rows, cols, cells) =>
+      val c = Array.tabulate(rows, cols)((i, j) => cells(i * cols + j))
+      val n = cells.sum.toDouble
+      val rx = (0 until rows).map(i => c(i).sum)
+      val cy = (0 until cols).map(j => (0 until rows).map(c(_)(j)).sum)
+      val mi = (for {
+        i <- 0 until rows; j <- 0 until cols if c(i)(j) > 0
+      } yield c(i)(j) / n *
+        math.log(c(i)(j) * n / (rx(i).toDouble * cy(j)))).sum
+      def h(m: Seq[Long]) =
+        m.filter(_ > 0).map(v => -v / n * math.log(v / n)).sum
+      mi >= -1e-9 && mi <= h(rx) + 1e-9 && mi <= h(cy) + 1e-9
+    })
+  }
 }
