@@ -252,6 +252,7 @@ object SparkEntry {
     "q_nvd_severity_transition" -> (Nvd.qNvdSeverityTransition _),
     "q_nvd_cvss_recompute" -> (Nvd.qNvdCvssRecompute _),
     "q_nvd_cvss_v2_recompute" -> (Nvd.qNvdCvssV2Recompute _),
+    "q_nvd_mod_lag" -> (Nvd.qNvdModLag _),
   )
 
   /** DuckDB 'f' CTE over the same gz feed fixture the Spark queries read. */
@@ -2022,6 +2023,23 @@ object SparkEntry {
                 count(item.impact.baseMetricV3.cvssV3.baseScore) AS n_with_v3
          FROM f
          GROUP BY severity_v2
+         ORDER BY severity_v2 NULLS FIRST""",
+
+    // publication→modification lag in exact seconds (no day division —
+    // floor semantics differ across engines on negatives)
+    "q_nvd_mod_lag" ->
+      s"""$nvdFeedCte,
+           v AS (SELECT item.impact.baseMetricV2.severity AS severity_v2,
+                     CAST(epoch(item.lastModifiedDate) AS BIGINT) -
+                     CAST(epoch(item.publishedDate) AS BIGINT) AS lag_s
+                 FROM f)
+         SELECT severity_v2, CAST(count(*) AS BIGINT) AS n_cves,
+                CAST(min(lag_s) AS BIGINT) AS min_lag_s,
+                CAST(max(lag_s) AS BIGINT) AS max_lag_s,
+                CAST(sum(lag_s) AS BIGINT) AS sum_lag_s,
+                CAST(sum(CASE WHEN lag_s < 86400 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_same_day
+         FROM v GROUP BY severity_v2
          ORDER BY severity_v2 NULLS FIRST""",
 
     "q_nvd_cwe_top" ->

@@ -47,6 +47,32 @@ object Nvd {
         col("impact.baseMetricV2.severity").as("severity_v2"))
       .orderBy(col("cve_id"))
 
+  /** §2.1 q_nvd_mod_lag: publication→last-modification lag per v2
+    * severity — "how long do records of each severity keep churning
+    * after publication", the feed-freshness panel a vulnerability
+    * warehouse reports beside the upsert (the reference stores both
+    * timestamps verbatim, etl.py:94-116, and derives nothing from
+    * them). Lags stay in exact SECONDS (BIGINT differences of epoch
+    * timestamps — no day division, whose floor semantics engines
+    * disagree on for negatives); same-day churn counts lag < 86400.
+    *
+    * Scale shape: one scan, ONE map-side-combined aggregate into
+    * ≤ |severities| rows.
+    */
+  def qNvdModLag(spark: SparkSession, dir: String): DataFrame =
+    cves(spark)
+      .select(col("impact.baseMetricV2.severity").as("severity_v2"),
+        (unix_timestamp(col("lastModifiedDate")) -
+          unix_timestamp(col("publishedDate"))).as("lag_s"))
+      .groupBy(col("severity_v2"))
+      .agg(count(lit(1)).as("n_cves"),
+        min(col("lag_s")).as("min_lag_s"),
+        max(col("lag_s")).as("max_lag_s"),
+        sum(col("lag_s")).as("sum_lag_s"),
+        sum(when(col("lag_s") < 86400L, 1L).otherwise(0L))
+          .as("n_same_day"))
+      .orderBy(col("severity_v2").asc_nulls_first)
+
   /** §2.1 q_nvd_severity_hist: aggregate over a three-level-deep nested
     * numeric (impact.baseMetricV2.cvssV2.baseScore) grouped by a
     * two-level-deep string — the "dashboard over the warehouse" shape.
