@@ -44,6 +44,13 @@ object GraftSession {
       // sizes the cache to hold its classes (static conf — must be set
       // before the session exists).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // whole-stage codegen abandons any plan whose output exceeds 100
+      // fields — q_orders_subsample_ci's one-pass replicate evaluation
+      // carries 200 conditional (sum, count) aggregate pairs and fell
+      // back to the interpreted aggregate (measured 3× slower than the
+      // row-exploding plan it replaced). 500 fields still generates a
+      // method-split class well under JVM limits.
+      .config("spark.sql.codegen.maxFields", "500")
       // fresh per-JVM warehouse: managed (e.g. bucketed) tables never leak
       // files into the repo or collide with a previous run's leftovers
       // (lazy val: ONE dir per JVM, not one per builder() call)

@@ -650,16 +650,24 @@ object Relational {
   }
 
   /** §2.2 q_events_deciles: equal-frequency decile banding per event type
-    * (`ntile` — the remaining ranking-window family member). The order
-    * inside each partition carries a unique tie-break so bucket boundaries
-    * are deterministic; one shuffle on event_type, then a tiny rollup.
+    * (`ntile` semantics — the remaining ranking-window family member).
+    * The order inside each type carries a unique tie-break so bucket
+    * boundaries are deterministic.
+    *
+    * Scale shape: a per-type `ntile` window owns corpus/|types| rows per
+    * partition — unbounded, and a hot type funnels through one task. The
+    * rank is instead the two-pass distributed assignment
+    * ([[graft.Ranks.groupedRowNumber]]: ONE range sort over (type, value,
+    * id) with every partition bounded n/P, per-type offsets/sizes back by
+    * broadcast), and the decile band is a map-side integer expression;
+    * then the tiny ≤|types|×10 rollup.
     */
   def qEventsDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("decile", ntile(10).over(w).cast("bigint"))
+    graft.Ranks.groupedRowNumber(ev, col("event_type"), "rk", "tn",
+        col("value"), col("event_id"))
+      .withColumn("decile", graft.Ranks.ntileOf(col("rk"), col("tn"), 10))
       .groupBy(col("event_type"), col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
@@ -2344,11 +2352,6 @@ object Relational {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
-  /** The k-source Brandes loop under graph_betweenness, on a SYMMETRIC
-    * (src, dst) edge relation: (v, centrality) for every vertex, 6dp.
-    * Split out so BetweennessSpec can grade the distributed passes
-    * against a driver-side brute-force Brandes on closed-form graphs.
-    */
   /** §2.2 graph_closeness: k-source harmonic closeness centrality
     * (Boldi-Vigna 2014's harmonic variant — finite on disconnected
     * graphs, unlike classic closeness) over the commerce graph, from
@@ -2456,6 +2459,11 @@ object Relational {
     (edges, verts)
   }
 
+  /** The k-source Brandes loop under graph_betweenness, on a SYMMETRIC
+    * (src, dst) edge relation: (v, centrality) for every vertex, 6dp.
+    * Split out so BetweennessSpec can grade the distributed passes
+    * against a driver-side brute-force Brandes on closed-form graphs.
+    */
   private[graft] def betweennessCore(spark: SparkSession,
       edges0: DataFrame,
       visStore: Option[String] = None): DataFrame = {
@@ -4286,20 +4294,27 @@ object Relational {
     * with the standard tie corrections: τ = (C−D)/√((n₀−n₁)(n₀−n₂)).
     * Every count is an exact BIGINT; the two sub-√ factors cast to
     * double BEFORE multiplying (their product tops 2⁶³ at sf0.1 while
-    * each factor is far under 2⁵³ — exact in IEEE); deciles cut by
-    * ntile over the TOTAL order (value, event_id), so the grid is
-    * deterministic on both engines.
+    * each factor is far under 2⁵³ — exact in IEEE); deciles cut over
+    * the TOTAL order (value, event_id), so the grid is deterministic
+    * on both engines.
     *
-    * Scale shape: one map-side-combined count into ≤240 cells after
-    * the decile window (the only data-sized shuffle); the concordance
-    * join is 240×240 over a broadcast — constant work at any SF.
+    * Scale shape: the decile cut is the two-pass distributed rank
+    * ([[graft.Ranks.rowNumber]] — range sort + zipWithIndex, every
+    * partition bounded n/P) with the ntile band as a map-side integer
+    * expression off the broadcast row count; the old global
+    * `ntile OVER (ORDER BY …)` moved the ENTIRE fact through one
+    * WindowExec task. One map-side-combined count lands the ≤240-cell
+    * grid; the concordance join is 240×240 over a broadcast —
+    * constant work at any SF.
     */
   def qEventsKendall(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
       .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
         col("value"), col("event_id"))
-      .withColumn("dec", ntile(10).over(
-        Window.orderBy(col("value"), col("event_id"))).cast("bigint"))
+    val n = ev.agg(count(lit(1)).as("nn"))
+    val cells = graft.Ranks.rowNumber(ev, "rk", col("value"), col("event_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("dec", graft.Ranks.ntileOf(col("rk"), col("nn"), 10))
       .groupBy(col("hr"), col("dec"))
       .agg(count(lit(1)).as("n"))
       .persist()
@@ -4442,35 +4457,51 @@ object Relational {
     * ((k·2654435761 + b·40503 + 692873) mod (2³¹−1)) · 48271
     *   mod (2³¹−1) < 2³⁰.
     *
-    * Scale shape: the replicate explode multiplies rows ×200 but the
-    * partial aggregate collapses each partition to ≤200 rows before
-    * the ONLY shuffle (map-side combine is the whole story — the 200
-    * subsample sums cost one scan's worth of codegen'd arithmetic);
-    * the selection window runs over exactly 200 rows.
+    * Scale shape: NO replicate explode over data — the 200 replicate
+    * memberships are evaluated in ONE scan by the custom
+    * [[org.apache.spark.sql.graft.SubsampleSums]] aggregate (a long[400]
+    * buffer updated in a tight hoisted-hash loop; the full-sample pair
+    * rides the same pass), so no row is ever materialized ×200, the only
+    * shuffle is the fixed-width partial-buffer merge, and the driver
+    * never analyzes 400 separate aggregate expressions (the naive
+    * conditional-aggregate form spent ~1.8 s/run in fixed plan-time work
+    * at any data size). The single result row unnests to the
+    * 200-replicate relation and the selection window runs over exactly
+    * those 200 rows.
     */
   def qOrdersSubsampleCi(spark: SparkSession, dir: String): DataFrame = {
     val B = 200
+    // exact integer cents: every one of the 402 aggregation buffers is a
+    // primitive BIGINT (a decimal sum's wide buffer keeps the one-pass
+    // aggregate off the fast unsafe-row path), and cents/100.0 casts to
+    // the IDENTICAL double as the decimal sum would (both are the
+    // correctly-rounded image of the same exact value)
+    // single-row-group testdata parquet scans as ONE partition — spread
+    // the rows before the 400-chain-per-row aggregate (CLAUDE.md: always
+    // repartition ahead of CPU-heavy per-row pipelines)
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("k"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-    val means = base
-      .select(col("k"), col("p"),
-        explode(sequence(lit(0), lit(B - 1))).as("b0"))
-      .select(col("k"), col("p"), col("b0").cast("long").as("b"))
-      .filter(
-        (col("k") * lit(2654435761L) + col("b") * lit(40503L) +
-          lit(692873L)) % lit(2147483647L) * lit(48271L) %
-          lit(2147483647L) < lit(1073741824L))
-      .groupBy(col("b"))
-      .agg(sum(col("p")).as("s"), count(lit(1)).as("m"))
-      .select(col("b"),
-        (col("s").cast("double") / col("m").cast("double")).as("mean"))
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("pc"))
+      .repartition(nParts)
+    val one = base.agg(
+      org.apache.spark.sql.graft.GraftAggregates
+        .subsampleSums(col("k"), col("pc"), B).as("reps"),
+      count(lit(1)).as("n_orders"),
+      (sum(col("pc")).cast("double") / lit(100.0) /
+        count(lit(1)).cast("double")).as("mean_full"))
+      .persist()
+    one.count() // eager: the replicate unnest + full-sample cols consume
+    val means = one
+      .select(explode(col("reps")).as("r")) // 200 elements of ONE row
+      .select(col("r.b").as("b"),
+        (col("r.s").cast("double") / lit(100.0) /
+          col("r.m").cast("double")).as("mean"))
     val ranked = means
       .withColumn("rk", row_number().over(
         Window.orderBy(col("mean"), col("b"))))
-    val full = base.agg(count(lit(1)).as("n_orders"),
-      (sum(col("p")).cast("double") /
-        count(lit(1)).cast("double")).as("mean_full"))
+    val full = one.select(col("n_orders"), col("mean_full"))
     ranked.filter(col("rk") === 5 || col("rk") === 195)
       .agg(min(col("mean")).as("lo"), max(col("mean")).as("hi"),
         count(lit(1)).as("n_sel"))

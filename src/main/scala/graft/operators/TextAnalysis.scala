@@ -256,21 +256,41 @@ object TextAnalysis {
     * term is attributed to the FIRST doc that introduces it (min doc_id),
     * new-term counts roll up into 50-doc ingestion batches, and a running
     * total gives cumulative vocabulary size. Spark-first: one explode into
-    * a map-side-combined min, a tiny second aggregate, and the cumulative
-    * window runs over the BATCH relation (corpus/50 rows), never over docs
-    * or terms — the only single-reducer step is bounded by batch count.
+    * a map-side-combined min, then a tiny second aggregate.
+    *
+    * Scale shape: the batch relation is corpus/50 rows, so even there a
+    * global cumulative window is a corpus-proportional single task. The
+    * prefix sum is two-level sharded (the pipeline_token_budget idiom):
+    * shard = batch div 1024 — a prefix of the batch order — so per-shard
+    * running sums plus cumulative shard totals (triangular broadcast
+    * self-join over the corpus/51200-row shard relation, no window at
+    * that level) reproduce the global running total with every window
+    * partition capped at 1024 rows.
     */
   def textVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val first = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
       .groupBy(col("term"))
       .agg(min(col("doc_id")).as("first_doc"))
-    first
+    val batches = first
       .groupBy(expr("first_doc div 50").as("batch"))
       .agg(count(lit(1)).as("new_terms"))
-      .withColumn("cum_vocab", sum(col("new_terms")).over(
-        Window.orderBy(col("batch"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard", expr("batch div 1024"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batches.count() // eager: shard totals + the windowed pass both consume
+    val shardTot = batches.groupBy(col("shard"))
+      .agg(sum(col("new_terms")).as("st"))
+    val off = shardTot.as("a")
+      .join(shardTot.as("p"), col("p.shard") < col("a.shard"), "left_outer")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("p.st")), lit(0L)).as("shard_off"))
+    val win = Window.partitionBy(col("shard")).orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batches
+      .withColumn("in_shard", sum(col("new_terms")).over(win))
+      .join(broadcast(off), Seq("shard"))
+      .select(col("batch"), col("new_terms"),
+        (col("shard_off") + col("in_shard")).as("cum_vocab"))
       .orderBy(col("batch"))
   }
 
@@ -279,16 +299,23 @@ object TextAnalysis {
     * ordered per source by content hash (stable under retries and corpus
     * growth within a source snapshot), sequence-numbered per source, and
     * the global (seq, source) order round-robins one doc from every source
-    * before any source repeats. The ranking window is PARTITIONED by
-    * source — no global single-reducer ordering at any scale; the total
-    * output order is the gate's ORDER BY, not a computed global rank.
+    * before any source repeats.
+    *
+    * Scale shape: a per-source `row_number` window owns corpus/|sources|
+    * rows per partition — unbounded. The sequence number is instead the
+    * two-pass distributed rank ([[graft.Ranks.groupedRowNumber]]: one
+    * range sort over (source, hash, id), every partition bounded n/P,
+    * per-source offsets back by broadcast) — no ranking WindowExec
+    * anywhere; the total output order is the gate's ORDER BY, not a
+    * computed global rank.
     */
   def pipelineInterleave(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("seq", row_number().over(w).cast("bigint"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("ord"))
+    graft.Ranks.groupedRowNumber(base, col("source"), "seq", "_sn",
+        col("ord"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("seq"))
       .orderBy(col("seq"), col("source"))
   }
 
@@ -772,20 +799,48 @@ object TextAnalysis {
   /** §2.4 pipeline_token_budget: budgeted corpus selection — per source,
     * take documents in stable content-hash order until a fixed token budget
     * is exhausted (the "give me N tokens per source" step of assembling a
-    * mixture). The running sum is windowed PER SOURCE, so no global
-    * single-reducer ordering exists at any scale, and the selection is
-    * reproducible under retries/repartitioning because the order key is a
-    * content hash, not row position.
+    * mixture). The selection is reproducible under retries/repartitioning
+    * because the order key is a content hash, not row position.
+    *
+    * Scale shape: a per-source running-sum window owns corpus/|sources|
+    * rows per partition — unbounded. The prefix sum is instead two-level
+    * sharded: shard = the leading 2 hex chars of the SAME hash that
+    * orders the scan, so shard order is a PREFIX of the total (hash, id)
+    * order and per-shard running sums + cumulative shard totals
+    * reproduce the global running sum exactly, with every window
+    * partition bounded at corpus/(|sources|·256). Shard offsets come from
+    * a triangular broadcast self-join over the tiny |sources|×256
+    * relation (no window at that level), and shards whose offset already
+    * meets the budget are pruned BEFORE the window — the running sum only
+    * ever touches the budget-reachable prefix of each source.
     */
   def pipelineTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val budget = 600L
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val b = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("bigint").as("n_tokens"))
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("ord"), 1, 2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.count() // eager: the shard totals and the windowed pass both consume
+    val shardTot = b.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("st"))
+    val off = shardTot.as("a")
+      .join(shardTot.as("p"),
+        col("a.source") === col("p.source") &&
+          col("p.shard") < col("a.shard"), "left_outer")
+      .groupBy(col("a.source").as("source"), col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("p.st")), lit(0L)).as("shard_off"))
+    val win = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), size(toks).cast("bigint").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    b.join(broadcast(off), Seq("source", "shard"))
+      .filter(col("shard_off") < budget)
+      .withColumn("cum_before",
+        col("shard_off") + coalesce(sum(col("n_tokens")).over(win), lit(0L)))
       .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_before"))
       .orderBy(col("doc_id"))
   }
 

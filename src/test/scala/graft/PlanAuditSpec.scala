@@ -135,17 +135,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("row_number"), p)
   }
 
-  test("pipeline_interleave: ranking window is partitioned — never a global reducer") {
+  test("pipeline_interleave: no ranking window and no single-partition pass") {
     val p = plan("pipeline_interleave")
-    // a window without PARTITION BY plans an Exchange SinglePartition;
-    // the per-source row_number must not
+    // seq comes from the two-pass distributed rank (Ranks.groupedRowNumber);
+    // the final ORDER BY is the only global ordering and it is range-
+    // partitioned, never a WindowExec single-reducer
     assert(!p.contains("Exchange SinglePartition"), p)
-    assert(p.contains("row_number"), p)
+    assert(!p.contains("row_number"), p)
   }
 
   test("text_keywords / pipeline_token_budget: ranking/running windows are partitioned") {
     // both windows key on a bounded partition (one doc's terms; one
-    // source's docs) — the Window operator line lists the partition spec
+    // (source, hash-shard) slice) — the Window operator line lists the partition spec
     // between the function list and the ordering, empty for a global
     // window. (text_keywords still has one legitimate SinglePartition
     // exchange: the 1-row corpus count.)
@@ -305,6 +306,72 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("MapInPandas"), p)
   }
 
+  test("SUITE-WIDE: no empty-partition Window over unbounded input in any " +
+      "of the oracle-graded plans (the r11 ranking-window class, dead)") {
+    // Every Window whose partition keys are empty (or foldable — the
+    // partitionBy(lit(1)) global-count trick) funnels its entire input
+    // through ONE task. That is only legal above a cardinality-bounding
+    // node: an Aggregate to a calendar/dimension/replicate grain, a
+    // Limit, or a cache whose build plan aggregates. The allowlist names
+    // every query that legitimately does so and WHY its window input is
+    // bounded; any new query that ranks/bands a fact-sized relation
+    // through a global window lands here as a diff and fails.
+    val allow = Map(
+      "graph_modularity" -> "community relation (LPA label count)",
+      "q_abc_analysis" -> "part dimension (Pareto curve; documented)",
+      "q_benford_audit" -> "9 leading-digit rows",
+      "q_customer_survival" -> "lifetime-month grain",
+      "q_events_tail_dependence" -> "daily grain (calendar-bounded)",
+      "q_nvd_score_drift" -> "severity-transition grain",
+      "q_orders_backlog" -> "daily grain (calendar-bounded)",
+      "q_orders_growth_decomp" -> "yearly grain",
+      "q_orders_hill_tail" -> "LIMIT k+1 = 201 rows",
+      "q_orders_mad_outliers" -> "monthly grain (cached aggregate)",
+      "q_orders_mom" -> "monthly grain",
+      "q_orders_runs_test" -> "daily grain (calendar-bounded)",
+      "q_orders_subsample_ci" -> "200 bootstrap replicates",
+      "q_orders_theilsen" -> "monthly grain + month-pairs (cached agg)",
+      "text_zipf" -> "LIMIT 100 top terms")
+    val found = scala.collection.mutable.Map[String, Seq[String]]()
+    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val bounds = WindowSweep.globalWindowBounds(q(spark, TestSpark.sfDir))
+      if (bounds.nonEmpty) found(name) = bounds
+      spark.catalog.clearCache()
+    }
+    val unbounded = found.filter(_._2.contains("UNBOUNDED"))
+    assert(unbounded.isEmpty,
+      s"global windows over UNBOUNDED input: $unbounded")
+    assert(found.keySet === allow.keySet,
+      s"global-window query set drifted — new: ${found.keySet -- allow.keySet}, " +
+        s"gone: ${allow.keySet -- found.keySet} (update the allowlist ONLY " +
+        "with a boundedness justification)")
+  }
+
+  test("the r11 weak-on-plan five: rank/band without any corpus-sized " +
+      "window partition") {
+    // kendall / deciles / interleave rank via Ranks.rowNumber (range sort
+    // + zipWithIndex) — no Window node may exist anywhere in their plans
+    for (q <- Seq("q_events_kendall", "q_events_deciles",
+        "pipeline_interleave")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a ranking window back:\n$p")
+      spark.catalog.clearCache()
+    }
+    // token_budget / vocab_growth keep a running-sum window but every
+    // partition is hash-shard-bounded: the window's partition spec must
+    // include the shard key, never source/nothing alone
+    for (q <- Seq("pipeline_token_budget", "text_vocab_growth")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      val specs = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.map(_.sql).mkString(",")
+      }
+      assert(specs.nonEmpty && specs.forall(_.contains("shard")),
+        s"$q window partitions lost the shard bound: $specs")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_events_band_join: bucket expansion keeps the range join equi-keyed") {
     val p = plan("q_events_band_join")
     // the whole point of the 3x bucket fan-out: the +-60s theta join must
@@ -392,13 +459,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
-  test("q_orders_subsample_ci: the x200 replicate explode collapses " +
-      "map-side before the only data shuffle") {
+  test("q_orders_subsample_ci: replicate memberships in ONE custom " +
+      "aggregate pass — no x200 row explode over data") {
     val p = plan("q_orders_subsample_ci")
-    // partial + final aggregate pair around the replicate shuffle; the
-    // CI selection window runs over 200 rows, never the explode output
-    assert(countOf(p, "HashAggregate") >= 2, p)
-    assert(p.contains("Generate explode"), p)
+    // all 200 (sum, count) pairs live in a single subsample_sums buffer;
+    // the only Generate unnests the 200-element result of the 1-row agg
+    assert(p.contains("subsample_sums"), p)
+    assert(countOf(p, "Generate explode") <= 1, p)
     val readSchema = p.linesIterator
       .filter(_.contains("ReadSchema")).mkString
     assert(!readSchema.contains("o_comment") &&
