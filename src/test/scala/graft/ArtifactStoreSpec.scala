@@ -31,6 +31,51 @@ class ArtifactStoreSpec extends AnyFunSuite {
     GraftCaches.release(spark)
   }
 
+  test("durable root: a labeling published by one session is READ, not " +
+      "recomputed, by the next; versions are immutable behind an atomic " +
+      "CURRENT pointer; corpora key by absolute path, not basename") {
+    val durableRoot = TestSpark.tmpDir("graft-durable-artifacts")
+    // two corpus dirs sharing a basename must not alias (r11 advice):
+    // same key + same-basename dirs, different content
+    val cA = TestSpark.tmpDir("corpusA") + "/sf"
+    val cB = TestSpark.tmpDir("corpusB") + "/sf"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cA))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cB))
+    // newSession(): fresh runtime conf over the shared context — and
+    // ArtifactStore keeps NO in-memory state beyond the (unused here)
+    // temp default root, so resolution in s2 can only come from disk
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactRoot", durableRoot)
+    import s1.implicits._
+    ArtifactStore.publish(s1, "lbl", cA)(Seq((1L, 10L)).toDF("v", "c"))
+    ArtifactStore.publish(s1, "lbl", cB)(Seq((2L, 20L)).toDF("v", "c"))
+    // second publish to the SAME (key, corpus) creates a NEW version;
+    // CURRENT repoints, the old version dir stays on disk untouched
+    ArtifactStore.publish(s1, "lbl", cA)(Seq((3L, 30L)).toDF("v", "c"))
+    // "cold" session, same durable root: readOrCompute must resolve the
+    // stored CURRENT version without ever invoking the compute thunk
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactRoot", durableRoot)
+    val gotA = ArtifactStore.readOrCompute(s2, "lbl", cA) {
+      fail("compute thunk invoked — durable artifact was not read")
+    }.collect()
+    assert(gotA.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((3L, 30L)))
+    val gotB = ArtifactStore.readOrCompute(s2, "lbl", cB) {
+      fail("compute thunk invoked — durable artifact was not read")
+    }.collect()
+    assert(gotB.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((2L, 20L)))
+    // every published version remains on disk as an immutable dir:
+    // two for corpus A (both kept after the repoint) + one for corpus B
+    import scala.jdk.CollectionConverters._
+    val versions = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(durableRoot)).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("v_")).toSeq
+    assert(versions.size === 3)
+  }
+
   test("lpa labeling: published artifact == fresh recompute, and " +
       "modularity reads the store") {
     val published = graft.operators.Relational.graphLabelProp(spark, sf)
