@@ -123,6 +123,14 @@ final case class FeedSource(
     while (fetched.isEmpty) {
       try fetched = Some(fetcher.fetch(feedUrl(name), dest))
       catch {
+        // TruncatedFeedException extends IOException, so without this
+        // guard a fetcher that detects truncation internally would be
+        // silently retried as a transient transport error — the
+        // integrity contract must raise through on the FIRST sighting
+        // no matter where it is thrown from.
+        case t: TruncatedFeedException =>
+          Files.deleteIfExists(dest)
+          throw t
         case e: java.io.IOException =>
           Files.deleteIfExists(dest) // never leave a poisoned staging file
           if (attempt >= FeedSource.MaxFetchAttempts) throw e

@@ -88,20 +88,48 @@ object NvdEtl {
     * (FAILFAST). The default is PERMISSIVE — a corrupt feed contributes
     * zero rows instead of poisoning a thousand-feed batch, the posture a
     * 100 TB crawl ingest actually wants.
+    *
+    * Schema-drift guard (the reference tracks feeds frozen at 1.1;
+    * NVD's successor API publishes `{"version": "2.0",
+    * "vulnerabilities": [...]}` envelopes): a 2.0-shaped file parses
+    * under the 1.1 schema as CVE_Items = null, and PERMISSIVE mode
+    * would turn that into a SILENTLY EMPTY load — the worst failure
+    * mode an incremental warehouse has. The read schema therefore
+    * carries two probe fields (`version`, `vulnerabilities`) that a 1.1
+    * feed never populates, and the envelope row raises loudly BEFORE
+    * the explode when the 2.0 markers appear without CVE_Items. The
+    * guard lives inside the explode input (a raise_error branch of the
+    * CaseWhen), so no separate envelope scan or eager action is added
+    * to the ingest hot path, and column pruning cannot drop it.
     */
   def ingest(spark: SparkSession, feedPath: String,
       schemaPath: String = DefaultSchemaPath,
-      strict: Boolean = false): DataFrame =
+      strict: Boolean = false): DataFrame = {
+    val itemsType = ArrayType(itemSchema(schemaPath))
+    val probeSchema = feedSchema(schemaPath)
+      .add(StructField("version", StringType))
+      .add(StructField("vulnerabilities",
+        ArrayType(StructType(Seq(StructField("cve",
+          StructType(Seq(StructField("id", StringType)))))))))
     spark.read
-      .schema(feedSchema(schemaPath))
+      .schema(probeSchema)
       .option("multiLine", value = true)
       .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
       // real NVD 1.1 feeds publish minute-precision timestamps
       // ("2019-04-09T20:15Z") — seconds and millis must both be optional
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm[:ss][.SSS]XXX")
       .json(feedPath)
-      .select(explode(col("CVE_Items")).as("item"))
+      .select(explode(
+        when(col("CVE_Items").isNull &&
+            (col("vulnerabilities").isNotNull || col("version").isNotNull),
+          raise_error(concat(
+            lit("NVD feed schema drift: expected a 1.1 feed with " +
+              "CVE_Items, found API-2.0 markers (version="),
+            coalesce(col("version"), lit("?")),
+            lit(s", file=$feedPath)"))).cast(itemsType))
+          .otherwise(col("CVE_Items"))).as("item"))
       .select("item.*")
+  }
 
   /** The reference transform's staging artifact (etl.py:94-116): scrubbed
     * CVE rows as newline-delimited JSON for a bulk loader. Our warehouse

@@ -81,6 +81,39 @@ class NvdEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nvd_ingest: a 2.0-API-shaped feed FAILS LOUDLY — never a " +
+      "silently-empty load (r11 verdict #7)") {
+    // the reference tracks feeds frozen at 1.1; NVD's successor API
+    // wraps CVEs as {"version":"2.0","vulnerabilities":[{"cve":{...}}]}.
+    // Under the 1.1 schema that parses as CVE_Items = null, and the
+    // PERMISSIVE default would load ZERO rows without complaint — an
+    // incremental warehouse would record a successful empty run forever
+    val dir = graft.TestSpark.tmpDir("nvd_v2")
+    val path = s"$dir/api2.json.gz"
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(path))
+    out.write(
+      """{"resultsPerPage":1,"startIndex":0,"totalResults":1,
+        |"format":"NVD_CVE","version":"2.0",
+        |"timestamp":"2024-01-01T00:00:00.000",
+        |"vulnerabilities":[{"cve":{"id":"CVE-2024-9999",
+        |  "sourceIdentifier":"cve@mitre.org","vulnStatus":"Analyzed"}}]}
+        |""".stripMargin.getBytes)
+    out.close()
+    for (strict <- Seq(false, true)) {
+      val e = intercept[Exception] {
+        NvdEtl.ingest(spark, path, strict = strict).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("schema drift")),
+        s"strict=$strict raised without the drift diagnostic: $e")
+    }
+    // and the guard adds no false positives: the 1.1 fixture still loads
+    assert(NvdEtl.ingest(spark, NvdEtl.FixtureAbsPath).count() > 0)
+  }
+
   test("nvd_ingest: unknown extra fields at any depth ingest losslessly " +
       "(reference bq.py:193 ignore_unknown_values)") {
     // a drifted feed: extra keys at the feed top level, inside an item,
