@@ -116,6 +116,17 @@ object ScaleCheck {
       .persist(StorageLevel.MEMORY_AND_DISK)
     println(s"SCALECHECK graph blocked_edges=${blocked.count()}")
     ccValidate("blocked", blocked)
+    // same phase under RELIABLE barriers (r11 verdict #6): every round
+    // of the pointer-jump fixpoint checkpoints to the durable dir
+    // instead of executor-local blocks — the 1000-executor
+    // loss-tolerance path, proven at drill volume, not toy-tested. The
+    // labeling invariants must hold identically; the timing delta IS
+    // the per-round FS-write cost.
+    if (!ccOnly) {
+      spark.conf.set(Barriers.ReliableBarrierConf, "true")
+      try ccValidate("blocked_reliable", blocked)
+      finally spark.conf.unset(Barriers.ReliableBarrierConf)
+    }
     blocked.unpersist()
     if (ccOnly) { pairs.unpersist(); return }
 
@@ -237,9 +248,141 @@ object ScaleCheck {
     pairs.unpersist()
   }
 
+  /** The centrality large-regime drill (r11 verdict #2): Brandes
+    * betweenness + the harmonic-closeness rollup on the generated
+    * power-law graph — the one iterative family the 25M-edge graph
+    * drill didn't reach, and the one whose per-(root, vertex) state
+    * (sorted predecessor/successor collect_list folds, bounded only by
+    * degree — 178k on this graph's hub) has memory behavior no shipped
+    * corpus exercises. Phases mirror betweennessCore's real stages via
+    * the stored-artifact seam: the forward pass publishes "brandes_vis"
+    * under a throwaway durable root (timed with its parquet
+    * materialization, exactly like a production shared pass), the DAG
+    * statistics pass measures the actual fold-list bounds (max
+    * predecessor group = the forward collect_list ceiling, max
+    * successor group = the backward one) and checks σ's exact-integer
+    * identity Σ_preds σ(v) = σ(w) — valid verbatim while σ < 2⁵³, where
+    * double addition is exact in any order — then betweennessCore runs
+    * sp + backward off the stored vis, and the closeness rollup reads
+    * the same artifact (the shared-pass contract at drill scale).
+    */
+  private def centralityDrill(spark: org.apache.spark.sql.SparkSession,
+      nDraws: Long): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    import operators.Relational
+    val v = nDraws / 10
+    val pairs = powerLawPairs(spark, nDraws, v)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = timed("cen_build_pairs")(pairs.count())
+    val sym = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    val verts = sym.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nV = verts.count()
+    val dmax = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    println(s"SCALECHECK centrality edges=$e vertices=$nV max_degree=$dmax")
+
+    val drillRoot = java.nio.file.Files
+      .createTempDirectory("graft-cen-drill").toString
+    spark.conf.set("spark.graft.artifactRoot", s"$drillRoot/store")
+    try {
+      // forward pass, published as the shared artifact (includes the
+      // parquet write a shared production pass pays)
+      val vis = timed("cen_forward_publish") {
+        val d = ArtifactStore.publish(spark, "brandes_vis", drillRoot)(
+          Relational.brandesForward(sym, verts))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        d.count(); d
+      }
+      val visStats = vis.agg(count(lit(1)).as("n"), max(col("lvl")).as("ml"),
+        max(col("sig")).as("ms")).head()
+      val sigExact = visStats.getDouble(2) < 9007199254740992.0 // 2^53
+      println(s"SCALECHECK centrality vis_rows=${visStats.getLong(0)} " +
+        s"max_level=${visStats.getInt(1)} " +
+        f"max_sigma=${visStats.getDouble(2)}%.6g sigma_exact=$sigExact")
+
+      // the shortest-path DAG, exactly as betweennessCore builds it:
+      // fold-list ceilings + the σ identity
+      val dag = timed("cen_dag_stats") {
+        val d = vis.select(col("root"), col("v"), col("lvl"),
+            col("sig").as("sigv"))
+          .join(sym, col("v") === col("src"))
+          .join(vis.select(col("root").as("wr"), col("v").as("w"),
+            col("lvl").as("wl"), col("sig").as("sigw")),
+            col("root") === col("wr") && col("dst") === col("w") &&
+              col("wl") === col("lvl") + 1)
+          .select(col("root"), col("v"), col("w"), col("sigv"), col("sigw"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        d.count(); d
+      }
+      val predAgg = dag.groupBy(col("root"), col("w"))
+        .agg(count(lit(1)).as("n_pred"), sum(col("sigv")).as("psum"),
+          first(col("sigw")).as("sigw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      predAgg.count()
+      val foldStats = predAgg.agg(max(col("n_pred"))).head().getLong(0)
+      val succMax = dag.groupBy(col("root"), col("v"))
+        .agg(count(lit(1)).as("n_succ"))
+        .agg(max(col("n_succ"))).head().getLong(0)
+      val sigBad =
+        if (sigExact) predAgg.filter(col("psum") =!= col("sigw")).count()
+        else -1L
+      println(s"SCALECHECK centrality dag_rows=${dag.count()} " +
+        s"max_pred_fold=$foldStats max_succ_fold=$succMax " +
+        s"sigma_identity_violations=$sigBad " +
+        s"ok=${sigBad == 0L || !sigExact}")
+      predAgg.unpersist(); dag.unpersist()
+
+      // full betweenness off the STORED forward pass (sp + backward are
+      // what this phase times), then the closeness rollup off the same
+      // artifact — the shared-pass contract at drill volume
+      val bc = timed("cen_betweenness") {
+        val b = Relational.betweennessCore(spark, sym, Some(drillRoot))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        b.count(); b
+      }
+      val top = bc.orderBy(col("centrality").desc, col("v")).head()
+      val bcStats = bc.agg(count(lit(1)).as("n"),
+        min(col("centrality")).as("cmin")).head()
+      println(s"SCALECHECK centrality betweenness_rows=${bcStats.getLong(0)} " +
+        f"min=${bcStats.getDouble(1)}%.6f top_v=${top.getLong(0)} " +
+        f"top_centrality=${top.getDouble(1)}%.1f " +
+        s"ok=${bcStats.getLong(0) == nV && bcStats.getDouble(1) >= 0.0}")
+      bc.unpersist()
+      val close = timed("cen_closeness_rollup") {
+        val h = ArtifactStore.readOrCompute(spark, "brandes_vis", drillRoot)(
+          sys.error("forward pass must come from the store"))
+          .filter(col("lvl") > 0)
+          .groupBy(col("v"))
+          .agg(count(lit(1)).as("n_roots_reached"),
+            sum(expr("27720 div lvl")).as("hnum"))
+          .agg(count(lit(1)).as("n"), max(col("n_roots_reached")).as("mr"),
+            min(col("hnum")).as("hmin")).head()
+        h
+      }
+      println(s"SCALECHECK centrality closeness_rows=${close.getLong(0)} " +
+        s"max_roots=${close.getLong(1)} min_hnum=${close.getLong(2)} " +
+        s"ok=${close.getLong(1) <= 8L && close.getLong(2) > 0L}")
+      vis.unpersist()
+    } finally {
+      spark.conf.unset("spark.graft.artifactRoot")
+    }
+    sym.unpersist(); verts.unpersist(); pairs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(32)
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("centrality")) {
+      centralityDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(25000000L))
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(a => a == "graph" || a == "graphcc")) {
       graphDrill(spark,
         args.drop(1).headOption.map(_.toLong).getOrElse(25000000L),
