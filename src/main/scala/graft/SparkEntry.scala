@@ -79,6 +79,7 @@ object SparkEntry {
     "q_size_price_spearman" -> (Relational.qSizePriceSpearman _),
     "q_value_mannwhitney" -> (Relational.qValueMannwhitney _),
     "q_benford_audit" -> (Relational.qBenfordAudit _),
+    "q_rank_join" -> (Relational.qRankJoin _),
     "q_orders_holt" -> (Relational.qOrdersHolt _),
     "q_customer_mahalanobis" -> (Relational.qCustomerMahalanobis _),
     "q_orders_theilsen" -> (Relational.qOrdersTheilsen _),
@@ -859,6 +860,29 @@ object SparkEntry {
                            CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))),
                       6) AS z
          FROM m ORDER BY dow""",
+
+    // the oracle is the BRUTE-FORCE scored join + global sort the
+    // threshold algorithm avoids — a truncating early exit, a wrong
+    // bound, or a dropped boundary tie hash-mismatches; decimal sums
+    // mirror the discPrice cast discipline, and the ORDER BY runs on
+    // the DECIMAL score (bit-stable), with the double cast only in the
+    // projection
+    "q_rank_join" ->
+      """WITH cr AS (SELECT o_custkey AS custkey,
+                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS crev
+                     FROM orders GROUP BY 1),
+              sr AS (SELECT l_suppkey AS suppkey,
+                        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS srev
+                     FROM lineitem GROUP BY 1),
+              br AS (SELECT DISTINCT o_custkey AS custkey,
+                        l_suppkey AS suppkey
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+         SELECT br.custkey, br.suppkey,
+                CAST(cr.crev + sr.srev AS DOUBLE) AS pair_score
+         FROM br JOIN cr USING (custkey) JOIN sr USING (suppkey)
+         ORDER BY cr.crev + sr.srev DESC, br.custkey, br.suppkey
+         LIMIT 20""",
 
     // first digit from the DECIMAL's canonical string (no float log10);
     // Benford expectations are shared 6dp literals; shares are single

@@ -4676,4 +4676,122 @@ object Relational {
           .as("modularity"))
       .orderBy(col("community_type"), col("community_key"))
   }
+
+  /** §2.2 q_rank_join: top-k JOIN via the threshold algorithm (Fagin /
+    * Ilyas et al.'s rank join) — the ITERATIIVE-DEEPENING plan shape: the
+    * top 20 (customer, supplier) trading pairs by combined standing
+    * (customer's total order value + supplier's total shipped revenue),
+    * where a pair counts only if it actually traded (a distinct
+    * customer–supplier bridge through orders⋈lineitem). The naive plan
+    * scores EVERY bridge pair and sorts the corpus-sized result; the
+    * rank join reads only top SLICES of the two ranked inputs, joins
+    * them through the bridge, and STOPS as soon as the k-th found score
+    * beats the best score any unseen pair could still reach —
+    * bound = max(τ_c + max_s, max_c + τ_s) with τ = the slice's last
+    * included value (any pair outside the slices has one side ≤ its τ).
+    *
+    * Exactness: revenues are DECIMAL-exact sums (the discPrice cast
+    * discipline); the driver compares decimals, never doubles;
+    * termination requires kth > bound STRICTLY, so boundary ties can
+    * never be displaced by an unseen pair under the (score DESC,
+    * custkey, suppkey) total order; and when the deepening c reaches
+    * both input sizes the slices are total — the loop degrades to the
+    * exact full join, so the cap never truncates (it THROWS only on a
+    * logic error, per the fixpoint-cap contract).
+    *
+    * Scale shape: the ranked inputs and the slim-id bridge are each ONE
+    * map-side-combined aggregate/distinct (the only data-sized
+    * shuffles); every round joins the bridge against two BROADCAST
+    * ≤c-row slices and TakeOrders k=20 — no corpus-sized sort, no
+    * scored materialization of the full bridge, and the per-round
+    * driver state is k rows + four scalars. At 100 TB with skewed
+    * revenue the loop terminates at small c; the worst case is the
+    * exact join every other engine pays up front.
+    */
+  def qRankJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cr = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("crev"))
+    val sr = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(sum(discPrice).as("srev"))
+    val bridge = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_suppkey").as("suppkey")),
+        Seq("o_orderkey"))
+      .select(col("custkey"), col("suppkey"))
+      .distinct()
+    rankJoinCore(cr, sr, bridge, 20)._1
+  }
+
+  /** The threshold-algorithm loop under [[qRankJoin]], over generic
+    * ranked relations `cr` (custkey, crev), `sr` (suppkey, srev) and a
+    * slim `bridge` (custkey, suppkey): (top-k relation, rounds taken).
+    * Split out so RankJoinSpec can grade early termination and forced
+    * deepening on closed-form inputs against a brute-force join.
+    */
+  private[graft] def rankJoinCore(cr0: DataFrame, sr0: DataFrame,
+      bridge0: DataFrame, k: Int): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = cr0.sparkSession
+    val cr = cr0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sr = sr0.persist(StorageLevel.MEMORY_AND_DISK)
+    val bridge = bridge0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nC = cr.count() // eager: sliced every round
+    val nS = sr.count()
+    bridge.count() // eager: joined every round
+    def bd(r: org.apache.spark.sql.Row, i: Int): java.math.BigDecimal =
+      r.getDecimal(i)
+    val maxes = cr.agg(max(col("crev"))).head()
+    val maxC = bd(maxes, 0)
+    val maxS = bd(sr.agg(max(col("srev"))).head(), 0)
+    var c = 64L
+    var rounds = 0
+    var result: Option[DataFrame] = None
+    while (result.isEmpty) {
+      rounds += 1
+      // a logic-error backstop, NEVER a truncation: c covers both
+      // inputs long before 40 quadruplings (the full-coverage branch
+      // below is the guaranteed exit)
+      require(rounds <= 40, s"rank join failed to converge: c=$c")
+      val cInt = c.min(Int.MaxValue.toLong).toInt // limit() takes Int;
+      // past 2^31 ranked rows the TA must have terminated on the bound
+      // (or the round cap raises loudly — never a silent truncation)
+      val cs = cr.orderBy(col("crev").desc, col("custkey")).limit(cInt)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ss = sr.orderBy(col("srev").desc, col("suppkey")).limit(cInt)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cs.count(); ss.count() // eager: threshold row + candidate join
+      val cand = bridge
+        .join(broadcast(cs), Seq("custkey"))
+        .join(broadcast(ss), Seq("suppkey"))
+        .select(col("custkey"), col("suppkey"),
+          (col("crev") + col("srev")).as("score"))
+      val topk = cand
+        .orderBy(col("score").desc, col("custkey"), col("suppkey"))
+        .limit(k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val found = topk.count()
+      val full = c >= nC && c >= nS
+      if (full) result = Some(topk)
+      else if (found == k) {
+        // τ = the slice's smallest included value: any unseen pair has
+        // one side at or below its τ
+        val tauC = bd(cs.agg(min(col("crev"))).head(), 0)
+        val tauS = bd(ss.agg(min(col("srev"))).head(), 0)
+        val bound = tauC.add(maxS).max(maxC.add(tauS))
+        val kth = bd(topk.agg(min(col("score"))).head(), 0)
+        if (kth.compareTo(bound) > 0) result = Some(topk)
+      }
+      if (result.isEmpty) { topk.unpersist(); c *= 4 }
+      cs.unpersist(); ss.unpersist()
+    }
+    val out = result.get
+      .select(col("custkey"), col("suppkey"),
+        col("score").cast("double").as("pair_score"))
+      .orderBy(col("pair_score").desc, col("custkey"), col("suppkey"))
+    (out, rounds)
+  }
 }
