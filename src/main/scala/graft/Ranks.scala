@@ -1,8 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed exact ranking — the two-pass (range sort + zipWithIndex)
@@ -31,17 +30,13 @@ object Ranks {
 
   /** All input columns plus `out` = the exact 1-based position of each
     * row in the total order `order` — which MUST carry a unique
-    * tie-break for the rank to be deterministic.
+    * tie-break for the rank to be deterministic. The position appends
+    * on the internal-row iterator ([[org.apache.spark.sql.graft
+    * .RankSupport]]): no external-Row boxing in either direction.
     */
-  def rowNumber(df: DataFrame, out: String, order: Column*): DataFrame = {
-    val sorted = df.sort(order: _*)
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def rowNumber(df: DataFrame, out: String, order: Column*): DataFrame =
+    org.apache.spark.sql.graft.RankSupport.withPosition(
+      df.sort(order: _*), out)
 
   /** Per-group dense 1-based rank plus the group's row count: one
     * global [[rowNumber]] over (group, order), then each group's

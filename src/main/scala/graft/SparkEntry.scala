@@ -503,9 +503,12 @@ object SparkEntry {
     */
   /** The k-source Brandes oracle, unrolled to
     * [[graft.operators.Relational.BetweennessMaxLevel]] forward and
-    * backward steps — every aggregation a list_reduce over an
-    * explicitly ORDERed list so the doubles fold in the identical order
-    * as the Spark plan's sorted collect_list folds.
+    * backward steps. Forward σ is a plain sum — path counts are
+    * integers far below 2⁵³ (drill-asserted), where double addition is
+    * exact in any order. Every BACKWARD aggregation (δ is a genuine
+    * float) is a list_reduce over an explicitly ORDERed list so the
+    * doubles fold in the identical order as the Spark plan's sorted
+    * collect_list folds.
     */
   /** The Brandes forward-pass CTE chain (cs, e, verts, roots, fN, vis) shared
     * by [[betweennessOracle]] and [[closenessOracle]] — both oracles
@@ -515,7 +518,7 @@ object SparkEntry {
   private def brandesForwardCtes(maxLvl: Int): String = {
     val fwd = (1 to maxLvl).map { k =>
       s"""f$k AS MATERIALIZED (SELECT t.root, t.dst AS v,
-             list_reduce(list(t.sig ORDER BY t.u), (a, b) -> a + b) AS sig
+             sum(t.sig) AS sig
            FROM (SELECT p.root, p.v AS u, e.dst, p.sig
                  FROM f${k - 1} p JOIN e ON e.src = p.v
                  WHERE NOT EXISTS (SELECT 1 FROM vz${k - 1} z

@@ -2316,13 +2316,16 @@ object Relational {
     * standard scalable estimator (exact all-pairs is O(V·E)); the
     * source set is deterministic, not sampled.
     *
-    * Float discipline, cross-engine exact: σ and δ are doubles, but
-    * EVERY aggregation in both passes is a SEQUENTIAL fold over a
-    * sorted list (predecessor-sorted for σ, successor-sorted for δ,
-    * root-sorted for the final sum — the d2/list_reduce pattern), so
-    * both engines add the identical doubles in the identical order and
-    * the 6dp landing is bit-safe. σ beyond 2⁵³ would degrade to an
-    * approximation gracefully — identically on both engines.
+    * Float discipline, cross-engine exact: σ is an INTEGER quantity
+    * (path counts) far below 2⁵³ (max 18,537 at the 25M-edge drill,
+    * which also asserts Σ_preds σ(v) = σ(w) over every DAG row), so
+    * the forward pass is a plain order-free sum — exact in any
+    * aggregation order on both engines, no sorted fold, no
+    * degree-bounded collect_list. δ is a genuine float (σv/σw ratios),
+    * so every BACKWARD aggregation stays a SEQUENTIAL fold over a
+    * sorted list (successor-sorted for δ, root-sorted for the final
+    * sum — the d2/list_reduce pattern): both engines add the identical
+    * doubles in the identical order and the 6dp landing is bit-safe.
     *
     * Scale shape: the edge cache is stationary (persisted, eagerly
     * counted); each BFS round shuffles only the slim (root, vertex, σ)
@@ -2403,9 +2406,6 @@ object Relational {
   private[graft] def brandesForward(edges: DataFrame,
       verts: DataFrame): DataFrame = {
     val roots = verts.orderBy(col("v")).limit(8).select(col("v").as("root"))
-    // sequential sorted fold: both engines reduce the list left-to-right
-    def fold(lst: org.apache.spark.sql.Column, field: String) =
-      aggregate(lst, lit(0.0), (acc, x) => acc + x.getField(field))
     var frontier = graft.Barriers.roundBarrier(
       roots.select(col("root"), col("root").as("v"), lit(0).as("lvl"),
         lit(1.0).as("sig")))
@@ -2417,16 +2417,26 @@ object Relational {
     var lvl = 0
     var more = frontier.count() > 0
     while (more && lvl < BetweennessMaxLevel) {
+      // σ is an INTEGER quantity (path counts: σ_w = Σ_preds σ_v with
+      // σ_root = 1, integral by induction), so the per-predecessor sum
+      // needs no sorted fold — integer-valued double addition is exact
+      // in ANY order below 2⁵³, and both engines aggregate the
+      // identical multiset (the 25M-edge centrality drill checks the
+      // identity Σ_preds σ(v) = σ(w) over every DAG row and measured
+      // max σ = 18,537 — nine orders under the boundary). This keeps
+      // the forward pass a plain map-side-combined aggregate: no
+      // collect_list bounded only by in-degree (178k on the drill hub).
+      // The backward δ folds stay SORTED (genuine floats — σv/σw
+      // ratios — where addition order matters for bit parity).
       val nxt = frontier
         .join(edges, col("v") === col("src"))
         .join(visited.select(col("root").as("vr"), col("v").as("vv")),
           col("root") === col("vr") && col("dst") === col("vv"),
           "left_anti")
         .groupBy(col("root"), col("dst"))
-        .agg(sort_array(collect_list(struct(col("v").as("u"),
-          col("sig").as("s")))).as("lst"))
+        .agg(sum(col("sig")).as("sig"))
         .select(col("root"), col("dst").as("v"), lit(lvl + 1).as("lvl"),
-          fold(col("lst"), "s").as("sig"))
+          col("sig"))
       frontier = graft.Barriers.roundBarrier(nxt)
       parts ::= frontier
       lvl += 1
