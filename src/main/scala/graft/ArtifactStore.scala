@@ -48,22 +48,35 @@ object ArtifactStore {
   private def keyDir(spark: SparkSession, key: String, dir: String): Path =
     Paths.get(root(spark), corpusKey(dir), key)
 
-  /** The version dir CURRENT points at, if a published version exists. */
+  /** The version dir CURRENT points at, if a published version exists
+    * AND its directory is still on disk: under a durable root a
+    * retention sweep (or an out-of-band delete) can orphan the pointer,
+    * and resolving it anyway would surface as an opaque parquet path
+    * error in the reader — a dangling pointer instead reads as "no
+    * version", so readOrCompute recomputes and republishes.
+    */
   private def current(kd: Path): Option[Path] = {
     val cur = kd.resolve("CURRENT")
-    if (Files.exists(cur))
-      Some(kd.resolve(new String(Files.readAllBytes(cur), UTF_8).trim))
-    else None
+    if (Files.exists(cur)) {
+      val v = kd.resolve(new String(Files.readAllBytes(cur), UTF_8).trim)
+      if (Files.isDirectory(v)) Some(v) else None
+    } else None
   }
 
   /** Write `df` as a new immutable version and atomically repoint
     * CURRENT at it; returns the version dir. Old versions are left in
-    * place (readers may still hold them) — retention is the warehouse
-    * owner's policy, mirroring Warehouse.retention.
+    * place (readers may still hold them) — [[prune]] is the retention
+    * API, mirroring Warehouse.retain. Version names are a zero-padded
+    * nanos timestamp (so lexicographic name order IS publish order) plus
+    * a random suffix: nanoTime alone has no cross-JVM uniqueness
+    * guarantee, and two sessions publishing in the same nanosecond must
+    * never collide into one directory (errorifexists would at least be
+    * loud, the suffix makes it a non-event).
     */
   private def writeVersion(kd: Path, df: DataFrame): Path = {
     Files.createDirectories(kd)
-    val v = s"v_${System.nanoTime()}"
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val v = f"v_${System.nanoTime()}%019d_$suffix"
     val target = kd.resolve(v)
     df.write.mode("errorifexists").parquet(target.toString)
     val tmp = kd.resolve(s".CURRENT.$v.tmp")
@@ -96,5 +109,35 @@ object ArtifactStore {
     val kd = keyDir(spark, key, dir)
     val p = current(kd).getOrElse(writeVersion(kd, compute))
     spark.read.parquet(p.toString)
+  }
+
+  /** Retention: keep the newest `keep` versions of artifact `key` for
+    * corpus `dir` (by publish order — the zero-padded-nanos name), NEVER
+    * deleting the CURRENT target even if it falls outside the window
+    * (a concurrent publisher may have repointed since we listed).
+    * Returns the number of version dirs deleted. A reader still holding
+    * an old version's path owns its lifetime — the same contract as
+    * Warehouse.compact's swap (readers re-resolve CURRENT per read).
+    * Under a daily-cron pipeline (the reference's cadence,
+    * bq-nvd/cronjob.yml) this bounds the store at `keep` labeling
+    * copies instead of one per day forever.
+    */
+  def prune(spark: SparkSession, key: String, dir: String,
+      keep: Int): Int = synchronized {
+    require(keep >= 1, s"prune must keep at least the CURRENT version: $keep")
+    val kd = keyDir(spark, key, dir)
+    if (!Files.isDirectory(kd)) return 0
+    val cur = current(kd).map(_.getFileName.toString)
+    val versions = kd.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .sortBy(_.getName)(Ordering[String].reverse)
+    val drop = versions.drop(keep).filterNot(f => cur.contains(f.getName))
+    drop.foreach(deleteRecursively)
+    drop.length
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    Files.delete(f.toPath)
   }
 }

@@ -2788,26 +2788,46 @@ object Relational {
     * planning standard: how many SKUs carry the business.
     *
     * Scale shape: the fact table collapses to a per-part decimal rollup
-    * first (ONE map-side-combined shuffle) — the cumulative-share window
-    * runs over the PART-LEVEL relation, whose size is the catalog
-    * (200k/SF unit), never order volume; its single-partition global
-    * order is the price of an exact corpus-wide Pareto curve and is
-    * bounded by the dimension. The grand total broadcasts as a 1-row
-    * relation; class cuts compare scaled DECIMALS (100·cum < 70·total) —
-    * no float ever decides a class, and only the 3-row class rollup
-    * leaves as double.
+    * first (ONE map-side-combined shuffle). The part catalog scales WITH
+    * the corpus (TPC-H scales part linearly in SF), so the exact
+    * corpus-wide cumulative revenue is NOT a global window: the total
+    * order (r desc, pk) becomes an exact distributed rank
+    * ([[graft.Ranks.rowNumber]] — range sort + zipWithIndex, every
+    * partition bounded n/P), the rank splits into ≤256 contiguous blocks
+    * of ⌈n/256⌉ rows (a PREFIX decomposition of the total order, the
+    * pipeline_token_budget two-level idiom with the rank itself as the
+    * shard key), per-block running sums keep every window partition
+    * bounded at n/256, and block offsets come from a triangular
+    * broadcast self-join over the ≤256-row block-total relation. The
+    * grand total broadcasts as a 1-row relation; class cuts compare
+    * scaled DECIMALS (100·cum < 70·total) — no float ever decides a
+    * class, and only the 3-row class rollup leaves as double.
     */
   def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val dec = DecimalType(18, 2)
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("l_extendedprice").cast(dec) *
         (lit(1) - col("l_discount").cast(dec))).as("r"))
-    val tot = rev.agg(sum(col("r")).as("trev"))
-    val cumWin = Window.orderBy(col("r").desc, col("pk"))
+    val ranked = graft.Ranks.rowNumber(rev, "rk", col("r").desc, col("pk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranked.count() // eager: row count, grand total, block totals, final
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val tot = ranked.agg(sum(col("r")).as("trev"))
+    val blocked = ranked.crossJoin(broadcast(n))
+      .withColumn("blk", expr("(rk - 1) div ((n + 255) div 256)"))
+      .drop("n")
+    val blkTot = blocked.groupBy(col("blk")).agg(sum(col("r")).as("bt"))
+    val off = blkTot.as("a")
+      .join(blkTot.as("p"), col("p.blk") < col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("p.bt")), lit(0)).as("blk_off"))
+    val cumWin = Window.partitionBy(col("blk")).orderBy(col("rk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    rev
-      .withColumn("cumb", coalesce(sum(col("r")).over(cumWin), lit(0)))
+    blocked.join(broadcast(off), Seq("blk"))
+      .withColumn("cumb",
+        col("blk_off") + coalesce(sum(col("r")).over(cumWin), lit(0)))
       .crossJoin(broadcast(tot))
       .select(col("r"),
         when(col("cumb") * 100 < col("trev") * 70, lit("A"))
@@ -4321,6 +4341,8 @@ object Relational {
     val ev = Tables.events(spark, dir)
       .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
         col("value"), col("event_id"))
+      .persist()
+    ev.count() // eager: the n agg and the rank sort both consume
     val n = ev.agg(count(lit(1)).as("nn"))
     val cells = graft.Ranks.rowNumber(ev, "rk", col("value"), col("event_id"))
       .crossJoin(broadcast(n))
@@ -4741,9 +4763,21 @@ object Relational {
     * slim `bridge` (custkey, suppkey): (top-k relation, rounds taken).
     * Split out so RankJoinSpec can grade early termination and forced
     * deepening on closed-form inputs against a brute-force join.
+    *
+    * INPUT CONTRACT: the ranked relations must be DIMENSION-sized
+    * (per-entity aggregates — customers, suppliers), never fact-sized:
+    * each deepening round materializes an `orderBy().limit(c)` slice of
+    * each side, and limit's final merge is a single-partition
+    * TakeOrdered — fine for a ≤c-row dimension slice, a driver-adjacent
+    * merge of the whole relation if the full-coverage exit ever runs on
+    * a fact table. The require throws loudly (the fixpoint-cap
+    * contract) instead of letting that plan shape ship silently.
     */
+  private[graft] val RankJoinMaxRankedRows = 100000000L
+
   private[graft] def rankJoinCore(cr0: DataFrame, sr0: DataFrame,
-      bridge0: DataFrame, k: Int): (DataFrame, Int) = {
+      bridge0: DataFrame, k: Int,
+      maxRanked: Long = RankJoinMaxRankedRows): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = cr0.sparkSession
     val cr = cr0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -4751,6 +4785,10 @@ object Relational {
     val bridge = bridge0.persist(StorageLevel.MEMORY_AND_DISK)
     val nC = cr.count() // eager: sliced every round
     val nS = sr.count()
+    require(nC <= maxRanked && nS <= maxRanked,
+      s"rank join inputs must be dimension-sized (≤$maxRanked " +
+        s"ranked rows; got $nC / $nS): the per-round slice and the " +
+        "full-coverage exit are TakeOrdered merges bounded by the input")
     bridge.count() // eager: joined every round
     def bd(r: org.apache.spark.sql.Row, i: Int): java.math.BigDecimal =
       r.getDecimal(i)
@@ -4784,7 +4822,11 @@ object Relational {
         .limit(k)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val found = topk.count()
-      val full = c >= nC && c >= nS
+      // full coverage is judged on the SLICED count cInt, not the raw
+      // deepening counter c: if c saturated Int.MaxValue while an input
+      // is larger, the slices are NOT total and declaring them so would
+      // silently truncate — instead the rounds require above fires
+      val full = cInt.toLong >= nC && cInt.toLong >= nS
       if (full) result = Some(topk)
       else if (found == k) {
         // τ = the slice's smallest included value: any unseen pair has
@@ -4798,10 +4840,14 @@ object Relational {
       if (result.isEmpty) { topk.unpersist(); c *= 4 }
       cs.unpersist(); ss.unpersist()
     }
+    // order on the exact DECIMAL score (the oracle's ORDER BY key) and
+    // cast to double only in the select list: two distinct decimals
+    // collapsing to one double must still order by decimal, not by the
+    // (custkey, suppkey) tie-break
     val out = result.get
+      .orderBy(col("score").desc, col("custkey"), col("suppkey"))
       .select(col("custkey"), col("suppkey"),
         col("score").cast("double").as("pair_score"))
-      .orderBy(col("pair_score").desc, col("custkey"), col("suppkey"))
     (out, rounds)
   }
 }

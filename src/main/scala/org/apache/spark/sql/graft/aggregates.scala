@@ -412,9 +412,23 @@ case class SubsampleSums(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * b)
 
+  // largest key whose k·2654435761 stays inside Long: past it the raw
+  // multiply wraps SILENTLY to a negative h0 and biases replicate
+  // inclusion, where the SQL expression this aggregate replaced failed
+  // loudly under ANSI overflow — so fail loudly here too (the
+  // fixpoint-cap contract: caps THROW, never silently degrade)
+  private val MaxKey = Long.MaxValue / 2654435761L
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val k = key.eval(input).asInstanceOf[Long]
-    val v = value.eval(input).asInstanceOf[Long]
+    val kAny = key.eval(input)
+    val vAny = value.eval(input)
+    // a null key/value drops the row, like the pre-aggregate filter did
+    // (SQL aggregates skip nulls; unboxing null to 0L would invent a row)
+    if (kAny == null || vAny == null) return buf
+    val k = kAny.asInstanceOf[Long]
+    val v = vAny.asInstanceOf[Long]
+    require(k >= 0 && k <= MaxKey,
+      s"subsample_sums key out of hash range [0, $MaxKey]: $k")
     val h0 = (k * 2654435761L) % M
     var r = 0
     while (r < b) {

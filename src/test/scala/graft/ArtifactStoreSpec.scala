@@ -90,4 +90,51 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(modPlan.contains("Scan parquet"), modPlan)
     GraftCaches.release(spark)
   }
+
+  test("prune: keep-last-N retention drops old versions, never the " +
+      "CURRENT target; a dangling CURRENT pointer recomputes instead of " +
+      "surfacing a parquet path error") {
+    val root = TestSpark.tmpDir("graft-prune-artifacts")
+    val corpus = TestSpark.tmpDir("prune-corpus")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactRoot", root)
+    import s1.implicits._
+    for (i <- 1 to 4)
+      ArtifactStore.publish(s1, "lbl", corpus)(
+        Seq((i.toLong, i.toLong * 10)).toDF("v", "c"))
+    def versions(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("v_")).toSeq
+    }
+    assert(versions().size === 4)
+    // keep the newest 2 of 4: the two oldest version dirs go
+    assert(ArtifactStore.prune(s1, "lbl", corpus, keep = 2) === 2)
+    assert(versions().size === 2)
+    // CURRENT survives and still resolves to the latest publish
+    val cur = ArtifactStore.readOrCompute(s1, "lbl", corpus) {
+      fail("compute thunk invoked — CURRENT should have survived prune")
+    }.collect()
+    assert(cur.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((4L, 40L)))
+    // pruning again is a no-op (both survivors are inside the window)
+    assert(ArtifactStore.prune(s1, "lbl", corpus, keep = 2) === 0)
+    // dangling pointer (an out-of-band sweep deleted the version dirs
+    // but left CURRENT): readOrCompute must recompute + republish, not
+    // throw an opaque path error
+    versions().foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    val recomputed = ArtifactStore.readOrCompute(s1, "lbl", corpus)(
+      Seq((9L, 90L)).toDF("v", "c")).collect()
+    assert(recomputed.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((9L, 90L)))
+    assert(versions().size === 1)
+  }
 }

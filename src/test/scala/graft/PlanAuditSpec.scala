@@ -318,7 +318,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // through a global window lands here as a diff and fails.
     val allow = Map(
       "graph_modularity" -> "community relation (LPA label count)",
-      "q_abc_analysis" -> "part dimension (Pareto curve; documented)",
       "q_benford_audit" -> "9 leading-digit rows",
       "q_customer_survival" -> "lifetime-month grain",
       "q_events_tail_dependence" -> "daily grain (calendar-bounded)",

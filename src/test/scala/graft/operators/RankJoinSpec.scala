@@ -95,4 +95,23 @@ class RankJoinSpec extends AnyFunSuite {
     assert(got(res).map(_._1) === (0L until 10L))
     assert(rounds >= 2, "an all-tied grid cannot bind before full coverage")
   }
+
+  test("input contract: a ranked input past the dimension-size ceiling " +
+      "THROWS loudly instead of shipping a driver-adjacent merge") {
+    import spark.implicits._
+    // the per-round orderBy().limit(c) slice — and the full-coverage
+    // exit — are single-partition TakeOrdered merges bounded by the
+    // ranked input; a fact-sized input must be rejected up front, never
+    // silently planned (the fixpoint-cap contract: caps THROW)
+    val cr = rel((0L until 50L).map(i => (i, "10.00")), "custkey", "crev")
+    val sr = rel((0L until 50L).map(i => (i, "20.00")), "suppkey", "srev")
+    val bridge = (0L until 50L).map(i => (i, i)).toDF("custkey", "suppkey")
+    val e = intercept[IllegalArgumentException] {
+      Relational.rankJoinCore(cr, sr, bridge, 5, maxRanked = 49L)
+    }
+    assert(e.getMessage.contains("dimension-sized"), e.getMessage)
+    // and at the default ceiling the same inputs run to the exact top-k
+    assert(got(Relational.rankJoinCore(cr, sr, bridge, 5)._1) ===
+      brute(cr, sr, bridge, 5))
+  }
 }
