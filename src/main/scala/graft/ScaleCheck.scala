@@ -331,10 +331,17 @@ object ScaleCheck {
       val sigBad =
         if (sigExact) predAgg.filter(col("psum") =!= col("sigw")).count()
         else -1L
+      // max_succ_fold IS the backward δ fold width betweennessCore
+      // guards (one sorted successor list per (root, v) row): the drill
+      // asserts the measured hub width sits inside the loud cap, so the
+      // guard can never fire at drilled scale and MUST fire before an
+      // executor OOM past it
+      val foldCap = Relational.BrandesMaxFoldWidth
       println(s"SCALECHECK centrality dag_rows=${dag.count()} " +
         s"max_pred_fold=$foldStats max_succ_fold=$succMax " +
+        s"fold_cap=$foldCap " +
         s"sigma_identity_violations=$sigBad " +
-        s"ok=${sigBad == 0L || !sigExact}")
+        s"ok=${(sigBad == 0L || !sigExact) && succMax <= foldCap}")
       predAgg.unpersist(); dag.unpersist()
 
       // full betweenness off the STORED forward pass (sp + backward are
@@ -374,9 +381,63 @@ object ScaleCheck {
     sym.unpersist(); verts.unpersist(); pairs.unpersist()
   }
 
+  /** HITS at drill volume (r12 verdict #4): the one iterative operator
+    * the graph/centrality drills never exercised. graph_hits's
+    * decimal(38,0) unnormalized sums are its only overflow surface —
+    * the documented sf0.1 bigint-cast margin is ~1e4, and a power-law
+    * hub is the actual probe: each of the 3 alternating-key rounds
+    * multiplies the hub's score by its degree-weighted neighborhood, so
+    * the drill measures how much headroom the EXACT production rounds
+    * ([[operators.Relational.hitsCore]]) leave against both ceilings
+    * (the final BIGINT cast at 2⁶³, the decimal(38,0) accumulator at
+    * 1e38) on a graph three orders past the bench SF.
+    */
+  private def hitsDrill(spark: org.apache.spark.sql.SparkSession,
+      nDraws: Long): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    import operators.Relational
+    val v = nDraws / 10
+    // directed bipartite (c, s): power-law c-side (the 2%-of-edges hub
+    // customer), uniform s-side — same generator as the other drills
+    val cs = powerLawPairs(spark, nDraws, v)
+      .select(col("i").as("c"), col("j").as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = timed("hits_build_edges")(cs.count())
+    val dmax = cs.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    println(s"SCALECHECK hits edges=$e max_out_degree=$dmax")
+    val (h3, a3) = timed("hits_3_rounds")(Relational.hitsCore(cs))
+    val hs = h3.agg(count(lit(1)).as("n"), sum(when(col("h").isNull, 1L)
+        .otherwise(0L)).as("nulls"), max(col("h")).as("mx")).head()
+    val as = a3.agg(count(lit(1)).as("n"), sum(when(col("a").isNull, 1L)
+        .otherwise(0L)).as("nulls"), max(col("a")).as("mx")).head()
+    val maxScore = hs.getDecimal(2).max(as.getDecimal(2))
+    // margins: orders of magnitude of headroom under each ceiling
+    val bigintCeil = new java.math.BigDecimal(Long.MaxValue)
+    val dec38Ceil = new java.math.BigDecimal(java.math.BigInteger.TEN.pow(38))
+    def oom(ceil: java.math.BigDecimal) =
+      math.log10(ceil.divide(maxScore, java.math.MathContext.DECIMAL64)
+        .doubleValue())
+    val mBig = oom(bigintCeil)
+    val mDec = oom(dec38Ceil)
+    println(f"SCALECHECK hits h_rows=${hs.getLong(0)} a_rows=${as.getLong(0)} " +
+      s"null_sums=${hs.getLong(1) + as.getLong(1)} " +
+      f"max_score=${maxScore.toPlainString} " +
+      f"margin_bigint_oom=$mBig%.2f margin_dec38_oom=$mDec%.2f " +
+      s"ok=${hs.getLong(1) + as.getLong(1) == 0L && mBig >= 1.0}")
+    h3.unpersist(); a3.unpersist(); cs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(32)
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("hits")) {
+      hitsDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(25000000L))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("centrality")) {
       centralityDrill(spark,
         args.drop(1).headOption.map(_.toLong).getOrElse(25000000L))

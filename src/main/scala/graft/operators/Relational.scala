@@ -2469,14 +2469,31 @@ object Relational {
     (edges, verts)
   }
 
+  /** Ceiling on the per-(root, v) backward δ fold width — the sorted
+    * successor list is ONE row whose size is the vertex's out-degree in
+    * the shortest-path DAG: ~16 B/element ⇒ 4M ≈ 64 MB, large but
+    * executor-survivable (the same 4M bound as the union-find finishing
+    * branch). The r12 drill measured 177,994 on the 25M-edge power-law
+    * hub; a 100×-scale hub (degree 10⁷-10⁸) would make the row GB-sized —
+    * an executor OOM, not a slowdown — so the fold THROWS past the cap
+    * (the fixpoint-cap contract) rather than dying opaquely. The flat
+    * sorted fold itself is load-bearing: δ additions are IEEE floats, so
+    * ANY regrouping (a sharded two-level fold) changes the bits the
+    * oracle hashes — past the cap the right move is a different
+    * algorithm (pivot-sampled approximate BC), not a silent reorder.
+    */
+  private[graft] val BrandesMaxFoldWidth = 4000000L
+
   /** The k-source Brandes loop under graph_betweenness, on a SYMMETRIC
     * (src, dst) edge relation: (v, centrality) for every vertex, 6dp.
     * Split out so BetweennessSpec can grade the distributed passes
-    * against a driver-side brute-force Brandes on closed-form graphs.
+    * against a driver-side brute-force Brandes on closed-form graphs
+    * (and the fold-width guard on an over-cap hub with a test ceiling).
     */
   private[graft] def betweennessCore(spark: SparkSession,
       edges0: DataFrame,
-      visStore: Option[String] = None): DataFrame = {
+      visStore: Option[String] = None,
+      maxFold: Long = BrandesMaxFoldWidth): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = edges0
       .repartition(col("src")) // stationary: only slim frontiers shuffle
@@ -2487,6 +2504,19 @@ object Relational {
     verts.count() // eager: roots + the final left join consume
     def fold(lst: org.apache.spark.sql.Column, field: String) =
       aggregate(lst, lit(0.0), (acc, x) => acc + x.getField(field))
+    // the δ fold's width is the hub out-degree — guarded, the guard
+    // rides the fold's INITIAL value (assert_true → null on pass, so
+    // coalesce lands 0.0; an unused guard column would be pruned away)
+    def guardedFold(lst: org.apache.spark.sql.Column, field: String) =
+      aggregate(lst,
+        coalesce(
+          assert_true(size(lst) <= maxFold,
+            concat(lit(s"brandes δ fold width past $maxFold (hub degree "),
+              size(lst).cast("string"),
+              lit("): use pivot-sampled approximate BC at this scale")))
+            .cast("double"),
+          lit(0.0)),
+        (acc, x) => acc + x.getField(field))
     // the forward pass is the shared "brandes_vis" artifact when a
     // store key is given (graph_closeness reads the same relation —
     // stored ≡ recompute is what both oracles grade); σ doubles
@@ -2531,7 +2561,7 @@ object Relational {
             .as("st"))
         .groupBy(col("root"), col("v"))
         .agg(sort_array(collect_list(col("st"))).as("lst"))
-        .select(col("root"), col("v"), fold(col("lst"), "t").as("dsum"))
+        .select(col("root"), col("v"), guardedFold(col("lst"), "t").as("dsum"))
       val dl = vis.filter(col("lvl") === l)
         .select(col("root"), col("v"))
         .join(dsum, Seq("root", "v"), "left_outer")
@@ -2541,6 +2571,8 @@ object Relational {
       deltaParts ::= prevDelta
     }
     val delta = deltaParts.reduce(_ unionAll _)
+    // the contrib fold needs no guard: its width is the number of
+    // ROOTS reaching v — bounded by the k-source sample, never degree
     val contrib = delta.filter(col("v") =!= col("root"))
       .select(col("v"), struct(col("root").as("r"), col("delta").as("d"))
         .as("st"))
@@ -3814,7 +3846,46 @@ object Relational {
         Seq("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
-      .persist()
+    val (h3, a3) = hitsCore(cs)
+    // the final BIGINT cast is the thin ceiling (the 25M-edge drill
+    // measured margin ~2 orders of magnitude vs 21 for the decimal
+    // accumulator) and under non-ANSI eval an over-2⁶³ decimal casts to
+    // NULL silently — guard it loudly: mx bounds every emitted score
+    // (the top-100 carry the largest h/a), so one broadcast comparison
+    // proves the whole output safe or THROWS (the fixpoint-cap contract)
+    def guardedBigint(x: Column, mx: Column) = coalesce(
+      assert_true(mx <= lit(Long.MaxValue).cast(DecimalType(38, 0)),
+        concat(lit("hits raw score past bigint: "), mx.cast("string"),
+          lit(" — widen score_raw to decimal(38,0) before this scale")))
+        .cast("bigint"),
+      x.cast("bigint"))
+    val hubs = h3
+      .crossJoin(broadcast(h3.agg(max(col("h")).as("mx"))))
+      .orderBy(col("h").desc, col("c")).limit(100)
+      .select(lit("hub").as("side"), col("c").as("entity_key"),
+        guardedBigint(col("h"), col("mx")).as("score_raw"),
+        round(col("h").cast("double") / col("mx").cast("double"), 6)
+          .as("score_norm"))
+    val auths = a3
+      .crossJoin(broadcast(a3.agg(max(col("a")).as("mx"))))
+      .orderBy(col("a").desc, col("s")).limit(100)
+      .select(lit("auth").as("side"), col("s").as("entity_key"),
+        guardedBigint(col("a"), col("mx")).as("score_raw"),
+        round(col("a").cast("double") / col("mx").cast("double"), 6)
+          .as("score_norm"))
+    hubs.unionAll(auths)
+      .orderBy(col("side"), col("score_raw").desc, col("entity_key"))
+  }
+
+  /** The three HITS mutual-reinforcement rounds under [[graphHits]] on a
+    * generic DIRECTED bipartite edge relation `cs0` (c, s): (h₃, a₃),
+    * both persisted + eagerly counted. Split out so ScaleCheck can drill
+    * the decimal(38,0) accumulators on a 25M-edge power-law hub — the
+    * actual overflow probe for the documented sf0.1 margin — with the
+    * EXACT production rounds, not a re-derivation.
+    */
+  private[graft] def hitsCore(cs0: DataFrame): (DataFrame, DataFrame) = {
+    val cs = cs0.persist()
     cs.count() // eager: 6 downstream consumers race a cold cache otherwise
     val h0 = cs.select(col("c")).distinct()
       .select(col("c"), lit(1L).cast("decimal(38,0)").as("h"))
@@ -3826,22 +3897,7 @@ object Relational {
     a3.count() // consumers: h3 build + auth output
     val h3 = cs.join(a3, "s").groupBy("c").agg(sum("a").as("h")).persist()
     h3.count() // consumers: max-agg broadcast + hub output
-    val hubs = h3
-      .crossJoin(broadcast(h3.agg(max(col("h")).as("mx"))))
-      .orderBy(col("h").desc, col("c")).limit(100)
-      .select(lit("hub").as("side"), col("c").as("entity_key"),
-        col("h").cast("bigint").as("score_raw"),
-        round(col("h").cast("double") / col("mx").cast("double"), 6)
-          .as("score_norm"))
-    val auths = a3
-      .crossJoin(broadcast(a3.agg(max(col("a")).as("mx"))))
-      .orderBy(col("a").desc, col("s")).limit(100)
-      .select(lit("auth").as("side"), col("s").as("entity_key"),
-        col("a").cast("bigint").as("score_raw"),
-        round(col("a").cast("double") / col("mx").cast("double"), 6)
-          .as("score_norm"))
-    hubs.unionAll(auths)
-      .orderBy(col("side"), col("score_raw").desc, col("entity_key"))
+    (h3, a3)
   }
 
   /** §2.2 q_supplier_hhi: Herfindahl–Hirschman supplier-concentration

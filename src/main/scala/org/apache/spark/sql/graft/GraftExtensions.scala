@@ -116,5 +116,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_might_contain")
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(c(0), c(1)) }))
+
+    // TABLE functions — one SQL entry point per pipeline-core family
+    // (r12 verdict #5): the reference's user speaks SQL end to end
+    // (bq-nvd README.md:29-61 runs whole analyses as single queries), so
+    // the iterative cores must be reachable without the Scala API. Each
+    // TVF resolves to the SAME plan the DataFrame runner builds — the
+    // runner executes its iterative rounds at resolution (actions under
+    // a fixpoint loop; their result lands in the returned relation), and
+    // the ExtensionsSpec parity rows pin SQL ≡ Column form row for row.
+    ext.injectTableFunction((FunctionIdentifier("graft_pagerank"),
+      info("graft_pagerank",
+        "graft_pagerank(corpus_dir) - pagerank over the customer-supplier graph of a corpus (table function)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_pagerank")
+        graft.operators.Relational.graphPagerank(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(c(0), "corpus_dir"))
+          .queryExecution.analyzed }))
+
+    ext.injectTableFunction((FunctionIdentifier("graft_minhash_dedup"),
+      info("graft_minhash_dedup",
+        "graft_minhash_dedup(corpus_dir) - MinHash-LSH near-duplicate pairs over a corpus's documents (table function)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_minhash_dedup")
+        graft.operators.Dedup.dedupMinhashLsh(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(c(0), "corpus_dir"))
+          .queryExecution.analyzed }))
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 }

@@ -108,6 +108,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fp > 0)
   }
 
+  test("table functions: graft_pagerank and graft_minhash_dedup from " +
+      "plain SQL == the DataFrame runners, row for row") {
+    val sf = TestSpark.sfDir
+    // pagerank: the SQL-first user runs the whole iterative core as one
+    // FROM clause — and can compose it (filter/order/limit) in SQL
+    val sqlPr = spark.sql(
+      s"SELECT * FROM graft_pagerank('$sf')").collect().map(_.toSeq).toSeq
+    val apiPr = graft.operators.Relational.graphPagerank(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlPr === apiPr)
+    spark.catalog.clearCache()
+    val sqlDd = spark.sql(
+      s"SELECT * FROM graft_minhash_dedup('$sf')").collect().map(_.toSeq).toSeq
+    val apiDd = graft.operators.Dedup.dedupMinhashLsh(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlDd === apiDd)
+    // composability: the TVF is a relation like any other
+    val top = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_pagerank('$sf')""").head().getLong(0)
+    assert(top > 0)
+    // a non-literal argument must be rejected loudly at resolution
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_pagerank(1)").collect()
+    }
+    assert(e.getMessage.contains("string literal"), e.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("full SQL query over a real table through the extension functions") {
     Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("emb")
     val n = spark.sql(

@@ -90,4 +90,25 @@ class BetweennessSpec extends AnyFunSuite {
     val chain = Seq((40L, 41L), (41L, 42L), (42L, 43L), (0L, 40L))
     check(rnd ++ chain)
   }
+
+  test("fold-width guard: a hub past the δ-fold ceiling THROWS loudly " +
+      "instead of building a degree-sized row") {
+    import spark.implicits._
+    // two-level star: root → hub → 12 leaves. From the leaf side of the
+    // BFS the hub's backward δ fold folds all 12 successors in one row —
+    // past a test ceiling of 8 the guard must fire (in production the
+    // ceiling is BrandesMaxFoldWidth; same code path)
+    val sym = ((1L to 12L).map(i => (0L, i)) ++ Seq((13L, 0L)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val e = intercept[Exception] {
+      Relational.betweennessCore(spark, sym.toDF("src", "dst"),
+        maxFold = 8L).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("fold width past 8"))),
+      s"expected the δ fold-width guard, got: $e")
+    GraftCaches.release(spark)
+  }
 }
