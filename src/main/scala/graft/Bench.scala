@@ -290,6 +290,18 @@ object Bench {
     // is the reproducibility claim free of that systematic one-sided
     // drift; the all-runs ratio stays embedded so the warm-up is visible
     val steadyRatios = if (extraRuns.size >= 2) ratioMap(extraRuns) else ratios
+    // the sub-second carve-out (r12 verdict #6): queries under 1 s are
+    // scheduler-jitter dominated — the r12 record's worst steady ratio
+    // (q_part_chi2, 0.27↔0.62 s) carried ZERO steal and ZERO GC in its
+    // windows, i.e. task-dispatch noise amortized over too little work,
+    // not a regression signal. The reproducibility BAR is therefore the
+    // steady ratio over queries whose slowest comparable pass is ≥ 1 s
+    // (target ≤ 1.5); the full-map ratio stays embedded so the
+    // sub-second tail is visible and quantified, never hidden.
+    val steadyBasis: Seq[collection.Map[String, Double]] =
+      if (extraRuns.size >= 2) extraRuns else allWarm
+    val steadyGe1s = steadyRatios.filter { case (n, _) =>
+      steadyBasis.map(_.getOrElse(n, -1.0)).max >= 1.0 }
     val probeAfter = probeWithSteal()
 
     def rd(v: Double, dp: Int): String =
@@ -329,6 +341,8 @@ object Bench {
     val maxRatio = if (ratios.isEmpty) 0.0 else ratios.values.max
     val steadyWorst = steadyRatios.toSeq.sortBy(-_._2).take(5).toMap
     val steadyMax = if (steadyRatios.isEmpty) 0.0 else steadyRatios.values.max
+    val steadyGe1sWorst = steadyGe1s.toSeq.sortBy(-_._2).take(5).toMap
+    val steadyGe1sMax = if (steadyGe1s.isEmpty) 0.0 else steadyGe1s.values.max
     val runsJson = allWarm.map(w => jmap(w)).mkString("[", ",", "]")
     // the quiet verdict: EVERY probe sample's median clears the committed
     // calibration floor AND its kernel steal account sits inside the
@@ -340,7 +354,7 @@ object Bench {
     val stealJson = stealRuns.map(m => jmap(m, 2)).mkString("[", ",", "]")
     val gcJson = gcRuns.map(m => jmap(m, 2)).mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"runs_query_steal_pct":$stealJson,"runs_query_gc_sec":$gcJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_worst":${jmap(steadyWorst)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"probe_quiet_steal_max_pct":$QuietProbeStealMaxPct,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"runs_query_steal_pct":$stealJson,"runs_query_gc_sec":$gcJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_worst":${jmap(steadyWorst)},"repro_steady_ge1s_max_ratio":${r3(steadyGe1sMax)},"repro_steady_ge1s_worst":${jmap(steadyGe1sWorst)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"probe_quiet_steal_max_pct":$QuietProbeStealMaxPct,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev run must never clobber the committed
     // full-suite record (r7 postmortem: a 3-query rerun overwrote the
     // round's only full-suite detail) — filtered runs get their own file
@@ -358,7 +372,7 @@ object Bench {
     val slowestFirst = warm.toSeq.sortBy(-_._2)
     def finalLine(k: Int, dp: Int): String = {
       val shown = scala.collection.immutable.ListMap(slowestFirst.take(k): _*)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"repro_steady_max_ratio":${r3(steadyMax)},"probe_quiet":$probeQuiet,"detail":"$detailPath","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_ge1s_max_ratio":${r3(steadyGe1sMax)},"probe_quiet":$probeQuiet,"detail":"$detailPath","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
     }
     // largest slowest-query prefix that fits the capture window at 2dp
     val line = (names.size to 1 by -1).iterator.map(finalLine(_, 2))

@@ -121,6 +121,7 @@ object SparkEntry {
     "q_events_cube" -> (Relational.qEventsCube _),
     "q_events_pivot" -> (Relational.qEventsPivot _),
     "q_events_quantiles" -> (Relational.qEventsQuantiles _),
+    "q_quantile_bisect" -> (Relational.qQuantileBisect _),
     "q_events_json_props" -> (Relational.qEventsJsonProps _),
     "q22_above_avg_idle" -> (Relational.q22AboveAvgIdle _),
     "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
@@ -2855,6 +2856,25 @@ object SparkEntry {
              round(quantile_cont(value, 0.95), 6) AS p95,
              count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the oracle ranks by a cumulative window — the IMPL never does
+    // (value-domain bisection, O(log) counting passes); k-th-smallest
+    // with k = ceil(q*n) in pure integer arithmetic on exact cents
+    "q_quantile_bisect" ->
+      """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS v FROM lineitem),
+              t AS (SELECT count(*) AS n FROM c),
+              d AS (SELECT v, count(*) AS cnt FROM c GROUP BY v),
+              w AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cw FROM d),
+              ks AS (SELECT 'p50' AS pct, (n + 1) // 2 AS k, n FROM t
+                     UNION ALL SELECT 'p90', (9 * n + 9) // 10, n FROM t
+                     UNION ALL SELECT 'p99', (99 * n + 99) // 100, n FROM t)
+         SELECT ks.pct, ks.k, ks.n AS n_rows,
+                min(w.v) AS value_cents,
+                CAST(min(w.v) AS DOUBLE) / 100 AS value
+         FROM ks JOIN w ON w.cw >= ks.k
+         GROUP BY ks.pct, ks.k, ks.n
+         ORDER BY pct""",
 
     "q_events_json_props" ->
       """WITH e AS (SELECT event_type,

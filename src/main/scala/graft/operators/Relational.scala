@@ -300,6 +300,86 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** §2.2 q_quantile_bisect: EXACT corpus-wide order statistics without
+    * a global sort — the k-th smallest price (discrete p50/p90/p99,
+    * k = ⌈q·n⌉) found by bisection on the integer value domain: each
+    * round ONE map-side-combined aggregate counts rows ≤ the three
+    * active midpoints and the driver halves each bracket. This is the
+    * distributed selection algorithm (the counting dual of
+    * Blum et al.'s selection; Munro-Paterson's multi-pass model):
+    * where [[graft.Ranks.rowNumber]] pays a full range SORT to rank
+    * every row, selection pays O(log |domain|) COUNTING passes to rank
+    * three — at 100 TB that is ~27 cheap scans of a cached single
+    * column vs one corpus-wide sort, and the answer is exact, not an
+    * approx_percentile estimate.
+    *
+    * Exactness: prices are exact integer CENTS (decimal(15,2)·100);
+    * the invariant count(≤lo) < k ≤ count(≤hi) pins hi to the smallest
+    * integer with count ≥ k, which IS an existing price (counts only
+    * jump at data values); k = ⌈q·n⌉ in integer arithmetic; the only
+    * float is the final cents→double division, identical on both
+    * engines (cents ≪ 2⁵³). The round cap THROWS (fixpoint contract):
+    * 64 rounds covers any 64-bit domain, so reaching it is a logic
+    * error, never a truncation.
+    *
+    * Scale shape: the cents column is persisted + eagerly counted once
+    * (min/max bootstrap + every round consume it); each round is one
+    * aggregate producing THREE longs (all brackets probe in the same
+    * pass — no per-percentile scans); driver state is six longs. No
+    * sort, no window, no shuffle beyond the aggregate's 1-row combine.
+    */
+  def qQuantileBisect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, dir)
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("bigint").as("v"))
+      .persist()
+    cents.count() // eager: min/max bootstrap + every bisection round
+    val mm = cents.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val (vmin, vmax, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    // bracket invariant: count(≤lo) < k ≤ count(≤hi); 8-ary splits (7
+    // interior probes per bracket per pass — one extra conditional sum
+    // costs nothing next to the scan, one extra ROUND costs a full
+    // driver round-trip, so probe wide: ⌈log₈ 10⁷⌉ = 8 passes where
+    // binary pays 24)
+    final class Bracket(val pct: String, val k: Long) {
+      var lo: Long = vmin - 1
+      var hi: Long = vmax
+      def open: Boolean = hi - lo > 1
+      def probes: Seq[Long] =
+        (1 to 7).map(i => lo + (hi - lo) * i / 8)
+          .filter(m => m > lo && m < hi).distinct
+    }
+    val brackets = Seq(new Bracket("p50", ceilDiv(n, 2)),
+      new Bracket("p90", ceilDiv(9 * n, 10)),
+      new Bracket("p99", ceilDiv(99 * n, 100)))
+    var rounds = 0
+    while (brackets.exists(_.open)) {
+      rounds += 1
+      // 64 halvings cover any 64-bit domain even at binary width: a
+      // logic-error backstop, NEVER a truncation (the fixpoint contract)
+      require(rounds <= 64, s"quantile bisection failed to converge")
+      val probeSets = brackets.map(b => if (b.open) b.probes else Nil)
+      val exprs = probeSets.flatten
+        .map(m => sum(when(col("v") <= m, 1L).otherwise(0L)))
+      val row = cents.agg(exprs.head, exprs.tail: _*).head()
+      var off = 0
+      for ((b, ms) <- brackets.zip(probeSets)) {
+        val cnts = ms.indices.map(i => row.getLong(off + i))
+        off += ms.size
+        cnts.indexWhere(_ >= b.k) match {
+          case -1 => if (ms.nonEmpty) b.lo = ms.last
+          case i => b.hi = ms(i); if (i > 0) b.lo = ms(i - 1)
+        }
+      }
+    }
+    cents.unpersist()
+    brackets.map(b => (b.pct, b.k, n, b.hi, b.hi.toDouble / 100.0))
+      .toDF("pct", "k", "n_rows", "value_cents", "value")
+      .orderBy(col("pct"))
+  }
+
   /** §2.2 q14_promo_share: TPC-H Q14-style conditional-aggregate ratio —
     * promo revenue share of total, both terms accumulated exact-decimal in
     * ONE pass (a conditional sum, not two scans), single fp division at
