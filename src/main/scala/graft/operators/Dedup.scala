@@ -246,7 +246,16 @@ object Dedup {
         .sort(col("df"), col("token"))
         .select(col("token")).as[String]
         .rdd.zipWithIndex()
-        .map { case (tkn, i) => (tkn, (i + 1).toInt) }
+        .map { case (tkn, i) =>
+          val id = i + 1
+          // tid is an INT on purpose (half the array bytes of a long
+          // through the postings/rerank path); past 2^31 distinct
+          // tokens the id must fail LOUDLY (the fixpoint-cap
+          // contract), never wrap into colliding ranks — at that
+          // vocabulary the int-packed design needs revisiting anyway
+          require(id <= Int.MaxValue, s"vocabulary rank $id exceeds int ids")
+          (tkn, id.toInt)
+        }
         .toDF("token", "tid")
     }
     // per-doc sorted tid set (one agg — the (df, token) struct sort the
