@@ -429,9 +429,201 @@ object ScaleCheck {
     h3.unpersist(); a3.unpersist(); cs.unpersist()
   }
 
+  /** `runMain graft.ScaleCheck ann [nVecs]` — the ANN large-regime drill:
+    * the similarity family's equivalent of the 25M-edge graph drills. The
+    * shipped embeddings corpus is 2k vectors (every cell fits in one
+    * task); this drill runs the IVF assignment/probe dataflow
+    * ([[Similarity.ivfAssign]]/[[Similarity.ivfProbe]] — the exact code
+    * the sim_topk_ivf / sim_ivf_incremental queries execute) over a
+    * GENERATED planted-cluster corpus (default 2M × dim-16: vector =
+    * center(id mod 64) + noise, both from stateless xxhash64 draws — no
+    * RNG state, every run identical) and grades it against BRUTE FORCE
+    * obtained from the SAME dataflow at nprobe = cells (probing every
+    * cell IS the exhaustive scan, so approx and exact share scoring,
+    * tie-break and top-k code — the diff measures ONLY the probe
+    * restriction).
+    *
+    * What it proves at scale: the map-side argmax assignment holds at
+    * corpus volume (no shuffle, no state), probe cost tracks
+    * nprobe/cells of the corpus, and recall on clustered data (the
+    * regime IVF exists for) stays ≥ 0.9 with an 8/64 probe — asserted,
+    * not printed-and-forgotten.
+    */
+  private def annDrill(spark: org.apache.spark.sql.SparkSession,
+      nVecs: Long): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val dim = 16
+    val cells = 64
+    val nQueries = 50
+    val k = 10
+    val nprobe = 8
+    // stateless uniform draw in [-1, 1] from xxhash64 of the arg columns
+    def u(seed: Int, a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      pmod(xxhash64(a, b, lit(seed)), lit(1000000000L)).cast("double") /
+        5.0e8 - 1.0
+    def centerElem(cell: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) = u(101, cell, d)
+    // planted-cluster corpus: center(id mod cells) + 0.35·noise —
+    // same-cluster cosine ≈ 0.9, cross-cluster ≈ 0 (random dim-16
+    // directions), exactly the concentration IVF is built for
+    // persist = plan barrier BEFORE assignment: cellRanks references
+    // c_vec once per centroid, and without the barrier CollapseProject
+    // inlines the 32-hash generator expression into all 64 cosines
+    // (measured 125 s vs 9 s at 2M — the Dedup.scala recompute class);
+    // a real corpus reads vectors as parquet attributes and never hits
+    // this, so materializing keeps the drill measuring ASSIGNMENT
+    val corpus = spark.range(nVecs)
+      .select(col("id").as("c_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => (centerElem(pmod(col("id"), lit(cells.toLong)), d) +
+            u(202, col("id"), d) * lit(0.35)).cast("float")).as("c_vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed("ann_gen")(corpus.count())
+    // the centroid table IS the planted centers (a trained kmeansTrain
+    // table drops in identically — assignment/probe only see the array);
+    // k·dim driver pull, the sanctioned bounded-centroid collect
+    val cents: Array[(Long, Array[Float])] = spark.range(cells)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => centerElem(col("id"), d).cast("float")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = Similarity.ivfAssign(corpus, cents)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager count: the approx AND exact probes both consume `assigned`
+    val n = timed("ann_assign")(assigned.count())
+    val bal = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz")).as("mx"), count(lit(1)).as("nc")).head()
+    println(s"SCALECHECK ann corpus=$n cells=${bal.getLong(1)} " +
+      f"max_cell_share=${bal.getLong(0).toDouble * cells / n}%.2f")
+    val queries = corpus.filter(col("c_id") < nQueries)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec"))
+    def pairs(np: Int, label: String): Set[(Long, Long)] =
+      timed(label)(
+        Similarity.ivfProbe(assigned, queries, cents, nprobe = np)
+          .filter(col("rank") <= k)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    val approx = pairs(nprobe, s"ann_probe_$nprobe")
+    val exact = pairs(cells, "ann_bruteforce")
+    val recall = (approx & exact).size.toDouble / exact.size
+    println(f"SCALECHECK ann recall=$recall%.4f " +
+      s"(approx=${approx.size} exact=${exact.size} nprobe=$nprobe/$cells)")
+    assert(recall >= 0.9,
+      f"ANN drill recall $recall%.4f below the 0.9 floor at $nVecs vectors")
+    assigned.unpersist(); corpus.unpersist()
+  }
+
+  /** `runMain graft.ScaleCheck dedup [nDocs]` — the MinHash-LSH
+    * large-regime drill: the shipped corpora grade the banding against an
+    * EXHAUSTIVE all-pairs oracle, which caps the graded scale at a few
+    * thousand docs (the oracle is O(n²)); this drill runs the SHIPPED
+    * pipeline ([[Dedup.minhashLshPairs]] — signature, 16×8 banding,
+    * width-capped buckets, exact rerank) over a GENERATED planted-group
+    * corpus (default 1M docs in groups of 10 sharing a 40-token template
+    * with ~1% per-position unique mutations → in-group Jaccard ≈ 0.9, the
+    * near-dup regime LSH banding is tuned for) and grades recall against
+    * a truth set that stays computable at scale: exact Jaccard evaluated
+    * on IN-GROUP pairs only (grp is a generator label the pipeline never
+    * sees). Precision is 1 by construction (the pipeline's last step IS
+    * exact Jaccard ≥ 0.5); the drill therefore measures the one thing the
+    * exhaustive gate can't — banding RECALL at volume — plus wall times
+    * for the signature and candidate phases.
+    */
+  private def dedupDrill(spark: org.apache.spark.sql.SparkSession,
+      nDocs: Long): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.GraftFunctions
+    val grpSize = 10L
+    val docLen = 40
+    def u(seed: Int, a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      pmod(xxhash64(a, b, lit(seed)), lit(1000000000L)).cast("double") / 1.0e9
+    // group template token w<hash(grp, pos)>; ~1% of positions mutate to a
+    // doc-unique token m<id>_<pos> (kills the ≤3 shingles through it), so
+    // in-group Jaccard spans ≈[0.6, 1] with mass concentrated ≥0.85 — a
+    // realistic near-dup mixture rather than a single planted similarity
+    val grp = floor(col("id") / lit(grpSize)).cast("bigint")
+    val toks = transform(sequence(lit(0), lit(docLen - 1)), p =>
+      when(u(31, col("id"), p) < lit(0.01),
+        concat(lit("m"), col("id").cast("string"), lit("_"), p.cast("string")))
+        .otherwise(concat(lit("w"),
+          pmod(xxhash64(grp, p, lit(7)), lit(50000L)).cast("string"))))
+    val sh3 = transform(sequence(lit(0), lit(docLen - 3)),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3)))
+    // same persisted-relation contract as dedupMinhashLsh: (doc_id, sh,
+    // sig) materialized once — the barrier that keeps the signature
+    // kernel out of the 16-way band transform, and the eager count that
+    // keeps the concurrent banding/rerank consumers off a cold cache
+    val cached = spark.range(nDocs)
+      .select(col("id").as("doc_id"), grp.as("grp"),
+        array_sort(array_distinct(sh3)).as("sh"))
+      .select(col("doc_id"), col("grp"), col("sh"),
+        GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed("dedup_gen_sign")(cached.count())
+    val found = Dedup.minhashLshPairs(cached)
+      .select(col("i"), col("j")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nFound = timed("dedup_lsh_pipeline")(found.count())
+    // truth: exact Jaccard ≥ 0.5 over IN-GROUP pairs (grp is a generator
+    // label the pipeline never sees) — exact at any corpus size because
+    // groups are bounded, where the oracle's all-pairs scan is O(n²).
+    // Everything stays distributed: recall is counted by joining the two
+    // pair relations, never by collecting millions of pairs
+    val a = cached.select(col("grp"), col("doc_id").as("i"), col("sh").as("sh_i"))
+    val b = cached.select(col("grp"), col("doc_id").as("j"), col("sh").as("sh_j"))
+    val truth = a.join(b, Seq("grp")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        GraftFunctions.jaccardSorted(col("sh_i"), col("sh_j")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTruth = timed("dedup_truth")(truth.count())
+    // recall CURVE by Jaccard decile: banding recall is a function of
+    // similarity by design (the 16×8 S-curve) — the drill asserts the
+    // near-dup regime it is tuned for (jac ≥ 0.8) and PRINTS the tail
+    // instead of hiding it in one blended number
+    val hit = truth.join(found, Seq("i", "j"))
+    val curve = truth.withColumn("dec", floor(col("jac") * 10) / 10)
+      .groupBy(col("dec")).agg(count(lit(1)).as("n"))
+      .join(hit.withColumn("dec", floor(col("jac") * 10) / 10)
+        .groupBy(col("dec")).agg(count(lit(1)).as("h")), Seq("dec"), "left")
+      .orderBy(col("dec"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    curve.foreach { case (d, n, h) =>
+      println(f"SCALECHECK dedup jac_decile=$d%.1f truth=$n hit=$h " +
+        f"recall=${h.toDouble / n}%.4f")
+    }
+    val nHit = curve.map(_._3).sum
+    val hi = curve.filter(_._1 >= 0.8)
+    val hiRecall = hi.map(_._3).sum.toDouble / hi.map(_._2).sum
+    val crossGroup = nFound - nHit
+    println(f"SCALECHECK dedup recall_overall=${nHit.toDouble / nTruth}%.4f " +
+      f"recall_ge08=$hiRecall%.4f " +
+      s"(found=$nFound truth=$nTruth cross_group=$crossGroup)")
+    assert(hiRecall >= 0.98,
+      f"dedup drill jac≥0.8 recall $hiRecall%.4f below the 0.98 floor " +
+        s"at $nDocs docs")
+    found.unpersist(); truth.unpersist(); cached.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(32)
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("dedup")) {
+      dedupDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ann")) {
+      annDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("hits")) {
       hitsDrill(spark,
         args.drop(1).headOption.map(_.toLong).getOrElse(25000000L))

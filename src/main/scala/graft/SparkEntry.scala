@@ -80,6 +80,8 @@ object SparkEntry {
     "q_value_mannwhitney" -> (Relational.qValueMannwhitney _),
     "q_benford_audit" -> (Relational.qBenfordAudit _),
     "q_rank_join" -> (Relational.qRankJoin _),
+    "q_bitmap_distinct" -> (Relational.qBitmapDistinct _),
+    "q_yannakakis" -> (Relational.qYannakakis _),
     "q_orders_holt" -> (Relational.qOrdersHolt _),
     "q_customer_mahalanobis" -> (Relational.qCustomerMahalanobis _),
     "q_orders_theilsen" -> (Relational.qOrdersTheilsen _),
@@ -887,6 +889,38 @@ object SparkEntry {
          FROM br JOIN cr USING (custkey) JOIN sr USING (suppkey)
          ORDER BY cr.crev + sr.srev DESC, br.custkey, br.suppkey
          LIMIT 20""",
+
+    // the impl counts via the exact fixed-domain BITMAP aggregate; the
+    // oracle is plain count(DISTINCT) — grading the bitmap path equal to
+    // the reference semantics, not rows-only
+    "q_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+                count(DISTINCT o_custkey) AS n_cust,
+                count(*) AS n_orders
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
+    // the impl runs the Yannakakis full semi-join reducer; the oracle is
+    // the plain declarative join — the reduction must be lossless
+    "q_yannakakis" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                     AS DOUBLE) AS revenue,
+                count(DISTINCT c_custkey) AS n_cust,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+           AND r_name = 'EUROPE'
+         GROUP BY n_name
+         ORDER BY n_name""",
 
     // first digit from the DECIMAL's canonical string (no float log10);
     // Benford expectations are shared 6dp literals; shares are single

@@ -24,6 +24,10 @@ object GraftFunctions {
   /** All coordinate-difference RHP table buckets as one array<int>. */
   def rhpBuckets(vec: Column, tables: Int, bits: Int, dim: Int, seed: Long): Column =
     GraftColumns.rhpBuckets(vec, tables, bits, dim, seed)
+  /** Best-`take` IVF centroid ids of `vec`, best-first by
+    * (cosine desc, cent_id desc) — one fused kernel per row. */
+  def ivfTopCells(vec: Column, cents: Array[(Long, Array[Float])],
+      take: Int): Column = GraftColumns.ivfTopCells(vec, cents, take)
   /** Generator: stream all unordered (i, j) element pairs of a sorted
     * array — never materializes the b²/2 pair list of a hot LSH bucket.
     */

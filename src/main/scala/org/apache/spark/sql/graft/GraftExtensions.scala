@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
@@ -110,6 +117,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c0: Seq[Expression]) => { val c = arity(c0, 3, "graft_bloom_agg")
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(c(0), c(1), c(2)).toAggregateExpression() }))
+
+    ext.injectFunction((FunctionIdentifier("graft_bitmap_distinct"),
+      info("graft_bitmap_distinct", "graft_bitmap_distinct(id, max_id) - exact distinct count of dense ids in [0, max_id] via a fixed-size bitmap (partials merge by OR; domain capped at 2^26-1, out-of-domain ids throw)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_bitmap_distinct")
+        BitmapDistinct(c(0), longLit(c(1), "max_id")).toAggregateExpression() }))
 
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
       info("graft_might_contain", "graft_might_contain(bloom, hash64) - bloom membership probe, no false negatives"),

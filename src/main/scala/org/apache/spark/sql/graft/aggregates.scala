@@ -372,6 +372,93 @@ case class CountMin(
   override def prettyName: String = "count_min"
 }
 
+/** EXACT distinct count over a bounded DENSE integer id domain via a
+  * fixed-size bitmap — the bitmap-index aggregate of the OLAP engines
+  * (Druid's bitmap indexes, ClickHouse groupBitmap): one
+  * map-side-combined aggregate whose partial state is a
+  * ⌈(maxId+1)/64⌉-word bitmap merged by OR, evaluated by popcount.
+  *
+  * Why it exists next to count(DISTINCT): Spark plans count(DISTINCT k)
+  * as a two-phase aggregate that first SHUFFLES every distinct
+  * (group, k) pair — at 100 TB the exchange carries the distinct pairs
+  * themselves (potentially ~the fact table). This aggregate's exchange
+  * carries ONE fixed-size bitmap per (group, map partition) no matter
+  * how many rows, and OR-merge is associative/commutative, so the
+  * result is partitioning-independent and exact — no sketch error like
+  * HLL. The trade is memory bounded by the ID DOMAIN, not the data:
+  * per-group state is (maxId+1)/8 bytes, which is why the domain is
+  * capped loudly below — dense bounded surrogate keys (customers,
+  * parts, suppliers: exactly the warehouse dimension-key shape) are in;
+  * open domains (hashes, URLs) must stay on count(DISTINCT)/HLL.
+  *
+  * Cap contract: maxId ≤ 2²⁶−1 (8 MiB/group buffer) and ids outside
+  * [0, maxId] THROW — the fixpoint-cap rule: a silently dropped or
+  * wrapped id would be an exactness bug the oracle might not catch at
+  * test SF.
+  */
+case class BitmapDistinct(
+    child: Expression,
+    maxId: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  require(maxId >= 0 && maxId <= (1L << 26) - 1,
+    s"bitmap_distinct domain must fit [0, 2^26-1] (8 MiB/group): $maxId")
+
+  private val words = ((maxId >> 6) + 1).toInt
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val any = child.eval(input)
+    if (any == null) return buf // SQL aggregates skip nulls
+    val id = any.asInstanceOf[Long]
+    require(id >= 0 && id <= maxId,
+      s"bitmap_distinct id outside declared domain [0, $maxId]: $id")
+    buf((id >> 6).toInt) |= 1L << (id & 63)
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0L
+    var i = 0
+    while (i < words) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+    n
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * words)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(words)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "bitmap_distinct"
+}
+
 /** One-pass subsampling-replicate accumulator (q_orders_subsample_ci's
   * engine): for each of `b` deterministic half-samples — inclusion iff
   * ((key·2654435761 + rep·40503 + 692873) mod (2³¹−1)) · 48271
@@ -501,4 +588,10 @@ object GraftAggregates {
     ExpressionUtils.column(
       SubsampleSums(ExpressionUtils.expression(key),
         ExpressionUtils.expression(value), b).toAggregateExpression())
+
+  /** Column API: exact bitmap distinct count over ids in [0, maxId]. */
+  def bitmapDistinct(id: Column, maxId: Long): Column =
+    ExpressionUtils.column(
+      BitmapDistinct(ExpressionUtils.expression(id), maxId)
+        .toAggregateExpression())
 }

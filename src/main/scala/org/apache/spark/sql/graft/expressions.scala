@@ -354,6 +354,101 @@ case class CdcChunkLens(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ivf_top_cells(vec) → array<bigint>: the ids of the `take` best
+  * centroids of a plan-constant centroid table, ordered best-first by
+  * (cosine desc, cent_id desc) — ONE fused kernel replacing the
+  * reverse(array_sort(array(struct(cosine(vec, c₀)), …))) ranking
+  * expression the IVF family originally evaluated per row.
+  *
+  * Why fused: the struct-array form allocates |cells| structs per row
+  * and runs an INTERPRETED comparator inside array_sort — measured
+  * 41 µs/row at 64 cells in the ann ScaleCheck drill (83 s for a 2M-row
+  * assignment pass). This kernel is one straight-line loop over a
+  * flattened float matrix carried in the expression (broadcast with the
+  * serialized plan, like any literal): cosine accumulation is
+  * element-for-element the [[GraftKernels.cosineF]] loop and the
+  * tie-break replicates the array_sort ordering exactly, so the fused
+  * ranking is BIT-IDENTICAL to the expression it replaces
+  * (SimilaritySpec pins this; the sim_topk_ivf oracle stays valid
+  * unchanged).
+  *
+  * Stays inside whole-stage codegen via one virtual call on a plan
+  * reference object — same pattern as the rhpBuckets kernel (a 64-way
+  * unrolled projection would overflow janino).
+  */
+case class IvfTopCells(
+    child: Expression,
+    centIds: Array[Long],
+    centFlat: Array[Float],
+    dim: Int,
+    take: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(centIds.nonEmpty && centFlat.length == centIds.length * dim,
+    s"centroid matrix shape mismatch: ${centIds.length} ids × $dim dims " +
+      s"vs ${centFlat.length} floats")
+  require(take >= 1 && take <= centIds.length,
+    s"take must be in [1, ${centIds.length}]: $take")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def topCells(vecAny: Any): Any = {
+    val vec = vecAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nc = centIds.length
+    val sims = new Array[Double](nc)
+    val nv = vec.numElements()
+    var c = 0
+    while (c < nc) {
+      val base = c * dim
+      val n = math.min(nv, dim)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble
+        val y = centFlat(base + i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(c) =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    // selection by repeated argmax (take ≤ |cells|, both small): order
+    // = (sim desc, cent_id desc), the exact reverse(array_sort) order
+    val out = new Array[Long](take)
+    val used = new Array[Boolean](nc)
+    var t = 0
+    while (t < take) {
+      var best = -1
+      var j = 0
+      while (j < nc) {
+        if (!used(j) && (best < 0 || sims(j) > sims(best) ||
+            (sims(j) == sims(best) && centIds(j) > centIds(best)))) best = j
+        j += 1
+      }
+      used(best) = true
+      out(t) = centIds(best)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(vecAny: Any): Any = topCells(vecAny)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfTopCells", this)
+    nullSafeCodeGen(ctx, ev, vec =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.topCells($vec);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "ivf_top_cells"
+}
+
 /** pairs(array<T>) → rows (i: T, j: T), every unordered element pair of a
   * SORTED array with i before j — a custom [[Generator]] that STREAMS the
   * b·(b-1)/2 pairs of a b-element LSH bucket lazily instead of first
@@ -441,6 +536,22 @@ object GraftColumns {
     col(BloomFilterMightContain(ex(bloom), ex(hashed64)))
   }
   def histL1(a: Column, b: Column): Column = col(HistL1(ex(a), ex(b)))
+  /** Best-`take` centroid ids of `vec` against a plan-constant centroid
+    * table, best-first by (cosine desc, cent_id desc). */
+  def ivfTopCells(vec: Column, cents: Array[(Long, Array[Float])],
+      take: Int): Column = {
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      "all centroids must share one dimensionality")
+    val ids = cents.map(_._1)
+    val flat = new Array[Float](ids.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      System.arraycopy(cents(c)._2, 0, flat, c * dim, dim)
+      c += 1
+    }
+    col(IvfTopCells(ex(vec), ids, flat, dim, take))
+  }
   def fingerprint64(text: Column): Column = col(Fingerprint64(ex(text)))
   def byteFeature(payload: Column): Column = col(ByteFeature(ex(payload)))
   def avgHash64(payload: Column): Column = col(AvgHash64(ex(payload)))

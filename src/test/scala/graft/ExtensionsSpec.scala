@@ -88,6 +88,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("graft_bitmap_distinct from SQL == Column form == count(DISTINCT)") {
+    Tables.registerAll(spark, TestSpark.sfDir)
+    val maxId = spark.sql("SELECT max(o_custkey) FROM orders")
+      .head().getLong(0)
+    val sql = spark.sql(
+      s"""SELECT o_orderpriority,
+                 graft_bitmap_distinct(o_custkey, ${maxId}L) AS n_cust
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      .collect().map(_.toSeq).toSeq
+    val api = Tables.orders(spark, TestSpark.sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+      .agg(org.apache.spark.sql.graft.GraftAggregates
+        .bitmapDistinct(org.apache.spark.sql.functions.col("o_custkey"),
+          maxId).as("n_cust"))
+      .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+    assert(sql === api)
+    val exact = spark.sql(
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      .collect().map(_.toSeq).toSeq
+    assert(sql === exact)
+    // a non-literal domain bound must be rejected loudly at resolution
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_bitmap_distinct(o_custkey, o_custkey) FROM orders")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("registerAll: the whole star schema is reachable from plain SQL") {
     Tables.registerAll(spark, TestSpark.sfDir)
     // a multi-table SQL join over the registered views, no DataFrame API

@@ -14,6 +14,26 @@ class SimilaritySpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  test("fused ivfTopCells kernel == the cellRanks reference expression, " +
+      "full ranking, every corpus vector") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val cents = Similarity.sampledCentroids(e, 16)
+    // reference: the struct-array sort form; fused: the one-loop kernel —
+    // the FULL 16-cell ranking must agree on every vector (any csim tie
+    // or float drift would reorder a suffix and fail here, before it
+    // could silently shift candidates in sim_topk_ivf)
+    val both = e.select(col("vec_id"),
+        transform(Similarity.cellRanks(cents)(col("embedding")),
+          s => s.getField("cent_id")).as("ref"),
+        GraftFunctions.ivfTopCells(col("embedding"), cents, cents.length)
+          .as("fused"))
+      .withColumn("agree", col("ref") === col("fused"))
+    val disagree = both.filter(!col("agree")).count()
+    assert(disagree === 0L,
+      s"$disagree vectors rank cells differently under the fused kernel")
+    assert(both.count() > 0)
+  }
+
   test("bounded-heap top-k equals row_number window top-k") {
     val agg = Similarity.simTopkBruteforce(spark, TestSpark.sfDir).collect()
 
