@@ -81,6 +81,7 @@ object SparkEntry {
     "q_benford_audit" -> (Relational.qBenfordAudit _),
     "q_rank_join" -> (Relational.qRankJoin _),
     "q_bitmap_distinct" -> (Relational.qBitmapDistinct _),
+    "q_sliding_distinct" -> (Relational.qSlidingDistinct _),
     "q_yannakakis" -> (Relational.qYannakakis _),
     "q_orders_holt" -> (Relational.qOrdersHolt _),
     "q_customer_mahalanobis" -> (Relational.qCustomerMahalanobis _),
@@ -900,6 +901,20 @@ object SparkEntry {
          FROM orders
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+
+    // the impl scans the fact table ONCE into per-day bitmaps and ORs 7
+    // per output day; the oracle re-joins the fact table per window (the
+    // plan bitmaps exist to avoid) — exact equality grades the bitmap
+    // path against the declarative sliding-distinct semantics
+    "q_sliding_distinct" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+              days AS (SELECT DISTINCT d AS day FROM e)
+         SELECT days.day,
+                count(DISTINCT e.user_id) AS n_users_7d,
+                count(*) AS n_events_7d
+         FROM days JOIN e ON e.d BETWEEN days.day - 6 AND days.day
+         GROUP BY days.day
+         ORDER BY days.day""",
 
     // the impl runs the Yannakakis full semi-join reducer; the oracle is
     // the plain declarative join — the reduction must be lossless

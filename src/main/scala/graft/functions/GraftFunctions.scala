@@ -28,6 +28,9 @@ object GraftFunctions {
     * (cosine desc, cent_id desc) — one fused kernel per row. */
   def ivfTopCells(vec: Column, cents: Array[(Long, Array[Float])],
       take: Int): Column = GraftColumns.ivfTopCells(vec, cents, take)
+  /** Cardinality of the union of bitmap_agg bitmaps (popcount of OR). */
+  def bitmapOrCount(bitmaps: Column): Column =
+    GraftColumns.bitmapOrCount(bitmaps)
   /** Generator: stream all unordered (i, j) element pairs of a sorted
     * array — never materializes the b²/2 pair list of a hot LSH bucket.
     */

@@ -5009,13 +5009,54 @@ object Relational {
   def qBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_custkey"))
-    val maxId = o.agg(max(col("o_custkey"))).head().getLong(0)
+    // 1-row domain-bound pull (the sanctioned argmax collect); coalesce
+    // so an empty corpus yields an empty result, not an unboxing NPE
+    val maxId = o.agg(coalesce(max(col("o_custkey")), lit(0L)))
+      .head().getLong(0)
     o.groupBy(col("o_orderpriority"))
       .agg(
         org.apache.spark.sql.graft.GraftAggregates
           .bitmapDistinct(col("o_custkey"), maxId).as("n_cust"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** §2.2 q_sliding_distinct: EXACT distinct users per 7-day sliding
+    * window — the query-time half of the bitmap-index pattern
+    * ([[org.apache.spark.sql.graft.BitmapAgg]] +
+    * [[org.apache.spark.sql.graft.BitmapOrCount]]): the fact table is
+    * scanned ONCE into per-day id bitmaps (map-side-combined, fixed-size
+    * partials), and each output day ORs its 7 daily bitmaps and
+    * popcounts — where the naive plan re-joins the fact table per
+    * window (the oracle literally does: days × a 7-day BETWEEN join),
+    * and sketches (HLL) would surrender exactness. Distinct-over-sliding
+    * -windows does not decompose for count(DISTINCT) — bitmaps make it
+    * decomposable because OR is associative, commutative AND idempotent
+    * (overlap cannot double-count).
+    *
+    * Scale shape: one fact shuffle (day grain, bitmap partials); the
+    * window runs over the CALENDAR-bounded daily relation
+    * (PlanAuditSpec-allowlisted like the other daily grains); per-day
+    * bitmap = domain/8 bytes under the same loud 2²⁶ domain cap as
+    * BitmapDistinct — open id domains stay on sketch_distinct.
+    */
+  def qSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val maxId = e.agg(coalesce(max(col("user_id")), lit(0L)))
+      .head().getLong(0)
+    val daily = e.groupBy(col("day"))
+      .agg(
+        org.apache.spark.sql.graft.GraftAggregates
+          .bitmapAgg(col("user_id"), maxId).as("bm"),
+        count(lit(1)).as("cnt"))
+    val w = Window.orderBy(unix_date(col("day"))).rangeBetween(-6, 0)
+    daily
+      .select(col("day"),
+        GraftFunctions.bitmapOrCount(collect_list(col("bm")).over(w))
+          .as("n_users_7d"),
+        sum(col("cnt")).over(w).as("n_events_7d"))
+      .orderBy(col("day"))
   }
 
   /** §2.2 q_yannakakis: per-nation returned-revenue rollup evaluated as a

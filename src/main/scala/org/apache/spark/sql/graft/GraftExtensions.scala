@@ -123,6 +123,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_bitmap_distinct")
         BitmapDistinct(c(0), longLit(c(1), "max_id")).toAggregateExpression() }))
 
+    ext.injectFunction((FunctionIdentifier("graft_bitmap_agg"),
+      info("graft_bitmap_agg", "graft_bitmap_agg(id, max_id) - the id bitmap itself (binary, OR-mergeable downstream); same domain contract as graft_bitmap_distinct"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_bitmap_agg")
+        BitmapAgg(c(0), longLit(c(1), "max_id")).toAggregateExpression() }))
+
+    ext.injectFunction((FunctionIdentifier("graft_bitmap_or_count"),
+      info("graft_bitmap_or_count", "graft_bitmap_or_count(bitmaps) - cardinality of the union of an array of id bitmaps (popcount of OR)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_bitmap_or_count")
+        BitmapOrCount(c(0)) }))
+
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
       info("graft_might_contain", "graft_might_contain(bloom, hash64) - bloom membership probe, no false negatives"),
       (c0: Seq[Expression]) => { val c = arity(c0, 2, "graft_might_contain")
@@ -151,6 +161,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_minhash_dedup(corpus_dir) - MinHash-LSH near-duplicate pairs over a corpus's documents (table function)"),
       (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_minhash_dedup")
         graft.operators.Dedup.dedupMinhashLsh(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(c(0), "corpus_dir"))
+          .queryExecution.analyzed }))
+
+    ext.injectTableFunction((FunctionIdentifier("graft_connected_components"),
+      info("graft_connected_components",
+        "graft_connected_components(corpus_dir) - connected components of the corpus's near-duplicate graph (table function)"),
+      (c0: Seq[Expression]) => {
+        val c = arity(c0, 1, "graft_connected_components")
+        graft.operators.Relational.graphConnectedComponents(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(c(0), "corpus_dir"))
+          .queryExecution.analyzed }))
+
+    ext.injectTableFunction((FunctionIdentifier("graft_sim_topk"),
+      info("graft_sim_topk",
+        "graft_sim_topk(corpus_dir) - exact top-k cosine neighbors over a corpus's embeddings (table function)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_sim_topk")
+        graft.operators.Similarity.simTopkBruteforce(
             org.apache.spark.sql.SparkSession.active,
             strLit(c(0), "corpus_dir"))
           .queryExecution.analyzed }))

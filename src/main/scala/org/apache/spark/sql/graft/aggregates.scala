@@ -459,6 +459,77 @@ case class BitmapDistinct(
   override def prettyName: String = "bitmap_distinct"
 }
 
+/** The bitmap ITSELF as the aggregate value (BinaryType little-endian
+  * words) — [[BitmapDistinct]]'s sibling for workflows that MERGE
+  * bitmaps after aggregation instead of counting immediately: the
+  * bitmap-index pattern where per-grain (per-day, per-segment) bitmaps
+  * are stored or window-combined and cardinalities are taken of UNIONS
+  * (q_sliding_distinct ORs 7 daily bitmaps per output row — exact
+  * sliding distinct with the fact table scanned ONCE, where the naive
+  * plan re-scans it per window). Same domain contract as
+  * BitmapDistinct: dense ids in [0, maxId], 2²⁶ cap, out-of-domain
+  * THROWS, nulls skip. The serialized form is deterministic
+  * (partitioning-independent under OR-merge), so downstream popcounts
+  * hash-match the oracle.
+  */
+case class BitmapAgg(
+    child: Expression,
+    maxId: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  require(maxId >= 0 && maxId <= (1L << 26) - 1,
+    s"bitmap_agg domain must fit [0, 2^26-1] (8 MiB/group): $maxId")
+
+  private val words = ((maxId >> 6) + 1).toInt
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val any = child.eval(input)
+    if (any == null) return buf
+    val id = any.asInstanceOf[Long]
+    require(id >= 0 && id <= maxId,
+      s"bitmap_agg id outside declared domain [0, $maxId]: $id")
+    buf((id >> 6).toInt) |= 1L << (id & 63)
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "bitmap_agg"
+}
+
 /** One-pass subsampling-replicate accumulator (q_orders_subsample_ci's
   * engine): for each of `b` deterministic half-samples — inclusion iff
   * ((key·2654435761 + rep·40503 + 692873) mod (2³¹−1)) · 48271
@@ -593,5 +664,11 @@ object GraftAggregates {
   def bitmapDistinct(id: Column, maxId: Long): Column =
     ExpressionUtils.column(
       BitmapDistinct(ExpressionUtils.expression(id), maxId)
+        .toAggregateExpression())
+
+  /** Column API: the id bitmap itself (binary), OR-mergeable downstream. */
+  def bitmapAgg(id: Column, maxId: Long): Column =
+    ExpressionUtils.column(
+      BitmapAgg(ExpressionUtils.expression(id), maxId)
         .toAggregateExpression())
 }

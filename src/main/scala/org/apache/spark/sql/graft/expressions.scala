@@ -354,6 +354,65 @@ case class CdcChunkLens(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** bitmap_or_count(array<binary>) → bigint: the cardinality of the
+  * UNION of id bitmaps produced by [[BitmapAgg]] — popcount of the
+  * elementwise OR, computed without materializing the OR'd bitmap.
+  * The query-time half of the bitmap-index pattern: per-grain bitmaps
+  * aggregate once, window/group combinations OR them (associative,
+  * commutative, idempotent — the result is independent of both
+  * partitioning and how windows overlap). Null elements are skipped;
+  * bitmaps may differ in length (shorter ones are zero-extended, so a
+  * grain whose max id was smaller still ORs correctly).
+  */
+case class BitmapOrCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = LongType
+
+  def orCount(arrAny: Any): Long = {
+    val arr = arrAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var maxLen = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getBinary(i)
+        if (b.length > maxLen) maxLen = b.length
+      }
+      i += 1
+    }
+    if (maxLen == 0) return 0L
+    val acc = new Array[Byte](maxLen)
+    i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getBinary(i)
+        var j = 0
+        while (j < b.length) { acc(j) = (acc(j) | b(j)).toByte; j += 1 }
+      }
+      i += 1
+    }
+    var cnt = 0L
+    var j = 0
+    while (j < maxLen) {
+      cnt += java.lang.Integer.bitCount(acc(j) & 0xff)
+      j += 1
+    }
+    cnt
+  }
+
+  override def nullSafeEval(arrAny: Any): Any = orCount(arrAny)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bitmapOrCount", this)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.orCount($arr);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "bitmap_or_count"
+}
+
 /** ivf_top_cells(vec) → array<bigint>: the ids of the `take` best
   * centroids of a plan-constant centroid table, ordered best-first by
   * (cosine desc, cent_id desc) — ONE fused kernel replacing the
@@ -536,6 +595,8 @@ object GraftColumns {
     col(BloomFilterMightContain(ex(bloom), ex(hashed64)))
   }
   def histL1(a: Column, b: Column): Column = col(HistL1(ex(a), ex(b)))
+  /** Cardinality of the union of BitmapAgg bitmaps (popcount of OR). */
+  def bitmapOrCount(bitmaps: Column): Column = col(BitmapOrCount(ex(bitmaps)))
   /** Best-`take` centroid ids of `vec` against a plan-constant centroid
     * table, best-first by (cosine desc, cent_id desc). */
   def ivfTopCells(vec: Column, cents: Array[(Long, Array[Float])],

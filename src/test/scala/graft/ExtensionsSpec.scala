@@ -166,6 +166,29 @@ class ExtensionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("table functions: graft_connected_components and graft_sim_topk " +
+      "from plain SQL == the DataFrame runners, row for row") {
+    val sf = TestSpark.sfDir
+    val sqlCc = spark.sql(
+      s"SELECT * FROM graft_connected_components('$sf')")
+      .collect().map(_.toSeq).toSeq
+    val apiCc = graft.operators.Relational.graphConnectedComponents(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlCc === apiCc)
+    spark.catalog.clearCache()
+    val sqlTk = spark.sql(
+      s"SELECT * FROM graft_sim_topk('$sf')").collect().map(_.toSeq).toSeq
+    val apiTk = graft.operators.Similarity.simTopkBruteforce(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlTk === apiTk)
+    // composable like any relation: aggregate the TVF output in SQL
+    val nComp = spark.sql(
+      s"""SELECT count(DISTINCT component_type, component_key) AS n
+          FROM graft_connected_components('$sf')""").head().getLong(0)
+    assert(nComp > 0)
+    spark.catalog.clearCache()
+  }
+
   test("full SQL query over a real table through the extension functions") {
     Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("emb")
     val n = spark.sql(

@@ -330,6 +330,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_orders_runs_test" -> "daily grain (calendar-bounded)",
       "q_orders_subsample_ci" -> "200 bootstrap replicates",
       "q_orders_theilsen" -> "monthly grain + month-pairs (cached agg)",
+      "q_sliding_distinct" -> "daily grain (calendar-bounded bitmap rollup)",
       "text_zipf" -> "LIMIT 100 top terms")
     val found = scala.collection.mutable.Map[String, Seq[String]]()
     for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -38,6 +38,37 @@ class BitmapDistinctSpec extends AnyFunSuite {
     assert(g.getLong(0) === g.getLong(1))
   }
 
+  test("bitmapAgg + bitmapOrCount: union cardinality == count(DISTINCT) " +
+      "of the union, idempotent under overlap") {
+    import graft.functions.GraftFunctions
+    val e = Tables.events(spark, TestSpark.sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val maxId = e.agg(max(col("user_id"))).head().getLong(0)
+    val daily = e.groupBy(col("day"))
+      .agg(org.apache.spark.sql.graft.GraftAggregates
+        .bitmapAgg(col("user_id"), maxId).as("bm"))
+    // OR over ALL days == global distinct (exactness of the union)
+    val viaBitmap = daily
+      .agg(GraftFunctions.bitmapOrCount(collect_list(col("bm"))).as("n"))
+      .head().getLong(0)
+    val exact = e.agg(count_distinct(col("user_id"))).head().getLong(0)
+    assert(viaBitmap === exact)
+    // idempotence: a day OR'd with itself twice adds nothing — the
+    // property that makes sliding windows safe to overlap
+    val one = daily.limit(1)
+      .select(GraftFunctions.bitmapOrCount(array(col("bm"))).as("a"),
+        GraftFunctions.bitmapOrCount(array(col("bm"), col("bm"))).as("b"))
+      .head()
+    assert(one.getLong(0) === one.getLong(1))
+    // SQL surface: graft_bitmap_agg + graft_bitmap_or_count compose
+    e.createOrReplaceTempView("ev_bm")
+    val sql = spark.sql(
+      s"""SELECT graft_bitmap_or_count(collect_list(bm)) AS n
+          FROM (SELECT day, graft_bitmap_agg(user_id, ${maxId}L) AS bm
+                FROM ev_bm GROUP BY day)""").head().getLong(0)
+    assert(sql === exact)
+  }
+
   test("loud caps: over-cap domain and out-of-domain id throw; " +
       "nulls are skipped like SQL aggregates") {
     import spark.implicits._
