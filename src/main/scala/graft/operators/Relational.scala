@@ -5034,18 +5034,27 @@ object Relational {
     * decomposable because OR is associative, commutative AND idempotent
     * (overlap cannot double-count).
     *
-    * Scale shape: one fact shuffle (day grain, bitmap partials); the
-    * window runs over the CALENDAR-bounded daily relation
-    * (PlanAuditSpec-allowlisted like the other daily grains); per-day
-    * bitmap = domain/8 bytes under the same loud 2²⁶ domain cap as
-    * BitmapDistinct — open id domains stay on sketch_distinct.
+    * Scale shape — and the one trap this operator has: a bitmap partial
+    * is fixed-size PER GROUP PER MAP PARTITION, so the default
+    * partial→exchange→final plan ships groups × partitions × domain/8
+    * bytes (at 1000 days × 1000 tasks × a 2²⁶ domain that is terabytes
+    * of partials for megabytes of answer). The fix is to repartition the
+    * SLIM raw rows (16 B each) by day FIRST: the aggregation's required
+    * distribution is then already satisfied, partial and final collapse
+    * into the day's partition, and NO bitmap ever crosses an exchange
+    * (PlanAuditSpec pins exactly one hashpartitioning exchange in the
+    * plan). Contrast q_bitmap_distinct, whose 5 bounded groups make
+    * map-side bitmap partials exactly right. The window then runs over
+    * the CALENDAR-bounded daily relation (allowlisted like the other
+    * daily grains); same loud 2²⁶ domain cap as BitmapDistinct — open id
+    * domains stay on sketch_distinct.
     */
   def qSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
     val maxId = e.agg(coalesce(max(col("user_id")), lit(0L)))
       .head().getLong(0)
-    val daily = e.groupBy(col("day"))
+    val daily = e.repartition(col("day")).groupBy(col("day"))
       .agg(
         org.apache.spark.sql.graft.GraftAggregates
           .bitmapAgg(col("user_id"), maxId).as("bm"),

@@ -306,6 +306,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("MapInPandas"), p)
   }
 
+  test("q_sliding_distinct: bitmaps never cross an exchange — slim raw " +
+      "rows repartition by day, partial+final bitmap agg in-partition") {
+    // the partial-bitmap trap: a bitmap partial is fixed-size PER GROUP
+    // PER MAP PARTITION, so letting the default partial→exchange→final
+    // plan run ships groups × partitions × domain/8 bytes. The shipped
+    // plan repartitions the 16-byte raw rows instead — the ONLY
+    // hashpartitioning exchange — and both aggregate phases run inside
+    // the day's partition; the single-partition exchange is the
+    // calendar-bounded window merge over the daily relation.
+    val p = plan("q_sliding_distinct")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    assert(countOf(p, "Exchange SinglePartition") === 1, p)
+    assert(p.contains("bitmap_agg"), p)
+  }
+
   test("SUITE-WIDE: no empty-partition Window over unbounded input in any " +
       "of the oracle-graded plans (the r11 ranking-window class, dead)") {
     // Every Window whose partition keys are empty (or foldable — the
