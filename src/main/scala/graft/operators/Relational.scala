@@ -5051,21 +5051,35 @@ object Relational {
     */
   def qSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .select(unix_date(to_date(col("ts"))).as("day_num"), col("user_id"))
     val maxId = e.agg(coalesce(max(col("user_id")), lit(0L)))
       .head().getLong(0)
-    val daily = e.repartition(col("day")).groupBy(col("day"))
+    slidingDistinctCore(e, maxId, windowDays = 7)
+      .select(date_from_unix_date(col("day_num").cast("int")).as("day"),
+        col("n_users_7d"), col("n_events_7d"))
+      .orderBy(col("day"))
+  }
+
+  /** The sliding-bitmap dataflow of [[qSlidingDistinct]] over an explicit
+    * (day_num: bigint, user_id: bigint) relation — factored so the
+    * large-regime drill (`ScaleCheck bitmap`) runs the SHIPPED plan at
+    * 100M events / 2000 days. See the query Scaladoc for the
+    * repartition-first rationale (the partial-bitmap exchange trap).
+    */
+  private[graft] def slidingDistinctCore(e: DataFrame, maxId: Long,
+      windowDays: Int): DataFrame = {
+    val daily = e.repartition(col("day_num")).groupBy(col("day_num"))
       .agg(
         org.apache.spark.sql.graft.GraftAggregates
           .bitmapAgg(col("user_id"), maxId).as("bm"),
         count(lit(1)).as("cnt"))
-    val w = Window.orderBy(unix_date(col("day"))).rangeBetween(-6, 0)
+    val w = Window.orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1).toLong, 0)
     daily
-      .select(col("day"),
+      .select(col("day_num"),
         GraftFunctions.bitmapOrCount(collect_list(col("bm")).over(w))
           .as("n_users_7d"),
         sum(col("cnt")).over(w).as("n_events_7d"))
-      .orderBy(col("day"))
   }
 
   /** §2.2 q_yannakakis: per-nation returned-revenue rollup evaluated as a
