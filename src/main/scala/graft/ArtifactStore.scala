@@ -67,11 +67,13 @@ object ArtifactStore {
     * CURRENT at it; returns the version dir. Old versions are left in
     * place (readers may still hold them) — [[prune]] is the retention
     * API, mirroring Warehouse.retain. Version names are a zero-padded
-    * nanos timestamp (so lexicographic name order IS publish order) plus
-    * a random suffix: nanoTime alone has no cross-JVM uniqueness
-    * guarantee, and two sessions publishing in the same nanosecond must
-    * never collide into one directory (errorifexists would at least be
-    * loud, the suffix makes it a non-event).
+    * nanos timestamp (lexicographic name order = publish order WITHIN one
+    * JVM session only — nanoTime is monotonic-clock, so cross-session
+    * ordering is the dir mtime's job, see prune) plus a random suffix:
+    * nanoTime alone has no cross-JVM uniqueness guarantee, and two
+    * sessions publishing in the same nanosecond must never collide into
+    * one directory (errorifexists would at least be loud, the suffix
+    * makes it a non-event).
     */
   private def writeVersion(kd: Path, df: DataFrame): Path = {
     Files.createDirectories(kd)
@@ -112,8 +114,14 @@ object ArtifactStore {
   }
 
   /** Retention: keep the newest `keep` versions of artifact `key` for
-    * corpus `dir` (by publish order — the zero-padded-nanos name), NEVER
-    * deleting the CURRENT target even if it falls outside the window
+    * corpus `dir` — by directory mtime with the name as tie-break, NOT by
+    * the nanos name alone: System.nanoTime is CLOCK_MONOTONIC (resets at
+    * reboot, no cross-JVM meaning), so under the durable-root daily-cron
+    * use a post-reboot publish would name-sort BELOW every pre-reboot
+    * version and name-order retention would delete the newest versions
+    * while keeping stale ones; a version dir is immutable after publish,
+    * so its mtime IS its publish time. NEVER deletes the CURRENT target
+    * even if it falls outside the window
     * (a concurrent publisher may have repointed since we listed).
     * Returns the number of version dirs deleted. A reader still holding
     * an old version's path owns its lifetime — the same contract as
@@ -130,7 +138,8 @@ object ArtifactStore {
     val cur = current(kd).map(_.getFileName.toString)
     val versions = kd.toFile.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .sortBy(_.getName)(Ordering[String].reverse)
+      .sortBy(f => (f.lastModified, f.getName))(
+        Ordering[(Long, String)].reverse)
     val drop = versions.drop(keep).filterNot(f => cur.contains(f.getName))
     drop.foreach(deleteRecursively)
     drop.length

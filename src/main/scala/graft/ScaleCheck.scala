@@ -549,15 +549,23 @@ object ScaleCheck {
         concat(lit("m"), col("id").cast("string"), lit("_"), p.cast("string")))
         .otherwise(concat(lit("w"),
           pmod(xxhash64(grp, p, lit(7)), lit(50000L)).cast("string"))))
+    // the token array must land in an ATTRIBUTE before the shingle
+    // transform references it 3× per element (the CLAUDE.md lambda-
+    // recompute class: CSE does not run inside higher-order lambdas, so
+    // inlining `toks` would re-evaluate the 40-hash generator ~114× per
+    // doc — the first drill run measured 281 s for this phase); the
+    // repartition is the projection barrier CollapseProject cannot cross
     val sh3 = transform(sequence(lit(0), lit(docLen - 3)),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3)))
+      i => concat_ws(" ", element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))
     // same persisted-relation contract as dedupMinhashLsh: (doc_id, sh,
     // sig) materialized once — the barrier that keeps the signature
     // kernel out of the 16-way band transform, and the eager count that
     // keeps the concurrent banding/rerank consumers off a cold cache
     val cached = spark.range(nDocs)
-      .select(col("id").as("doc_id"), grp.as("grp"),
+      .select(col("id").as("doc_id"), grp.as("grp"), toks.as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("grp"),
         array_sort(array_distinct(sh3)).as("sh"))
       .select(col("doc_id"), col("grp"), col("sh"),
         GraftFunctions.minhashSignature(col("sh"), 128, 42).as("sig"))

@@ -335,8 +335,14 @@ object Relational {
         .cast("bigint").as("v"))
       .persist()
     cents.count() // eager: min/max bootstrap + every bisection round
-    val mm = cents.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val mm = cents.agg(coalesce(min(col("v")), lit(0L)),
+      coalesce(max(col("v")), lit(0L)), count(lit(1))).head()
     val (vmin, vmax, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    // empty corpus: no order statistics exist — return the empty result
+    // (the oracle's shape) instead of an unboxing NPE on the null min
+    if (n == 0) { cents.unpersist(); return spark.emptyDataFrame
+      .select(lit("").as("pct"), lit(0L).as("k"), lit(0L).as("n_rows"),
+        lit(0L).as("value_cents"), lit(0.0).as("value")).limit(0) }
     def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
     // bracket invariant: count(≤lo) < k ≤ count(≤hi); 8-ary splits (7
     // interior probes per bracket per pass — one extra conditional sum
@@ -2582,6 +2588,18 @@ object Relational {
     val verts = edges.select(col("src").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     verts.count() // eager: roots + the final left join consume
+    // PREEMPTIVE fold-width guard: the δ fold width is bounded by the
+    // max out-degree, measured here by a counting aggregate — safe at
+    // ANY degree — before a single degree-sized collect_list row exists.
+    // The in-plan assert_true below stays as defense in depth, but on a
+    // 10⁷-degree hub it would only evaluate AFTER the aggregation had
+    // already materialized (and possibly OOM'd on) the GB-sized row it
+    // guards; this check THROWS before the BFS even starts.
+    val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+    require(maxDeg <= maxFold,
+      s"brandes δ fold width past $maxFold (max out-degree $maxDeg): " +
+        "use pivot-sampled approximate BC at this scale")
     def fold(lst: org.apache.spark.sql.Column, field: String) =
       aggregate(lst, lit(0.0), (acc, x) => acc + x.getField(field))
     // the δ fold's width is the hub out-degree — guarded, the guard
@@ -2924,12 +2942,13 @@ object Relational {
         (lit(1) - col("l_discount").cast(dec))).as("r"))
     val ranked = graft.Ranks.rowNumber(rev, "rk", col("r").desc, col("pk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ranked.count() // eager: row count, grand total, block totals, final
-    val n = ranked.agg(count(lit(1)).as("n"))
+    // the eager count IS the row count — reuse it as a literal block
+    // size instead of planning a second count aggregate + crossJoin
+    // (the sanctioned 1-row driver pull, same as qBitmapDistinct's maxId)
+    val nRows = ranked.count()
     val tot = ranked.agg(sum(col("r")).as("trev"))
-    val blocked = ranked.crossJoin(broadcast(n))
-      .withColumn("blk", expr("(rk - 1) div ((n + 255) div 256)"))
-      .drop("n")
+    val blocked = ranked
+      .withColumn("blk", expr(s"(rk - 1) div ${(nRows + 255) / 256}"))
     val blkTot = blocked.groupBy(col("blk")).agg(sum(col("r")).as("bt"))
     val off = blkTot.as("a")
       .join(blkTot.as("p"), col("p.blk") < col("a.blk"), "left_outer")

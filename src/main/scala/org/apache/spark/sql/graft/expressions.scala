@@ -475,7 +475,12 @@ case class IvfTopCells(
       c += 1
     }
     // selection by repeated argmax (take ≤ |cells|, both small): order
-    // = (sim desc, cent_id desc), the exact reverse(array_sort) order
+    // = (sim desc, cent_id desc), the exact reverse(array_sort) order.
+    // Double.compare, NOT raw > / ==: Spark sorts doubles with
+    // java.lang.Double.compare semantics (NaN greatest), while raw NaN
+    // comparisons are always false — a NaN-poisoned vector would
+    // otherwise rank cells in input order here but NaN-first in the
+    // reference expression, silently diverging from the pinned oracle
     val out = new Array[Long](take)
     val used = new Array[Boolean](nc)
     var t = 0
@@ -483,8 +488,10 @@ case class IvfTopCells(
       var best = -1
       var j = 0
       while (j < nc) {
-        if (!used(j) && (best < 0 || sims(j) > sims(best) ||
-            (sims(j) == sims(best) && centIds(j) > centIds(best)))) best = j
+        if (!used(j) && (best < 0 || {
+          val c = java.lang.Double.compare(sims(j), sims(best))
+          c > 0 || (c == 0 && centIds(j) > centIds(best))
+        })) best = j
         j += 1
       }
       used(best) = true
