@@ -685,9 +685,381 @@ object ScaleCheck {
     out.unpersist(); e.unpersist()
   }
 
+  /** `runMain graft.ScaleCheck rank [nRows]` — the distributed-rank /
+    * sharded-prefix-sum drill: the machinery that REPLACED every
+    * corpus-sized ranking window (r12-r13: [[Ranks.rowNumber]]'s range
+    * sort + zipWithIndex, [[Ranks.ntileOf]]'s map-side banding, and the
+    * pipeline_token_budget two-level sharded running sum) measured at
+    * 100M rows — the regime those rewrites were priced for but never
+    * run at (the bench SF tops out at ~600k events). Every phase is
+    * graded EXACTLY against an independent derivation that only ever
+    * scans per-probe (count-below-key for ranks, filter-sums for the
+    * prefix boundary), so the oracle stays exact at any volume:
+    *
+    *  1. global exact rank over a heavily-tied key (~100 rows per value
+    *     — the tie-break path is the part a buggy sort-rank silently
+    *     miscounts): min/max/Σrk structural identities + 5 probe rows
+    *     re-ranked by direct count;
+    *  2. exact ntile(10) banding off that rank: the decile histogram
+    *     must be the standard ⌈n/k⌉/⌊n/k⌋ split with contiguous rank
+    *     ranges (checked via per-decile min/max/count, no window);
+    *  3. the two-level sharded running sum (shard = leading bits of the
+    *     SAME hash that orders the scan, offsets via the triangular
+    *     broadcast self-join, per-shard bounded windows): 5 probe rows'
+    *     global running sums re-derived by direct filter-sum, then the
+    *     budget CUT per source proven exact at the boundary — the last
+    *     selected doc's direct prefix < budget ≤ the first unselected
+    *     doc's direct prefix.
+    */
+  private def rankDrill(spark: org.apache.spark.sql.SparkSession,
+      nRows: Long): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.expressions.Window
+    val nSources = 8L
+    val rows = spark.range(nRows)
+      .select(col("id"),
+        // ~100-way ties: rank correctness then hinges on the unique
+        // (value, id) tie-break, not just the value sort
+        pmod(xxhash64(col("id"), lit(7)), lit(math.max(nRows / 100, 1L)))
+          .as("value"),
+        concat(lit("s"), pmod(xxhash64(col("id"), lit(11)), lit(nSources)))
+          .as("source"),
+        (pmod(xxhash64(col("id"), lit(13)), lit(999L)) + 1L).as("n_tokens"),
+        // the scan-order hash: non-negative so leading-bits sharding
+        // (shard = ord div 2^54 over a 2^62 domain) is a PREFIX of the
+        // (ord, id) total order — the invariant the two-level sum needs
+        pmod(xxhash64(col("id"), lit(17)), lit(1L << 62)).as("ord"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed("rank_gen")(rows.count())
+
+    // ---- phase 1: global exact rank at volume --------------------------
+    val ranked = timed("rank_rownumber") {
+      val r = Ranks.rowNumber(rows, "rk", col("value"), col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
+    val s = ranked.agg(min(col("rk")).as("mn"), max(col("rk")).as("mx"),
+      sum(col("rk").cast("decimal(38,0)")).as("sm")).head()
+    val wantSum = new java.math.BigDecimal(nRows)
+      .multiply(new java.math.BigDecimal(nRows + 1))
+      .divide(new java.math.BigDecimal(2))
+    assert(s.getLong(0) == 1L && s.getLong(1) == nRows &&
+      s.getDecimal(2).compareTo(wantSum) == 0,
+      s"rank structure: min=${s.getLong(0)} max=${s.getLong(1)} " +
+        s"sum=${s.getDecimal(2)} want_sum=$wantSum")
+    val probeIds = (1L to 5L).map(k => k * (nRows / 7L))
+    val probeRows = rows.filter(col("id").isin(probeIds: _*))
+      .select(col("id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probeIds.foreach { pid =>
+      val pv = probeRows(pid)
+      val direct = timed(s"rank_probe_$pid")(
+        rows.filter(col("value") < pv ||
+          (col("value") === pv && col("id") < pid)).count()) + 1L
+      val got = ranked.filter(col("id") === pid).head().getAs[Long]("rk")
+      assert(got == direct, s"rank probe id=$pid: rk=$got direct=$direct")
+    }
+
+    // ---- phase 2: exact ntile(10) banding off the rank ----------------
+    val dec = ranked
+      .withColumn("dec", Ranks.ntileOf(col("rk"), lit(nRows), 10))
+      .groupBy(col("dec"))
+      .agg(count(lit(1)).as("n"), min(col("rk")).as("lo"),
+        max(col("rk")).as("hi"))
+      .orderBy(col("dec"))
+      .collect()
+    assert(dec.length == 10, s"ntile produced ${dec.length} buckets")
+    val q = nRows / 10; val rem = nRows - q * 10
+    var nextLo = 1L
+    dec.foreach { r =>
+      val (d, n, lo, hi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = if (d <= rem) q + 1 else q
+      assert(n == want && lo == nextLo && hi == lo + n - 1,
+        s"decile $d: n=$n want=$want lo=$lo (want $nextLo) hi=$hi")
+      nextLo = hi + 1
+    }
+    println(s"SCALECHECK rank n=$nRows deciles_exact=true " +
+      s"probes=${probeIds.length}")
+
+    // ---- phase 3: two-level sharded running sum + budget cut ----------
+    // the token_budget dataflow at volume: per (source, shard) windows
+    // own nRows/(8·256) ≈ 49k rows at 100M — the boundedness claim
+    val sharded = rows.withColumn("shard", expr("ord div " + (1L << 54)))
+    val shardTot = sharded.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("st"))
+    val off = shardTot.as("a")
+      .join(shardTot.as("p"),
+        col("a.source") === col("p.source") &&
+          col("p.shard") < col("a.shard"), "left_outer")
+      .groupBy(col("a.source").as("source"), col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("p.st")), lit(0L)).as("shard_off"))
+    val win = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = timed("rank_prefix_sum") {
+      val c = sharded.join(broadcast(off), Seq("source", "shard"))
+        .withColumn("cum_before",
+          col("shard_off") +
+            coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      c.count(); c
+    }
+    // probe rows: direct filter-sum of every row strictly before p in
+    // the per-source (ord, id) total order
+    probeIds.foreach { pid =>
+      val p = cum.filter(col("id") === pid).head()
+      val (ps, po, pc) = (p.getAs[String]("source"), p.getAs[Long]("ord"),
+        p.getAs[Long]("cum_before"))
+      val direct = timed(s"rank_prefix_probe_$pid")(
+        rows.filter(col("source") === ps &&
+          (col("ord") < po || (col("ord") === po && col("id") < pid)))
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
+      assert(pc == direct,
+        s"prefix probe id=$pid source=$ps: cum=$pc direct=$direct")
+    }
+    // budget cut: boundary-exact per source. budget ≈ 16% of a source's
+    // expected mass so the cut lands mid-corpus, never at an edge
+    val budget = nRows / nSources * 500L / 6L
+    val sel = cum.filter(col("cum_before") < budget)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSel = timed("rank_budget_select")(sel.count())
+    val bounds = sel.groupBy(col("source"))
+      .agg(max(struct(col("ord"), col("id"))).as("last"),
+        count(lit(1)).as("n_sel"))
+      .collect()
+    assert(bounds.length == nSources,
+      s"budget cut covered ${bounds.length}/$nSources sources")
+    bounds.foreach { b =>
+      val src = b.getAs[String]("source")
+      val last = b.getStruct(1)
+      val (lo, li) = (last.getLong(0), last.getLong(1))
+      def directPrefix(ordV: Long, idV: Long): Long =
+        rows.filter(col("source") === src &&
+          (col("ord") < ordV || (col("ord") === ordV && col("id") < idV)))
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+      val lastPrefix = directPrefix(lo, li)
+      // the first row AFTER the boundary in the same source order
+      val nxt = rows.filter(col("source") === src &&
+        (col("ord") > lo || (col("ord") === lo && col("id") > li)))
+        .agg(min(struct(col("ord"), col("id"))).as("m")).head().getStruct(0)
+      assert(lastPrefix < budget,
+        s"$src: last selected prefix $lastPrefix !< budget $budget")
+      if (nxt != null) {
+        val nxtRow = rows.filter(col("source") === src &&
+          col("ord") === nxt.getLong(0) && col("id") === nxt.getLong(1))
+          .select(col("n_tokens")).head()
+        val nxtPrefix = directPrefix(nxt.getLong(0), nxt.getLong(1))
+        assert(nxtPrefix >= budget,
+          s"$src: first unselected prefix $nxtPrefix < budget $budget " +
+            s"(tokens=${nxtRow.getLong(0)})")
+      }
+      println(s"SCALECHECK rank budget_cut source=$src n_sel=${b.getLong(2)} " +
+        s"boundary_exact=true")
+    }
+    println(s"SCALECHECK rank prefix_sum n=$nRows selected=$nSel " +
+      s"budget=$budget shards=256 ok=true")
+    sel.unpersist(); cum.unpersist(); ranked.unpersist(); rows.unpersist()
+  }
+
+  /** `runMain graft.ScaleCheck stream [nEvents]` — the streaming-STATE
+    * drill: the structured-streaming layer is spec-gated for semantics
+    * (StreamingSpec: batch/stream parity on the bench tables) but its
+    * state stores had never been measured at volume. This pushes 20M
+    * events (default) through three shipped transforms as a REAL
+    * file-source stream — files land in event-time order like a live
+    * feed, 10 files per micro-batch — and grades each exactly:
+    *
+    *  1. [[streaming.StreamOps.dedupStream]] (bounded-state exact dedup):
+    *     20% planted same-timestamp duplicate pairs; the emitted count
+    *     must be EXACTLY 0.8·n (every dup dropped, no unique id lost to
+    *     a late-arrival eviction — file order makes event time monotone
+    *     across batches). Run TWICE: HDFS-backed provider, then RocksDB
+    *     — wall, peak state rows, and state memory printed for both.
+    *  2. [[streaming.StreamOps.windowedAgg]] (watermarked tumbling agg):
+    *     append mode flushed by a sentinel event 1 day past the corpus;
+    *     5 probe buckets re-derived from the raw parquet by batch
+    *     groupBy — decimal-exact sums, exact counts.
+    *  3. [[streaming.StreamOps.sessionAgg]] (session_window state at 1M
+    *     keys): user bursts (20 events, 0.2 s apart, one burst per user)
+    *     make the truth the batch run of the SAME transform; equality
+    *     asserted by symmetric anti-join, never collected.
+    */
+  private def streamDrill(spark: org.apache.spark.sql.SparkSession,
+      nEvents: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.StreamOps
+    val nFiles = 100
+    val perFile = nEvents / nFiles
+    require(perFile % 5 == 0, "perFile must be a multiple of 5 so planted " +
+      "duplicate pairs never straddle a file boundary")
+    val startUs = 1700000000000000L // fixed epoch anchor, deterministic
+    val stepUs = 200000L            // 0.2 s per event id
+    val root = Files.createTempDirectory("graft-streamdrill")
+    val watched = root.resolve("in"); Files.createDirectories(watched)
+    val stage = root.resolve("stage").toString
+
+    // generator: event_id collapses 20% of ids onto their predecessor
+    // (same derived ts — the dup pair is simultaneous), user bursts of
+    // 20 consecutive events, 8 event types, 2-dp values
+    def slice(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select(
+        when(pmod(col("id"), lit(5L)) === 4L, col("id") - 1L)
+          .otherwise(col("id")).as("event_id"),
+        col("id").as("row_id"))
+        .select(col("event_id"), col("row_id"),
+          timestamp_micros(lit(startUs) + col("event_id") * lit(stepUs))
+            .as("ts"),
+          (col("event_id") / lit(20L)).cast("bigint").as("user_id"),
+          concat(lit("t"), pmod(xxhash64(col("event_id"), lit(5)), lit(8L)))
+            .as("event_type"),
+          (pmod(xxhash64(col("event_id"), lit(9)), lit(100000L))
+            .cast("double") / 100.0).as("value"))
+        .drop("row_id")
+    timed("stream_gen") {
+      (0 until nFiles).foreach { f =>
+        slice(f * perFile, (f + 1) * perFile).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            Files.move(p, watched.resolve(f"f$f%04d.parquet"),
+              StandardCopyOption.ATOMIC_MOVE)
+            moved = true
+          }
+        }
+        require(moved, s"no parquet part produced for slice $f")
+      }
+    }
+    val raw = spark.read.parquet(watched.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRaw = raw.count()
+    require(nRaw == nEvents, s"generated $nRaw events, wanted $nEvents")
+    val maxRealUs = startUs + (nEvents - 1) * stepUs
+
+    def runStream(tag: String, out: DataFrame => DataFrame,
+        outputDir: String, sentinel: Boolean): (Double, Long, Long) = {
+      val ckpt = Files.createTempDirectory(root, s"ckpt_$tag").toString
+      val src = spark.readStream
+        .schema(raw.schema)
+        .option("maxFilesPerTrigger", 10)
+        .parquet(watched.toString)
+      val q = out(src).writeStream
+        .format("parquet")
+        .option("path", outputDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      if (sentinel) {
+        // one far-future row advances the watermark past every real
+        // window so append mode flushes them all
+        slice(0, 1)
+          .withColumn("ts", timestamp_micros(lit(maxRealUs + 86400000000L)))
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            Files.move(p, watched.resolve("f9999_sentinel.parquet"),
+              StandardCopyOption.ATOMIC_MOVE)
+            moved = true
+          }
+        }
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress
+      val peakState = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      val peakMem = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .foldLeft(0L)(math.max)
+      q.stop()
+      if (sentinel) Files.delete(watched.resolve("f9999_sentinel.parquet"))
+      println(f"SCALECHECK stream $tag%-18s wall=$wall%8.1f s " +
+        f"rows_per_s=${nEvents / wall}%.0f peak_state_rows=$peakState " +
+        s"peak_state_bytes=$peakMem")
+      (wall, peakState, peakMem)
+    }
+
+    // ---- phase 1: exact bounded-state dedup, both state providers -----
+    val wantDistinct = nEvents - nEvents / 5
+    Seq(
+      "dedup_hdfs" ->
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "dedup_rocksdb" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .foreach { case (tag, provider) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        val outDir = root.resolve(s"out_$tag").toString
+        runStream(tag, StreamOps.dedupStream, outDir, sentinel = false)
+        val got = spark.read.parquet(outDir).count()
+        val distinctGot = spark.read.parquet(outDir)
+          .select(col("event_id")).distinct().count()
+        assert(got == wantDistinct && distinctGot == wantDistinct,
+          s"$tag: emitted $got (distinct $distinctGot), want $wantDistinct")
+      }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+
+    // ---- phase 2: watermarked tumbling agg, probe-exact ----------------
+    val winDir = root.resolve("out_window").toString
+    runStream("windowed_agg", StreamOps.windowedAgg, winDir, sentinel = true)
+    val winOut = spark.read.parquet(winDir)
+      .filter(col("bucket_s") <= maxRealUs / 1000000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBuckets = winOut.count()
+    val truthAgg = StreamOps.windowedAgg(raw) // batch: watermark no-ops
+    val mism = winOut.as("s").join(truthAgg.as("b"),
+        Seq("event_type", "bucket_s"), "full_outer")
+      .filter(col("s.n_events").isNull || col("b.n_events").isNull ||
+        col("s.n_events") =!= col("b.n_events") ||
+        col("s.sum_value") =!= col("b.sum_value") ||
+        col("s.min_value") =!= col("b.min_value") ||
+        col("s.max_value") =!= col("b.max_value")).count()
+    assert(mism == 0, s"windowed_agg: $mism bucket mismatches vs batch")
+    println(s"SCALECHECK stream windowed_agg buckets=$nBuckets " +
+      s"mismatches=0 ok=true")
+    winOut.unpersist()
+
+    // ---- phase 3: session_window state at 1M keys ----------------------
+    val sesDir = root.resolve("out_session").toString
+    runStream("session_agg", StreamOps.sessionAgg, sesDir, sentinel = true)
+    val sesOut = spark.read.parquet(sesDir)
+      .filter(col("start_us") <= maxRealUs)
+    val sesTruth = StreamOps.sessionAgg(raw)
+    val sesMism = sesOut.as("s").join(sesTruth.as("b"),
+        Seq("user_id", "start_us"), "full_outer")
+      .filter(col("s.n_events").isNull || col("b.n_events").isNull ||
+        col("s.n_events") =!= col("b.n_events") ||
+        col("s.end_us") =!= col("b.end_us")).count()
+    val nSessions = sesOut.count()
+    assert(sesMism == 0, s"session_agg: $sesMism session mismatches vs batch")
+    println(s"SCALECHECK stream session_agg sessions=$nSessions " +
+      s"users=${nEvents / 20} mismatches=0 ok=true")
+    raw.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(32)
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("stream")) {
+      streamDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(20000000L))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("rank")) {
+      rankDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(100000000L))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bitmap")) {
       bitmapDrill(spark,
         args.drop(1).headOption.map(_.toLong).getOrElse(100000000L))
