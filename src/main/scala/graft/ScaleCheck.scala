@@ -392,6 +392,66 @@ object ScaleCheck {
     * (the final BIGINT cast at 2⁶³, the decimal(38,0) accumulator at
     * 1e38) on a graph three orders past the bench SF.
     */
+  /** `runMain graft.ScaleCheck scc [nEdges]` — the strongly-connected-
+    * components large-regime drill: [[operators.Relational.sccCore]]
+    * (the exact code graph_scc runs; the query's own graph is 25
+    * nations) over a GENERATED planted graph at default 25M edges whose
+    * true SCC partition is known by construction:
+    *
+    *  - nEdges/25 groups of 5 vertices, each a directed 5-cycle — the
+    *    planted SCCs (ids dense: group k owns [5k, 5k+5));
+    *  - groups arranged in 8 layers; the remaining ~4/5 of the edges are
+    *    random DAG edges from a layer-l vertex to a layer-(l+1) vertex
+    *    (stateless xxhash64 draws, deterministic) — cross-group edges
+    *    can never be mutual, so the SCCs stay exactly the cycles and the
+    *    condensation is exactly 8 layers deep, exercising the outer
+    *    peel-and-recolor loop at a known depth under the SccMaxRounds
+    *    contract.
+    *
+    * Graded, not printed-and-forgotten: every vertex's scc_id must equal
+    * its group minimum (one aggregate over the full labeling — zero
+    * tolerance), and the distinct-SCC count must equal the group count.
+    */
+  private def sccDrill(spark: org.apache.spark.sql.SparkSession,
+      nEdges: Long): Unit = {
+    import operators.Relational
+    val g = 5L
+    val layers = 8L
+    // round groups DOWN to a multiple of layers so every layer is full
+    val groups = (nEdges / (g * g) / layers).max(1L) * layers
+    val nV = groups * g
+    val perLayer = groups / layers
+    val cyc = spark.range(nV).select(col("id").as("src"),
+      ((col("id") / g).cast("bigint") * g +
+        (col("id") % g + 1) % g).as("dst"))
+    val nDag = nEdges - nV
+    def u(seed: Int) = pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L))
+    val dag = spark.range(nDag)
+      .select((u(1) % (layers - 1)).as("l"),
+        (u(2) % perLayer).as("g1"), (u(3) % perLayer).as("g2"),
+        (u(4) % g).as("o1"), (u(5) % g).as("o2"))
+      .select(
+        ((col("l") * perLayer + col("g1")) * g + col("o1")).as("src"),
+        (((col("l") + 1) * perLayer + col("g2")) * g + col("o2")).as("dst"))
+    val edges = cyc.unionAll(dag)
+    println(s"SCALECHECK scc vertices=$nV groups=$groups layers=$layers " +
+      s"cycle_edges=$nV dag_edges=$nDag")
+    val labels = timed("scc_core")(
+      Relational.sccCore(spark.range(nV).select(col("id").as("v")), edges,
+        verbose = true))
+    val s = labels.agg(count(lit(1)).as("n"),
+      sum(when(col("scc_id") === (col("v") / g).cast("bigint") * g, 0L)
+        .otherwise(1L)).as("bad"),
+      countDistinct(col("scc_id")).as("nscc")).head()
+    println(s"SCALECHECK scc labeled=${s.getLong(0)} " +
+      s"mislabeled=${s.getLong(1)} distinct_sccs=${s.getLong(2)} " +
+      s"ok=${s.getLong(0) == nV && s.getLong(1) == 0L &&
+        s.getLong(2) == groups}")
+    require(s.getLong(0) == nV && s.getLong(1) == 0L &&
+      s.getLong(2) == groups,
+      "scc drill FAILED: labeling does not match the planted partition")
+  }
+
   private def hitsDrill(spark: org.apache.spark.sql.SparkSession,
       nDraws: Long): Unit = {
     import org.apache.spark.storage.StorageLevel
@@ -1075,6 +1135,12 @@ object ScaleCheck {
     if (args.headOption.contains("ann")) {
       annDrill(spark,
         args.drop(1).headOption.map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("scc")) {
+      sccDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(25000000L))
       spark.stop()
       return
     }

@@ -61,6 +61,7 @@ object SparkEntry {
     "graph_shortest_paths" -> (Relational.graphShortestPaths _),
     "graph_kcore" -> (Relational.graphKcore _),
     "graph_hits" -> (Relational.graphHits _),
+    "graph_scc" -> (Relational.graphScc _),
     "q_events_band_join" -> (Relational.qEventsBandJoin _),
     "q_events_burstiness" -> (Relational.qEventsBurstiness _),
     "q_events_ewma" -> (Relational.qEventsEwma _),
@@ -1995,6 +1996,46 @@ object SparkEntry {
                 CAST(hops AS BIGINT) AS hops
          FROM walk
          ORDER BY hops, node_type, entity_key""",
+
+    // SCC oracle: mutual-reachability closure over the identical edge
+    // derivation (share-of-sender threshold, exact decimal) — scc_id is
+    // the min member id, the impl's coloring invariant; the closure is
+    // |nations|-bounded so the O(n·m) recursive walk stays trivial
+    "graph_scc" ->
+      """WITH f AS (SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+                           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                             AS rev
+                    FROM lineitem l
+                    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    GROUP BY 1, 2),
+            tot AS (SELECT a, sum(rev) AS t FROM f GROUP BY a),
+            e AS (SELECT f.a AS src, f.b AS dst
+                  FROM f JOIN tot ON f.a = tot.a
+                  WHERE f.a <> f.b AND f.rev * 25 > tot.t),
+            r AS (WITH RECURSIVE w(s, t) AS (
+                    SELECT src, dst FROM e
+                    UNION
+                    SELECT w.s, e.dst FROM w JOIN e ON e.src = w.t)
+                  SELECT s, t FROM w),
+            m AS (SELECT a.s AS v, a.t AS u
+                  FROM r a JOIN r b ON b.s = a.t AND b.t = a.s),
+            scc AS (SELECT n.n_nationkey AS v,
+                           least(n.n_nationkey,
+                                 coalesce(min(m.u), n.n_nationkey))
+                             AS scc_id
+                    FROM nation n LEFT JOIN m ON m.v = n.n_nationkey
+                    GROUP BY n.n_nationkey),
+            sz AS (SELECT scc_id, count(*) AS scc_size
+                   FROM scc GROUP BY scc_id)
+         SELECT n.n_name, CAST(scc.scc_id AS BIGINT) AS scc_id,
+                CAST(sz.scc_size AS BIGINT) AS scc_size
+         FROM nation n
+         JOIN scc ON scc.v = n.n_nationkey
+         JOIN sz ON sz.scc_id = scc.scc_id
+         ORDER BY n.n_name""",
 
     // groupwise Pareto frontier: same O(n log n) sweep as the Spark plan —
     // (brand, price) group max, brand-partitioned prefix max over strictly

@@ -2239,6 +2239,277 @@ object Relational {
     dist
   }
 
+  /** Outer-round cap for [[sccCore]]. Every round provably assigns at
+    * least one SCC per forward color class (each class root r has
+    * color(r) = bcolor(r) = r), and what actually bounds the round count
+    * is the DEPTH of the condensation DAG in min-ancestor order — a
+    * round peels every SCC whose minimum vertex is not reachable from a
+    * smaller surviving vertex, i.e. one full "layer" of the condensation
+    * per round. 64 layers is far past any graph this engine feeds it
+    * (the nation graph condenses in 1-2; the layered drill graph is
+    * built 8 deep); a graph deeper than this is a chained-SCC pathology
+    * the coloring algorithm is the wrong tool for, and per the
+    * fixpoint-cap contract the loop THROWS rather than returning a
+    * partial labeling.
+    */
+  private[graft] val SccMaxRounds = 64
+
+  /** Min-label propagation to FIXPOINT along directed edges — the shared
+    * inner loop of [[sccCore]]'s two passes. `init` is (id, lab) with
+    * lab = id; each round takes the min of the current label and the
+    * labels of all in-neighbors (labels flow src → dst), then applies
+    * TWO pointer jumps. The jumps are sound exactly as in the
+    * connected-components fixpoint (Dedup.scala) because labels ARE
+    * vertex ids and the invariant "lab(v) reaches v" is transitive:
+    * lab(lab(v)) reaches lab(v) reaches v, so following it is a valid
+    * (never larger) label — and it turns diameter-bounded convergence
+    * into O(log diameter) rounds WHEN label chains form, which is what
+    * makes million-node cycles drillable. Chains do NOT form when ids
+    * are monotone along edge direction (each hop keeps its own id and
+    * the single improving value crawls one edge per round) — that is
+    * why [[sccCore]] feeds this loop HASHED ids, never raw ones. At
+    * fixpoint lab(v) is EXACTLY
+    * min({v} ∪ ancestors(v)): along any path from the true minimum,
+    * labels are non-increasing edge by edge, so the minimum's own label
+    * (itself — nothing smaller reaches it) propagates all the way down.
+    * Labels are non-increasing and bounded below, so the fixpoint is
+    * always reached; the cap is the loud-failure contract, not an exit.
+    */
+  private def minLabelFix(init: DataFrame, edges: DataFrame,
+      what: String): DataFrame = {
+    var labels = graft.Barriers.roundBarrier(init)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      // neighbor-min step: the best label one directed edge away. NOT
+      // checkpointed mid-round: the jump self-joins re-read `stepped`/
+      // `mid`, but each re-read is an identical subtree on compatible
+      // keys — ReuseExchange computes it once (the cc-core pattern).
+      val nbr = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
+      val stepped = labels.select(col("id"), col("lab").as("old"))
+        .join(nbr, col("id") === col("dst"), "left_outer")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nl"), col("old"))).as("lab1"),
+          col("old"))
+      val jump = stepped.select(col("id").as("jid"), col("lab1").as("jlab"))
+      val mid = stepped
+        .join(jump, col("lab1") === col("jid"), "left_outer")
+        .select(col("id"),
+          least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab2"),
+          col("old"))
+      val jump2 = mid.select(col("id").as("jid2"), col("lab2").as("jlab2"))
+      val next = mid
+        .join(jump2, col("lab2") === col("jid2"), "left_outer")
+        .select(col("id"),
+          least(col("lab2"), coalesce(col("jlab2"), col("lab2"))).as("lab"),
+          col("old"))
+        .transform(graft.Barriers.roundBarrier) // O(1) lineage per round
+      changed = next.filter(col("lab") =!= col("old")).count()
+      labels = next.select(col("id"), col("lab"))
+      iter += 1
+      if (iter > 100)
+        throw new IllegalStateException(
+          s"$what min-label fixpoint still moving after $iter rounds " +
+            s"($changed labels) — monotonicity is broken, refusing to " +
+            "return a partial labeling")
+    }
+    labels
+  }
+
+  /** Strongly connected components of a DIRECTED graph by forward
+    * coloring + backward confinement (Orzan 2004; the FW-BW family,
+    * Fleischer et al. 2000) — the directed sibling of the
+    * connected-components core, and a plan shape nothing else in the
+    * suite has: a NESTED fixpoint (two pointer-jumped min-label
+    * propagations per outer round) with node removal between rounds.
+    *
+    * Per outer round over the surviving subgraph:
+    *
+    *  1. FORWARD coloring: color(v) = min({v} ∪ ancestors(v)) via
+    *     [[minLabelFix]] along the edges. Every color class is a region
+    *     reachable from its root r (the class minimum, color(r) = r).
+    *  2. BACKWARD confinement: bcolor(v) = min within-class descendant,
+    *     via the SAME fixpoint on the class-confined REVERSED edges
+    *     (both endpoints share a color — cross-class edges drop).
+    *  3. v is DONE iff bcolor(v) = color(v) = r: r reaches v (coloring)
+    *     and v reaches r within the class (confinement) — mutual, so v
+    *     ∈ SCC(r); conversely every member of SCC(r) colors r and its
+    *     entire return path to r stays in class r (any smaller ancestor
+    *     of a path node would be a smaller ancestor of r itself), so
+    *     the assignment is exact, and r IS the SCC's minimum member
+    *     (a smaller member would be a smaller ancestor of r). Done
+    *     nodes leave; edges confine to survivors; repeat.
+    *
+    * The returned (v, scc_id) labeling carries scc_id = min member id —
+    * the same canonical-id convention as connectedComponents, so the
+    * DuckDB oracle (mutual-reachability closure) matches exactly.
+    *
+    * The fixpoints run in a HASHED id space, not on the raw vertex ids:
+    * min-label propagation has an adversarial worst case when ids are
+    * monotone ALONG edge direction (every intermediate keeps its own
+    * id, so no label chain ever forms for the pointer jumps to follow,
+    * and the one improving value crawls a single edge per round — a
+    * directed n-cycle with ascending ids costs n backward rounds; the
+    * SccSpec long-cycle case catches exactly this). xxhash64(v)
+    * decouples the propagation order from the edge orientation, making
+    * the crawl configuration vanishingly unlikely instead of
+    * constructible; the hash space is VERIFIED collision-free over the
+    * vertex set once per run (one countDistinct — a collision would
+    * silently merge classes, so it THROWS per the loud-cap contract),
+    * and the canonical min-member scc_id is recovered by a final
+    * per-class min over the raw ids, so the hash never leaks into the
+    * result.
+    *
+    * Scale shape: every relation that moves is a slim (id, lab) pair or
+    * a 2-column edge list; rounds cut lineage via [[graft.Barriers]]
+    * (reliable-barrier conf applies); the inner fixpoints are
+    * O(log diameter) w.h.p. in the hashed order thanks to the pointer
+    * jumps; outer rounds are bounded by condensation depth with a LOUD
+    * [[SccMaxRounds]] throw. Trading-bloc graphs (the query) condense
+    * in 1-2 rounds; web-shaped graphs (giant SCC + shallow periphery)
+    * in a handful.
+    */
+  private[graft] def sccCore(vertices0: DataFrame, edges0: DataFrame,
+      verbose: Boolean = false): DataFrame = {
+    // static (v ↔ hashed v) map; the loop runs entirely in hash space
+    val vmap = graft.Barriers.roundBarrier(
+      vertices0.select(col("v")).distinct()
+        .select(col("v"), xxhash64(col("v")).as("hv")))
+    val chk = vmap.agg(count(lit(1)).as("n"),
+      countDistinct(col("hv")).as("nh")).head()
+    if (chk.getLong(0) != chk.getLong(1))
+      throw new IllegalStateException(
+        s"sccCore: xxhash64 collision over ${chk.getLong(0)} vertex ids " +
+          s"(${chk.getLong(1)} distinct hashes) — the hashed propagation " +
+          "order would silently merge color classes, refusing to run")
+    var remaining = graft.Barriers.roundBarrier(vmap.select(col("hv")))
+    var nRemaining = remaining.count()
+    // self-loops never decide an SCC (v is always mutual with itself)
+    var live = graft.Barriers.roundBarrier(
+      edges0.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .select(xxhash64(col("src")).as("src"),
+          xxhash64(col("dst")).as("dst")))
+    var out: DataFrame = null
+    var round = 0
+    while (nRemaining > 0) {
+      round += 1
+      if (round > SccMaxRounds)
+        throw new IllegalStateException(
+          s"sccCore still has $nRemaining unassigned vertices after " +
+            s"$round outer rounds — condensation deeper than the " +
+            s"documented $SccMaxRounds-layer bound, refusing to return " +
+            "a partial labeling")
+      val colors = graft.Barriers.roundBarrier( // 3 consumers below
+        minLabelFix(
+          remaining.select(col("hv").as("id"), col("hv").as("lab")),
+          live, s"scc-forward-r$round")
+          .select(col("id").as("hv"), col("lab").as("color")))
+      // class-confined edges, REVERSED for the backward pass
+      val ceRev = graft.Barriers.roundBarrier(
+        live
+          .join(colors.select(col("hv").as("src"), col("color").as("cs")),
+            Seq("src"))
+          .join(colors.select(col("hv").as("dst"), col("color").as("cd")),
+            Seq("dst"))
+          .filter(col("cs") === col("cd"))
+          .select(col("dst").as("src"), col("src").as("dst")))
+      val bcolors =
+        minLabelFix(
+          remaining.select(col("hv").as("id"), col("hv").as("lab")),
+          ceRev, s"scc-backward-r$round")
+          .select(col("id").as("hv"), col("lab").as("bcolor"))
+      val done = graft.Barriers.roundBarrier(
+        colors.join(bcolors, Seq("hv"))
+          .filter(col("color") === col("bcolor"))
+          .select(col("hv"), col("color").as("lbl")))
+      if (verbose)
+        println(s"[scc] round=$round assigned=${done.count()} " +
+          s"remaining_before=$nRemaining")
+      out = if (out == null) done
+        else graft.Barriers.roundBarrier(out.unionAll(done))
+      remaining = graft.Barriers.roundBarrier(
+        remaining.join(done.select(col("hv")), Seq("hv"), "left_anti"))
+      nRemaining = remaining.count()
+      if (nRemaining > 0)
+        live = graft.Barriers.roundBarrier(
+          live
+            .join(remaining.select(col("hv").as("src")), Seq("src"),
+              "left_semi")
+            .join(remaining.select(col("hv").as("dst")), Seq("dst"),
+              "left_semi"))
+    }
+    if (out == null) // empty vertex set: nothing was ever assigned
+      return vmap.select(col("v"), col("v").as("scc_id"))
+    // back to raw ids; scc_id = the class's minimum member id. A class
+    // label never recurs across rounds (its root is assigned the round
+    // the class exists), so one global groupBy is exact.
+    val labeled = out.join(vmap, Seq("hv")).select(col("v"), col("lbl"))
+    labeled
+      .join(labeled.groupBy(col("lbl")).agg(min(col("v")).as("scc_id")),
+        Seq("lbl"))
+      .select(col("v"), col("scc_id"))
+  }
+
+  /** §2.2 graph_scc: strongly connected components over the DIRECTED
+    * nation-level trade-flow graph — "which trade blocs are mutually
+    * significant to each other". An edge a → b exists where nation a's
+    * customers send supplier-nation b MORE than a uniform share of a's
+    * total outbound revenue (rev(a,b) · 25 > Σ_x rev(a,x), a ≠ b):
+    * significance is relative to the SENDER, so the relation is
+    * genuinely asymmetric and the SF only sharpens shares instead of
+    * densifying the graph. SCCs are the maximal sets of nations
+    * mutually reachable through chains of significant flows.
+    *
+    * EXACT end to end: revenue is the 2dp-cast decimal [[discPrice]]
+    * sum (tie-free per its contract), the threshold is a decimal
+    * integer-multiple comparison, and the SCC labels are integer minima
+    * — no float anywhere, so the DuckDB oracle (mutual-reachability
+    * closure over the identical edge derivation) matches bit-for-bit.
+    *
+    * Scale shape: the flow rollup collapses the fact join map-side to
+    * ≤ |nations|² rows and persists (two consumers: flows + totals —
+    * the shared-relation contract); everything after it is
+    * dimension-sized. The [[sccCore]] loop itself is the scale story —
+    * drilled on a 25M-edge layered planted graph (ScaleCheck scc),
+    * where the query graph exercises only its correctness.
+    */
+  def graphScc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val flows = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), discPrice.as("rev"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").as("a")),
+        Seq("o_custkey"))
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("l_suppkey"),
+          col("s_nationkey").as("b")),
+        Seq("l_suppkey"))
+      .groupBy(col("a"), col("b")).agg(sum(col("rev")).as("rev"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    flows.count() // EAGER: edge build + totals both consume this cache
+    val tot = flows.groupBy(col("a")).agg(sum(col("rev")).as("t"))
+    val e = flows.join(tot, Seq("a"))
+      .filter(col("a") =!= col("b") && col("rev") * lit(25) > col("t"))
+      .select(col("a").cast("bigint").as("src"),
+        col("b").cast("bigint").as("dst"))
+    val nations = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("bigint").as("v"), col("n_name"))
+    val labels = sccCore(nations.select(col("v")), e)
+    flows.unpersist() // labels is checkpoint-truncated — no cache refs
+    val sizes = labels.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("scc_size"))
+    nations.join(labels, Seq("v"))
+      .join(sizes, Seq("scc_id"))
+      .select(col("n_name"), col("scc_id"), col("scc_size"))
+      .orderBy(col("n_name"))
+  }
+
   /** The frontier BFS loop under graph_shortest_paths, on a general
     * DIRECTED edge list (pass both directions for undirected semantics,
     * as graphShortestPaths does). Seeds are the `nSeeds` smallest
