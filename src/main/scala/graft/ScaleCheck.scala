@@ -452,6 +452,53 @@ object ScaleCheck {
       "scc drill FAILED: labeling does not match the planted partition")
   }
 
+  /** `runMain graft.ScaleCheck yannakakis [nFact]` — the semi-join
+    * reduction program at the volume it exists for: the SHIPPED
+    * [[operators.Relational.yannakakisReduce]] over a generated
+    * dangling-heavy chain fact(100M) — mid(nFact/10) — dim(nFact/100),
+    * built so most tuples DIE (fact keys draw from 2× the mid domain →
+    * ~50% dangling; mid keys from 2× the dim domain and the dim leaf
+    * filter keeps 10% → ~5% of mids survive; ~2.5% of facts reach the
+    * output). Both the reduced program and the PLAIN declarative join
+    * (Catalyst's own best, runtime filters included) compute the same
+    * exact BIGINT aggregate — asserted equal, times printed side by
+    * side, survivor counts printed so the reduction factor is explicit.
+    */
+  private def yannakakisDrill(spark: org.apache.spark.sql.SparkSession,
+      nFact: Long): Unit = {
+    import operators.Relational
+    val nMid = nFact / 10
+    val nDim = nFact / 100
+    def h(seed: Int) = pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L))
+    // dim leaf filter keeps k3 % 10 == 0 (10% of the dim)
+    val dim = spark.range(nDim).select(col("id").as("k3"))
+      .filter(col("k3") % 10 === 0)
+    // mid keys draw k3 from [0, 2·nDim): half point past the dim domain
+    val mid = spark.range(nMid).select(col("id").as("k2"),
+      (h(1) % (2 * nDim)).as("k3"))
+    // fact keys draw k2 from [0, 2·nMid): half dangle; exact payload
+    val fact = spark.range(nFact).select(col("id").as("k1"),
+      (h(2) % (2 * nMid)).as("k2"), (col("id") % 997L).as("pay"))
+    def gradeAgg(joined: org.apache.spark.sql.DataFrame) =
+      joined.agg(count(lit(1)).as("n"), sum(col("pay")).as("s")).head()
+    val plain = timed("yk_plain_join")(gradeAgg(
+      fact.join(mid, Seq("k2")).join(dim, Seq("k3"))))
+    val Seq(d2, m2, f2) = Relational.yannakakisReduce(
+      Seq(dim, mid, fact), Seq(("k3", "k3"), ("k2", "k2")))
+    val reduced = timed("yk_reduced_join")(
+      gradeAgg(f2.join(m2, Seq("k2")).join(d2, Seq("k3"))))
+    // survivor counts re-derive the reductions AFTER the timed pass, so
+    // the timed plan stays single-consumer (no persist-contract noise)
+    val (rFact, rMid, rDim) = (f2.count(), m2.count(), d2.count())
+    println(s"SCALECHECK yannakakis fact=$nFact mid=$nMid dim=$nDim " +
+      s"survivors fact=$rFact mid=$rMid dim=$rDim " +
+      s"plain=(${plain.getLong(0)}, ${plain.getLong(1)}) " +
+      s"reduced=(${reduced.getLong(0)}, ${reduced.getLong(1)}) " +
+      s"equal=${plain == reduced}")
+    require(plain == reduced,
+      "yannakakis drill FAILED: reduced program disagrees with plain join")
+  }
+
   private def hitsDrill(spark: org.apache.spark.sql.SparkSession,
       nDraws: Long): Unit = {
     import org.apache.spark.storage.StorageLevel
@@ -1135,6 +1182,12 @@ object ScaleCheck {
     if (args.headOption.contains("ann")) {
       annDrill(spark,
         args.drop(1).headOption.map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("yannakakis")) {
+      yannakakisDrill(spark,
+        args.drop(1).headOption.map(_.toLong).getOrElse(100000000L))
       spark.stop()
       return
     }

@@ -2368,14 +2368,107 @@ object Relational {
     * jumps; outer rounds are bounded by condensation depth with a LOUD
     * [[SccMaxRounds]] throw. Trading-bloc graphs (the query) condense
     * in 1-2 rounds; web-shaped graphs (giant SCC + shallow periphery)
-    * in a handful.
+    * in a handful. Below [[SccDriverFinishEdgeBound]] the whole
+    * computation finishes driver-side instead ([[sccTarjan]]) — the
+    * bounded-finish contract shared with connectedComponents, regimes
+    * spec-asserted identical.
     */
+  /** Below this many (deduplicated) edges the SCC finishes DRIVER-SIDE
+    * with one iterative Tarjan pass over the collected edge list — the
+    * same bounded-finish contract as connectedComponents' union-find
+    * (Dedup.DriverFinishEdgeBound, same value): a dimension-sized graph
+    * (graph_scc's nation digraph, ≤ 625 edges) pays two collects and a
+    * linear scan instead of ~50 scheduled jobs of distributed fixpoint
+    * overhead. Above the bound the coloring loop runs — SccSpec asserts
+    * both regimes bit-identical on every reference graph, and the
+    * 25M-edge drill exercises ONLY the distributed branch.
+    */
+  private[graft] val SccDriverFinishEdgeBound = 4000000L
+
+  /** Driver-side iterative Tarjan over an explicit edge list — the
+    * bounded finishing branch of [[sccCore]]. Ids are arbitrary longs;
+    * returns v → min member id of v's SCC for every vertex in `verts`.
+    */
+  private[graft] def sccTarjan(verts: Array[Long],
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val idx = verts.zipWithIndex.toMap
+    val n = verts.length
+    val adj = Array.fill(n)(List.empty[Int])
+    edges.foreach { case (a, b) =>
+      // edges between unknown vertices are the caller's bug — loud
+      adj(idx(a)) ::= idx(b)
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStk = new Array[Boolean](n)
+    var cnt = 0
+    val stk = scala.collection.mutable.Stack[Int]()
+    val out = new Array[Long](n)
+    for (root <- 0 until n if index(root) < 0) {
+      var work = List((root, adj(root)))
+      index(root) = cnt; low(root) = cnt; cnt += 1
+      stk.push(root); onStk(root) = true
+      while (work.nonEmpty) {
+        val (node, rest) = work.head
+        rest match {
+          case w :: tail if index(w) < 0 =>
+            work = (node, tail) :: work.tail
+            index(w) = cnt; low(w) = cnt; cnt += 1
+            stk.push(w); onStk(w) = true
+            work = (w, adj(w)) :: work
+          case w :: tail =>
+            if (onStk(w)) low(node) = math.min(low(node), index(w))
+            work = (node, tail) :: work.tail
+          case Nil =>
+            work = work.tail
+            if (low(node) == index(node)) {
+              var comp = List.empty[Int]
+              var done = false
+              while (!done) {
+                val w = stk.pop(); onStk(w) = false; comp ::= w
+                if (w == node) done = true
+              }
+              val m = comp.iterator.map(verts).min
+              comp.foreach(v => out(v) = m)
+            }
+            work.headOption.foreach { case (p, _) =>
+              low(p) = math.min(low(p), low(node))
+            }
+        }
+      }
+    }
+    verts.zip(out).toMap
+  }
+
   private[graft] def sccCore(vertices0: DataFrame, edges0: DataFrame,
-      verbose: Boolean = false): DataFrame = {
-    // static (v ↔ hashed v) map; the loop runs entirely in hash space
+      verbose: Boolean = false,
+      driverFinishEdgeBound: Long = SccDriverFinishEdgeBound): DataFrame = {
+    // static (v ↔ hashed v) map; the loop runs entirely in hash space.
+    // Ids are normalized to BIGINT before hashing on BOTH the vertex and
+    // edge sides: xxhash64 is width-sensitive (int 5 and long 5 hash
+    // differently), so a caller mixing integer edges with long vertices
+    // would otherwise land in two disjoint hash spaces silently.
+    val spark = vertices0.sparkSession
     val vmap = graft.Barriers.roundBarrier(
-      vertices0.select(col("v")).distinct()
+      vertices0.select(col("v").cast("bigint").as("v")).distinct()
         .select(col("v"), xxhash64(col("v")).as("hv")))
+    // self-loops never decide an SCC (v is always mutual with itself)
+    val rawLive = graft.Barriers.roundBarrier(
+      edges0.select(col("src").cast("bigint").as("src"),
+          col("dst").cast("bigint").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val nLive = rawLive.count()
+    val nVerts = vmap.count()
+    if (nLive <= driverFinishEdgeBound && nVerts <= driverFinishEdgeBound) {
+      // bounded DRIVER finish (the connectedComponents contract): a
+      // dimension-sized digraph pays one Tarjan scan, not ~50 jobs of
+      // distributed fixpoint overhead; regimes spec-asserted identical
+      val verts = vmap.select(col("v")).collect().map(_.getLong(0))
+      val es = rawLive.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val lab = sccTarjan(verts, es).toSeq
+      import spark.implicits._
+      return lab.toDF("v", "scc_id")
+    }
     val chk = vmap.agg(count(lit(1)).as("n"),
       countDistinct(col("hv")).as("nh")).head()
     if (chk.getLong(0) != chk.getLong(1))
@@ -2385,12 +2478,9 @@ object Relational {
           "order would silently merge color classes, refusing to run")
     var remaining = graft.Barriers.roundBarrier(vmap.select(col("hv")))
     var nRemaining = remaining.count()
-    // self-loops never decide an SCC (v is always mutual with itself)
     var live = graft.Barriers.roundBarrier(
-      edges0.select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-        .select(xxhash64(col("src")).as("src"),
-          xxhash64(col("dst")).as("dst")))
+      rawLive.select(xxhash64(col("src")).as("src"),
+        xxhash64(col("dst")).as("dst")))
     var out: DataFrame = null
     var round = 0
     while (nRemaining > 0) {
@@ -5400,6 +5490,43 @@ object Relational {
     * Oracle: the plain declarative join — grading the reduction program
     * exact-equal to the unreduced semantics.
     */
+  /** The Yannakakis FULL REDUCER for an acyclic CHAIN of relations
+    * r₀ — r₁ — … — rₙ, where rᵢ joins rᵢ₊₁ on
+    * rᵢ(keys(i)._1) = rᵢ₊₁(keys(i)._2). Bottom-up pass (r₀ outward:
+    * each relation semi-joined against its already-reduced neighbor),
+    * then top-down (rₙ back) — returns every relation FULLY reduced:
+    * each surviving tuple joins with at least one tuple of every other
+    * relation, so the final join over the returned relations is
+    * dangling-tuple-free and its intermediates are bounded by
+    * input + output (Yannakakis 1981). Every semi-join ships only the
+    * 1-column key projection of the reducing side — the slim-exchange
+    * contract the query Scaladoc above describes. Factored so the
+    * large-regime drill (`ScaleCheck yannakakis`) runs the SHIPPED
+    * reducer on a 100M-row dangling-heavy chain; [[qYannakakis]] is the
+    * oracle-graded caller.
+    */
+  private[graft] def yannakakisReduce(rels: Seq[DataFrame],
+      keys: Seq[(String, String)]): Seq[DataFrame] = {
+    require(rels.size >= 2 && keys.size == rels.size - 1,
+      s"chain of ${rels.size} relations needs ${rels.size - 1} join keys")
+    val n = rels.size
+    val up = new Array[DataFrame](n)
+    up(0) = rels.head
+    for (i <- 1 until n) {
+      val (pk, ck) = keys(i - 1)
+      up(i) = rels(i)
+        .join(up(i - 1).select(col(pk).as(ck)), Seq(ck), "left_semi")
+    }
+    val down = new Array[DataFrame](n)
+    down(n - 1) = up(n - 1)
+    for (i <- n - 2 to 0 by -1) {
+      val (pk, ck) = keys(i)
+      down(i) = up(i)
+        .join(down(i + 1).select(col(ck).as(pk)), Seq(pk), "left_semi")
+    }
+    down.toSeq
+  }
+
   def qYannakakis(spark: SparkSession, dir: String): DataFrame = {
     // leaf filters, pushed to the parquet scans
     val li = Tables.lineitem(spark, dir)
@@ -5417,25 +5544,19 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
 
-    // bottom-up: reduce orders by qualifying lineitems, customers by
-    // surviving orders AND the region-filtered nation dimension
-    val ord1 = ord.join(li.select(col("l_orderkey")),
-      col("o_orderkey") === col("l_orderkey"), "left_semi")
-    val cust1 = cust
-      .join(ord1.select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_semi")
-      .join(broadcast(nat.select(col("n_nationkey"))),
-        col("c_nationkey") === col("n_nationkey"), "left_semi")
-    // top-down: kill orders whose customer died, lineitems whose order died
-    val ord2 = ord1.join(cust1.select(col("c_custkey")),
-      col("o_custkey") === col("c_custkey"), "left_semi")
-    val li2 = li.join(ord2.select(col("o_orderkey")),
-      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // the full reducer over the chain nation — customer — orders —
+    // lineitem (the shared [[yannakakisReduce]] the drill also runs):
+    // bottom-up from the region-filtered nation leaf, top-down from the
+    // lineitem root — every returned relation is dangling-free
+    val Seq(nat2, cust2, ord2, li2) = yannakakisReduce(
+      Seq(nat, cust, ord, li),
+      Seq(("n_nationkey", "c_nationkey"), ("c_custkey", "o_custkey"),
+        ("o_orderkey", "l_orderkey")))
 
     // dangling-free final join over the fully-reduced relations
     li2.join(ord2, col("l_orderkey") === col("o_orderkey"))
-      .join(cust1, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(cust2, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat2), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
         sum(col("rev")).cast("double").as("revenue"),

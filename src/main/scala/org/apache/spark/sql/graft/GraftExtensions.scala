@@ -175,6 +175,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(c(0), "corpus_dir"))
           .queryExecution.analyzed }))
 
+    ext.injectTableFunction((FunctionIdentifier("graft_scc"),
+      info("graft_scc",
+        "graft_scc(corpus_dir) - strongly connected components of the corpus's directed nation trade-flow graph (table function)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_scc")
+        graft.operators.Relational.graphScc(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(c(0), "corpus_dir"))
+          .queryExecution.analyzed }))
+
     ext.injectTableFunction((FunctionIdentifier("graft_sim_topk"),
       info("graft_sim_topk",
         "graft_sim_topk(corpus_dir) - exact top-k cosine neighbors over a corpus's embeddings (table function)"),

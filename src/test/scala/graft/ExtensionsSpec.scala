@@ -189,6 +189,17 @@ class ExtensionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("table function: graft_scc from plain SQL == the DataFrame " +
+      "runner, row for row") {
+    val sf = TestSpark.sfDir
+    val sqlScc = spark.sql(s"SELECT * FROM graft_scc('$sf')")
+      .collect().map(_.toSeq).toSeq
+    val apiScc = graft.operators.Relational.graphScc(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlScc === apiScc)
+    spark.catalog.clearCache()
+  }
+
   test("full SQL query over a real table through the extension functions") {
     Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("emb")
     val n = spark.sql(

@@ -67,6 +67,12 @@ class SccSpec extends AnyFunSuite {
     out.toMap
   }
 
+  /** Runs BOTH finish regimes — the driver Tarjan branch (the default
+    * at these sizes) and the distributed coloring loop (forced via
+    * driverFinishEdgeBound = 0) — and asserts them bit-identical before
+    * returning: every reference comparison in this suite grades the two
+    * regimes at once (the connectedComponents parity contract).
+    */
   private def run(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val v = (0L until n.toLong).toDF("v")
@@ -74,8 +80,12 @@ class SccSpec extends AnyFunSuite {
       if (edges.isEmpty)
         Seq.empty[(Long, Long)].toDF("src", "dst")
       else edges.toDF("src", "dst")
-    Relational.sccCore(v, e)
+    val driver = Relational.sccCore(v, e)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Relational.sccCore(v, e, driverFinishEdgeBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === dist, "driver and distributed SCC regimes disagree")
+    dist
   }
 
   test("random directed graphs match Tarjan across densities") {
