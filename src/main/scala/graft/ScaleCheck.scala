@@ -497,6 +497,36 @@ object ScaleCheck {
       s"equal=${plain == reduced}")
     require(plain == reduced,
       "yannakakis drill FAILED: reduced program disagrees with plain join")
+    // Shape B — the TRANSITIVE-KILL shape: every fact key matches mid,
+    // but the dim leaf keeps only 0.1%. A naive left-deep fact⋈mid
+    // order would push 100M rows through a shuffle join the dim filter
+    // then annihilates; the reducer propagates the dim kill through mid
+    // to fact before any wide shuffle. MEASURED OUTCOME (recorded in
+    // BASELINE "Yannakakis drill"): AQE's join reordering + broadcast
+    // synthesizes the same kill on its own here (mid⋈dim first, 10k
+    // rows broadcast into the fact scan), beating the explicit reducer
+    // — so on friendly chains the reducer is the optimizer-independent
+    // intermediate BOUND, not a speedup, and this drill's permanent
+    // assert is losslessness at volume, with times printed for honesty.
+    val dimB = spark.range(nDim).select(col("id").as("k3"))
+      .filter(col("k3") % 1000 === 0)
+    val midB = spark.range(nMid).select(col("id").as("k2"),
+      (h(3) % nDim).as("k3"))
+    val factB = spark.range(nFact).select(col("id").as("k1"),
+      (h(4) % nMid).as("k2"), (col("id") % 997L).as("pay"))
+    val plainB = timed("ykB_plain_join")(gradeAgg(
+      factB.join(midB, Seq("k2")).join(dimB, Seq("k3"))))
+    val Seq(dB2, mB2, fB2) = Relational.yannakakisReduce(
+      Seq(dimB, midB, factB), Seq(("k3", "k3"), ("k2", "k2")))
+    val reducedB = timed("ykB_reduced_join")(
+      gradeAgg(fB2.join(mB2, Seq("k2")).join(dB2, Seq("k3"))))
+    val (rFactB, rMidB) = (fB2.count(), mB2.count())
+    println(s"SCALECHECK yannakakisB survivors fact=$rFactB mid=$rMidB " +
+      s"plainB=(${plainB.getLong(0)}, ${plainB.getLong(1)}) " +
+      s"reducedB=(${reducedB.getLong(0)}, ${reducedB.getLong(1)}) " +
+      s"equal=${plainB == reducedB}")
+    require(plainB == reducedB,
+      "yannakakis drill FAILED: shape B reduced disagrees with plain join")
   }
 
   private def hitsDrill(spark: org.apache.spark.sql.SparkSession,

@@ -5463,11 +5463,17 @@ object Relational {
   }
 
   /** §2.2 q_yannakakis: per-nation returned-revenue rollup evaluated as a
-    * YANNAKAKIS SEMI-JOIN PROGRAM (Yannakakis 1981) — the
-    * instance-optimal plan shape for ACYCLIC multi-way joins that
-    * Catalyst does not synthesize on its own (its runtime bloom filters
-    * prune single edges; the full reducer prunes the WHOLE tree both
-    * directions):
+    * YANNAKAKIS SEMI-JOIN PROGRAM (Yannakakis 1981) — the plan shape
+    * whose intermediates are bounded by input + output REGARDLESS of
+    * optimizer choices. Precision about what Catalyst does and does not
+    * give you here (the 100M-row drill measured both): on friendly
+    * acyclic CHAINS, AQE's join reordering + broadcast often synthesizes
+    * the same transitive kill (ScaleCheck yannakakis shape B: reorder +
+    * broadcast beat the explicit reducer 3.4 s to 6.2 s), so the reducer
+    * is not a speedup there — it is the INSTANCE-OPTIMALITY INSURANCE:
+    * the bound holds when statistics mislead, when no reduced side fits
+    * a broadcast, and on tree shapes reordering cannot fix, where an
+    * unreduced join order blows up unboundedly. The program:
     *
     *  1. bottom-up pass (leaves → root): each relation is semi-joined
     *     against its already-reduced children, so a parent keeps only
