@@ -62,6 +62,7 @@ object SparkEntry {
     "graph_kcore" -> (Relational.graphKcore _),
     "graph_hits" -> (Relational.graphHits _),
     "graph_scc" -> (Relational.graphScc _),
+    "q_eager_agg" -> (Relational.qEagerAgg _),
     "q_events_band_join" -> (Relational.qEventsBandJoin _),
     "q_events_burstiness" -> (Relational.qEventsBurstiness _),
     "q_events_ewma" -> (Relational.qEventsEwma _),
@@ -1996,6 +1997,23 @@ object SparkEntry {
                 CAST(hops AS BIGINT) AS hops
          FROM walk
          ORDER BY hops, node_type, entity_key""",
+
+    // eager aggregation (impl pushes the aggregate below both joins);
+    // the oracle is the PLAIN join+group — the rewrite must be lossless,
+    // with the intermediate row counts surfacing as count(DISTINCT)s
+    "q_eager_agg" ->
+      """SELECT c_mktsegment,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                     AS DOUBLE) AS revenue,
+                count(*) AS n_items,
+                count(DISTINCT o_orderkey) AS n_orders,
+                count(DISTINCT c_custkey) AS n_customers
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
 
     // SCC oracle: mutual-reachability closure over the identical edge
     // derivation (share-of-sender threshold, exact decimal) — scc_id is

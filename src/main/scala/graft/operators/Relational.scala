@@ -2542,6 +2542,46 @@ object Relational {
       .select(col("v"), col("scc_id"))
   }
 
+  /** §2.2 q_eager_agg: per-market-segment revenue rollup via EAGER
+    * AGGREGATION (Yan & Larson, VLDB 1995) — the aggregate is pushed
+    * BELOW both joins, a rewrite Catalyst does not perform: lineitem
+    * pre-aggregates to one row per order BEFORE touching orders
+    * (~4:1 at TPC-H shape), the per-order rollup re-aggregates to one
+    * row per customer before touching the customer dimension, and only
+    * |customers-with-orders| rows reach the final segment rollup. The
+    * plain plan (the oracle) shuffles every lineitem row through the
+    * first join; this plan's join inputs shrink to the NEXT KEY's
+    * cardinality at each step — at 100 TB the fact exchange carries
+    * |orders| rows, not |lineitem|.
+    *
+    * Decomposition is EXACT: revenue is the decimal [[discPrice]] sum
+    * (sums of sums ≡ the flat sum, no float reordering), item counts
+    * add, order/customer counts fall out as row counts of the
+    * intermediate rollups — matching the oracle's count(DISTINCT)s
+    * because the inner joins drop exactly the same childless rows on
+    * both engines. One double cast at the very end.
+    */
+  def qEagerAgg(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(discPrice).as("rev"), count(lit(1)).as("n_items"))
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      .join(perOrder, Seq("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n_items")).as("n_items"),
+        count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      .join(perCust, Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n_items")).as("n_items"),
+        sum(col("n_orders")).as("n_orders"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** §2.2 graph_scc: strongly connected components over the DIRECTED
     * nation-level trade-flow graph — "which trade blocs are mutually
     * significant to each other". An edge a → b exists where nation a's
