@@ -450,6 +450,36 @@ object ScaleCheck {
     require(s.getLong(0) == nV && s.getLong(1) == 0L &&
       s.getLong(2) == groups,
       "scc drill FAILED: labeling does not match the planted partition")
+    // Phase 2 — the GIANT-DIAMETER case the layered graph doesn't touch:
+    // one 2M-node directed cycle (+1M random chords inside it, same SCC;
+    // diameter ~2M) and 1M DAG tail nodes hanging off it (singletons).
+    // This is the million-node-cycle claim in sccCore's Scaladoc run at
+    // volume: raw ascending ids along the cycle are EXACTLY the
+    // adversarial crawl configuration, so convergence in dozens (not
+    // millions) of inner rounds is the hashed pointer-jump machinery
+    // working — and the verbose [scc] line proves one outer round.
+    val nCyc = 2000000L
+    val nTail = 1000000L
+    val cycB = spark.range(nCyc).select(col("id").as("src"),
+      ((col("id") + 1) % nCyc).as("dst"))
+    val chords = spark.range(nCyc / 2).select(
+      (u(6) % nCyc).as("src"), (u(7) % nCyc).as("dst"))
+    val tails = spark.range(nTail).select(
+      (u(8) % nCyc).as("src"), (col("id") + nCyc).as("dst"))
+    val labelsB = timed("scc_giant_cycle")(
+      Relational.sccCore(
+        spark.range(nCyc + nTail).select(col("id").as("v")),
+        cycB.unionAll(chords).unionAll(tails), verbose = true,
+        driverFinishEdgeBound = 0L))
+    val sB = labelsB.agg(count(lit(1)).as("n"),
+      sum(when((col("v") < nCyc && col("scc_id") === 0L) ||
+          (col("v") >= nCyc && col("scc_id") === col("v")), 0L)
+        .otherwise(1L)).as("bad")).head()
+    println(s"SCALECHECK scc_giant labeled=${sB.getLong(0)} " +
+      s"mislabeled=${sB.getLong(1)} " +
+      s"ok=${sB.getLong(0) == nCyc + nTail && sB.getLong(1) == 0L}")
+    require(sB.getLong(0) == nCyc + nTail && sB.getLong(1) == 0L,
+      "scc giant-cycle drill FAILED: labeling does not match construction")
   }
 
   /** `runMain graft.ScaleCheck yannakakis [nFact]` — the semi-join
