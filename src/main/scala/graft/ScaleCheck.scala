@@ -46,10 +46,15 @@ object ScaleCheck {
       .distinct()
   }
 
+  /** Phase timer. The prefix is uniform ("phase") rather than per-family:
+    * earlier revisions printed "SCALECHECK graph <label>" for EVERY
+    * family's timings, so grepping a drill log for its own family name
+    * missed all of them.
+    */
   private def timed[A](label: String)(body: => A): A = {
     val t0 = System.nanoTime()
     val r = body
-    println(f"SCALECHECK graph $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    println(f"SCALECHECK phase $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
     r
   }
 
@@ -1013,13 +1018,15 @@ object ScaleCheck {
       assert(lastPrefix < budget,
         s"$src: last selected prefix $lastPrefix !< budget $budget")
       if (nxt != null) {
-        val nxtRow = rows.filter(col("source") === src &&
+        // failure-message detail only — lazy, so the success path never
+        // pays this extra scan of the 100M-row cache (8 sources × ~1 s)
+        lazy val nxtTokens = rows.filter(col("source") === src &&
           col("ord") === nxt.getLong(0) && col("id") === nxt.getLong(1))
-          .select(col("n_tokens")).head()
+          .select(col("n_tokens")).head().getLong(0)
         val nxtPrefix = directPrefix(nxt.getLong(0), nxt.getLong(1))
         assert(nxtPrefix >= budget,
           s"$src: first unselected prefix $nxtPrefix < budget $budget " +
-            s"(tokens=${nxtRow.getLong(0)})")
+            s"(tokens=$nxtTokens)")
       }
       println(s"SCALECHECK rank budget_cut source=$src n_sel=${b.getLong(2)} " +
         s"boundary_exact=true")
@@ -1058,6 +1065,12 @@ object ScaleCheck {
     import org.apache.spark.sql.DataFrame
     import graft.streaming.StreamOps
     val nFiles = 100
+    // fail in milliseconds, not after the generation phase: nEvents/nFiles
+    // floors, so a non-multiple input would silently drop the remainder
+    // and only surface minutes later at the nRaw==nEvents check
+    require(nEvents % (nFiles * 5L) == 0,
+      s"nEvents must be a multiple of ${nFiles * 5} (files × dup-pair " +
+        s"stride): $nEvents")
     val perFile = nEvents / nFiles
     require(perFile % 5 == 0, "perFile must be a multiple of 5 so planted " +
       "duplicate pairs never straddle a file boundary")
@@ -1190,6 +1203,13 @@ object ScaleCheck {
         col("s.min_value") =!= col("b.min_value") ||
         col("s.max_value") =!= col("b.max_value")).count()
     assert(mism == 0, s"windowed_agg: $mism bucket mismatches vs batch")
+    // cardinality too: a full_outer value compare is blind to DUPLICATE
+    // emission (two identical stream rows both match the one batch row),
+    // so the row counts must agree independently of the join
+    val nTruthBuckets = truthAgg.count()
+    assert(nBuckets == nTruthBuckets,
+      s"windowed_agg: $nBuckets stream buckets vs $nTruthBuckets batch " +
+        "— duplicate or missing emission")
     println(s"SCALECHECK stream windowed_agg buckets=$nBuckets " +
       s"mismatches=0 ok=true")
     winOut.unpersist()
@@ -1207,6 +1227,17 @@ object ScaleCheck {
         col("s.end_us") =!= col("b.end_us")).count()
     val nSessions = sesOut.count()
     assert(sesMism == 0, s"session_agg: $sesMism session mismatches vs batch")
+    // duplicate-emission blindness of the value join, again — and the
+    // planted structure made load-bearing: one 20-event burst per user
+    // ⇒ EXACTLY nEvents/20 sessions, independent of the batch twin (a
+    // gap-handling regression shared by both sides would hide from
+    // parity but not from this count)
+    assert(nSessions == sesTruth.count(),
+      s"session_agg: $nSessions stream sessions vs batch count " +
+        "— duplicate or missing emission")
+    assert(nSessions == nEvents / 20,
+      s"session_agg: $nSessions sessions, expected exactly ${nEvents / 20} " +
+        "(one per planted user burst)")
     println(s"SCALECHECK stream session_agg sessions=$nSessions " +
       s"users=${nEvents / 20} mismatches=0 ok=true")
     raw.unpersist()
