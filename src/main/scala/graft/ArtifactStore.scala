@@ -67,18 +67,24 @@ object ArtifactStore {
     * CURRENT at it; returns the version dir. Old versions are left in
     * place (readers may still hold them) — [[prune]] is the retention
     * API, mirroring Warehouse.retain. Version names are a zero-padded
-    * nanos timestamp (lexicographic name order = publish order WITHIN one
-    * JVM session only — nanoTime is monotonic-clock, so cross-session
-    * ordering is the dir mtime's job, see prune) plus a random suffix:
-    * nanoTime alone has no cross-JVM uniqueness guarantee, and two
-    * sessions publishing in the same nanosecond must never collide into
-    * one directory (errorifexists would at least be loud, the suffix
-    * makes it a non-event).
+    * EPOCH-nanos timestamp (wall clock, not nanoTime: CLOCK_MONOTONIC
+    * resets at reboot and has no cross-JVM meaning, so a nanoTime name
+    * published after a reboot would sort BELOW every pre-reboot version
+    * and retention-by-name would delete the newest artifacts) — so
+    * lexicographic name order IS publish order across sessions and
+    * reboots, and survives a filesystem copy/restore of the artifact
+    * root, which directory mtimes do not. A random suffix follows: the
+    * wall clock has no cross-JVM uniqueness guarantee, and two sessions
+    * publishing in the same nanosecond must never collide into one
+    * directory (errorifexists would at least be loud, the suffix makes
+    * it a non-event).
     */
   private def writeVersion(kd: Path, df: DataFrame): Path = {
     Files.createDirectories(kd)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
-    val v = f"v_${System.nanoTime()}%019d_$suffix"
+    val now = java.time.Instant.now()
+    val epochNanos = now.getEpochSecond * 1000000000L + now.getNano
+    val v = f"v_$epochNanos%019d_$suffix"
     val target = kd.resolve(v)
     df.write.mode("errorifexists").parquet(target.toString)
     val tmp = kd.resolve(s".CURRENT.$v.tmp")
@@ -114,13 +120,11 @@ object ArtifactStore {
   }
 
   /** Retention: keep the newest `keep` versions of artifact `key` for
-    * corpus `dir` — by directory mtime with the name as tie-break, NOT by
-    * the nanos name alone: System.nanoTime is CLOCK_MONOTONIC (resets at
-    * reboot, no cross-JVM meaning), so under the durable-root daily-cron
-    * use a post-reboot publish would name-sort BELOW every pre-reboot
-    * version and name-order retention would delete the newest versions
-    * while keeping stale ones; a version dir is immutable after publish,
-    * so its mtime IS its publish time. NEVER deletes the CURRENT target
+    * corpus `dir` — by version NAME: names are zero-padded epoch nanos
+    * (see writeVersion), so lexicographic order is publish order across
+    * sessions and reboots, and — unlike directory mtimes, which a
+    * filesystem copy/restore of the artifact root rewrites — the name
+    * travels with the artifact. NEVER deletes the CURRENT target
     * even if it falls outside the window
     * (a concurrent publisher may have repointed since we listed).
     * Returns the number of version dirs deleted. A reader still holding
@@ -138,8 +142,7 @@ object ArtifactStore {
     val cur = current(kd).map(_.getFileName.toString)
     val versions = kd.toFile.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .sortBy(f => (f.lastModified, f.getName))(
-        Ordering[(Long, String)].reverse)
+      .sortBy(_.getName)(Ordering[String].reverse)
     val drop = versions.drop(keep).filterNot(f => cur.contains(f.getName))
     drop.foreach(deleteRecursively)
     drop.length

@@ -99,6 +99,36 @@ object Bench {
     */
   val QuietProbeStealMaxPct = 2.5
 
+  /** Record-grade in-run steal ceiling, percent. Promotes the era-3
+    * reading rule from BASELINE.md prose (attempt-4 postmortem: flank
+    * probes alone are insufficient on this host — a run with quiet
+    * flanks carried 14.8% in-run bursts) into the artifact itself: a
+    * perf RECORD additionally requires every per-query timed window to
+    * show ≤1% hypervisor steal. The r13 driver artifact fails this bar
+    * (max in-run steal 3.75%) but nothing machine-readable said so —
+    * `record_valid` now does.
+    */
+  val RecordInRunStealMaxPct = 1.0
+
+  /** Record-grade foreign-CPU ceiling, percent of all host CPUs, applied
+    * to passes ≥ [[RecordMinAttribWallSec]] wall seconds. "Foreign" =
+    * the kernel's busy fraction minus this JVM's own process-CPU share —
+    * compute burned inside the query's timed window by OTHER processes
+    * in this guest, which /proc/stat steal cannot see (the r13 false
+    * positive: 4-8× phantom regressions with zero steal, zero GC). A
+    * clean window reads ~0-2 (kernel + the idle sbt parent); 10 on a
+    * 32-cpu host is ≥3 cores of foreign work — the window is
+    * contaminated and the artifact self-declares "not a record".
+    */
+  val RecordForeignMaxPct = 10.0
+
+  /** Passes shorter than this are excluded from the foreign-CPU and
+    * flat-CPU anomaly checks: a sub-2 s window divides too few jiffies
+    * for stable attribution, and sub-second queries are already
+    * jitter-classed by the steady-ratio carve-out.
+    */
+  val RecordMinAttribWallSec = 2.0
+
   /** One probe sample is quiet iff its median clears the calibration
     * floor AND the kernel steal account (where available) is inside
     * the documented quiet band.
@@ -107,20 +137,42 @@ object Bench {
     p._2 >= QuietProbeMedianFloor &&
       (p._4 < 0 || p._4 <= QuietProbeStealMaxPct)
 
-  /** Cumulative (steal, total) jiffies from /proc/stat's aggregate cpu
-    * line; (0, -1) where the file is absent (non-Linux). Sampled either
-    * side of a probe window, the delta gives the kernel's OWN account of
-    * neighbor-CPU steal during the probe — evidence of (non-)contention
-    * that needs no throughput calibration at all.
+  /** Cumulative (steal, total, busy) jiffies from /proc/stat's aggregate
+    * cpu line; (0, -1, -1) where the file is absent (non-Linux). Sampled
+    * either side of a window, the deltas give the kernel's OWN account of
+    * (a) neighbor-guest steal and (b) total in-guest CPU consumption
+    * (busy = total − idle − iowait) — evidence that needs no throughput
+    * calibration at all. The busy term is what closes the r13 evidence
+    * hole: steal counts only hypervisor preemption, so CPU burned by
+    * OTHER PROCESSES IN THIS GUEST is invisible to it, but it is fully
+    * visible as host-busy jiffies this JVM did not itself consume.
     */
-  def stealSample(): (Long, Long) = {
+  def statSample(): (Long, Long, Long) = {
     try {
       val line = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0)
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      (if (f.length > 7) f(7) else 0L, f.sum)
-    } catch { case _: Throwable => (0L, -1L) }
+      val total = f.sum
+      val idle = (if (f.length > 3) f(3) else 0L) +
+        (if (f.length > 4) f(4) else 0L)
+      (if (f.length > 7) f(7) else 0L, total, total - idle)
+    } catch { case _: Throwable => (0L, -1L, -1L) }
   }
+
+  def stealSample(): (Long, Long) = { val s = statSample(); (s._1, s._2) }
+
+  /** This JVM's cumulative CPU nanoseconds across ALL its threads
+    * (driver + local executor pool + GC), or -1 where the platform bean
+    * is unavailable. In local mode every Spark task runs in this process,
+    * so a timed pass's delta is the work the query ACTUALLY got to do:
+    * wall inflating while this stays flat means the process was
+    * descheduled — in-guest contention — not a slower plan.
+    */
+  def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
 
   /** [[probe]] bracketed by [[stealSample]]: (min, median, max,
     * stealPct) where stealPct is the percentage of all-CPU jiffies the
@@ -189,27 +241,47 @@ object Bench {
     // dedup_cluster 20.8 s reading needed an isolated re-run to separate
     // contention from regression — probes only bracket whole runs, so a
     // mid-run storm is invisible). Every timed pass now brackets itself
-    // with the kernel steal counter and the JVM GC clock: a spike whose
-    // own window shows steal is contention; one showing seconds of GC is
-    // heap pressure; one showing neither is a real plan regression.
+    // with the kernel steal counter, the JVM GC clock, the JVM's own
+    // process-CPU clock, and the host busy counter: a spike whose own
+    // window shows steal is hypervisor contention; seconds of GC is heap
+    // pressure; wall inflating while this JVM's CPU-seconds stay flat —
+    // or host-busy far exceeding this JVM's share — is IN-GUEST
+    // contention /proc/stat steal cannot see (the r13 postmortem: a
+    // driver artifact carried 4-8× phantom regressions with zero steal
+    // and zero GC, and the then-documented reading rule called them
+    // real); only a pass showing none of the above is a plan regression.
+    val hostCpus = Runtime.getRuntime.availableProcessors
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Either[String, Double], Double, Double) = {
-      val (s0, j0) = stealSample()
+        : (Either[String, Double], Double, Double, Double, Double) = {
+      val (s0, j0, b0) = statSample()
       val g0 = gcMillis()
+      val c0 = processCpuNanos()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         val gcSec = (gcMillis() - g0) / 1000.0
-        val (s1, j1) = stealSample()
+        val cpuSec =
+          if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
+        val (s1, j1, b1) = statSample()
         val stealPct =
           if (j1 < 0 || j0 < 0 || j1 == j0) -1.0
           else 100.0 * (s1 - s0) / (j1 - j0)
-        (Right(dt), stealPct, gcSec)
+        // host CPU consumed by anything OTHER than this JVM during the
+        // pass, as a percentage of all host CPUs: the kernel's busy
+        // fraction minus this process's own share. ~0 in a clean window;
+        // a reading of 10 on a 32-cpu host means ≥3 cores' worth of
+        // foreign compute ran inside the query's timed window.
+        val foreignPct =
+          if (j1 < 0 || j0 < 0 || j1 == j0 || b0 < 0 || cpuSec < 0) -1.0
+          else math.max(0.0,
+            100.0 * (b1 - b0).toDouble / (j1 - j0) -
+              100.0 * cpuSec / (dt * hostCpus))
+        (Right(dt), stealPct, gcSec, cpuSec, foreignPct)
       } catch {
         case e: Throwable =>
           (Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)),
-            -1.0, -1.0)
+            -1.0, -1.0, -1.0, -1.0)
       } finally {
         // full release between timed passes (SQL caches + raw persisted
         // RDDs, blocking + ContextCleaner-driving GC): see GraftCaches for
@@ -240,13 +312,16 @@ object Bench {
     def dmap() = scala.collection.mutable.LinkedHashMap[String, Double]()
     val stealRuns = scala.collection.mutable.ArrayBuffer[DMap](dmap())
     val gcRuns = scala.collection.mutable.ArrayBuffer[DMap](dmap())
+    val cpuRuns = scala.collection.mutable.ArrayBuffer[DMap](dmap())
+    val foreignRuns = scala.collection.mutable.ArrayBuffer[DMap](dmap())
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       timeOne(fn)._1 match {
         case Right(t1) =>
           cold(name) = t1
-          val (r2, st, gc) = timeOne(fn)
+          val (r2, st, gc, cpu, fo) = timeOne(fn)
           stealRuns(0)(name) = st; gcRuns(0)(name) = gc
+          cpuRuns(0)(name) = cpu; foreignRuns(0)(name) = fo
           r2 match {
             case Right(t2) => warm(name) = t2
             case Left(err) => warm(name) = -1.0; errors(name) = err
@@ -265,13 +340,13 @@ object Bench {
     val extraRuns = (2 to nRuns).map { _ =>
       midProbes += probeWithSteal()
       val w = scala.collection.mutable.LinkedHashMap[String, Double]()
-      val sm = dmap(); val gm = dmap()
+      val sm = dmap(); val gm = dmap(); val cm = dmap(); val fm = dmap()
       names.foreach { name =>
-        val (r, st, gc) = timeOne(SparkEntry.queries(name))
+        val (r, st, gc, cpu, fo) = timeOne(SparkEntry.queries(name))
         w(name) = r.getOrElse(-1.0)
-        sm(name) = st; gm(name) = gc
+        sm(name) = st; gm(name) = gc; cm(name) = cpu; fm(name) = fo
       }
-      stealRuns += sm; gcRuns += gm
+      stealRuns += sm; gcRuns += gm; cpuRuns += cm; foreignRuns += fm
       w
     }
     val allWarm: Seq[collection.Map[String, Double]] = warm +: extraRuns
@@ -358,8 +433,50 @@ object Bench {
     val probeQuiet = allProbes.forall(sampleQuiet)
     val stealJson = stealRuns.map(m => jmap(m, 2)).mkString("[", ",", "]")
     val gcJson = gcRuns.map(m => jmap(m, 2)).mkString("[", ",", "]")
+    val cpuJson = cpuRuns.map(m => jmap(m, 2)).mkString("[", ",", "]")
+    val foreignJson = foreignRuns.map(m => jmap(m, 2)).mkString("[", ",", "]")
+    // record_valid: the machine-readable verdict "these totals are a perf
+    // record", not merely "the flanks looked quiet" (r13 What's-wrong #1:
+    // probe_quiet self-certified an artifact carrying 4-8× phantom
+    // regressions). Three conjuncts, each with its own reason string:
+    //  (a) probe_quiet — flank + between-run probes at calibration;
+    //  (b) every per-query in-run steal ≤ RecordInRunStealMaxPct;
+    //  (c) no contention anomaly: no ≥2 s pass with foreign CPU ≥
+    //      RecordForeignMaxPct, and no ≥2 s pass whose wall inflated
+    //      ≥1.5× over the query's fastest comparable pass while its JVM
+    //      CPU-seconds stayed flat (wall grew, compute didn't — the
+    //      process was descheduled by load the steal counter can't see).
+    // A false=direction-valid-only artifact still embeds every number.
+    val maxInRunSteal =
+      stealRuns.flatMap(_.values.filter(_ >= 0)) match {
+        case b if b.isEmpty => 0.0; case b => b.max
+      }
+    val cpuAnomalies = names.filter { n =>
+      val passes = allWarm.indices.flatMap { i =>
+        val w = allWarm(i).getOrElse(n, -1.0)
+        if (w > 0) Some((w, cpuRuns(i).getOrElse(n, -1.0),
+          foreignRuns(i).getOrElse(n, -1.0)))
+        else None
+      }
+      val foreignHit = passes.exists { case (w, _, f) =>
+        w >= RecordMinAttribWallSec && f >= RecordForeignMaxPct }
+      val flatCpuHit = passes.size >= 2 && passes.forall(_._2 > 0) && {
+        val (wMin, cAtMin, _) = passes.minBy(_._1)
+        passes.exists { case (w, c, _) =>
+          w >= RecordMinAttribWallSec && w / wMin >= 1.5 &&
+            c / cAtMin <= (w / wMin) / 1.3 }
+      }
+      foreignHit || flatCpuHit
+    }
+    val invalidReasons =
+      (if (probeQuiet) Nil else List("probe_not_quiet")) ++
+      (if (maxInRunSteal <= RecordInRunStealMaxPct) Nil
+       else List(s"in_run_steal_${rd(maxInRunSteal, 2)}pct")) ++
+      (if (cpuAnomalies.isEmpty) Nil
+       else List(s"cpu_anomalies_${cpuAnomalies.size}"))
+    val recordValid = invalidReasons.isEmpty
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"runs_query_steal_pct":$stealJson,"runs_query_gc_sec":$gcJson,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_worst":${jmap(steadyWorst)},"repro_steady_ge1s_max_ratio":${r3(steadyGe1sMax)},"repro_steady_ge1s_worst":${jmap(steadyGe1sWorst)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"probe_quiet_steal_max_pct":$QuietProbeStealMaxPct,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"runs_query_steal_pct":$stealJson,"runs_query_gc_sec":$gcJson,"runs_query_cpu_sec":$cpuJson,"runs_query_foreign_pct":$foreignJson,"record_valid":$recordValid,"record_invalid_reasons":${invalidReasons.map(r => "\"" + jstr(r) + "\"").mkString("[", ",", "]")},"max_inrun_steal_pct":${rd(maxInRunSteal, 2)},"cpu_anomalies":${cpuAnomalies.map(n => "\"" + jstr(n) + "\"").mkString("[", ",", "]")},"record_inrun_steal_max_pct":$RecordInRunStealMaxPct,"record_foreign_max_pct":$RecordForeignMaxPct,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_worst":${jmap(steadyWorst)},"repro_steady_ge1s_max_ratio":${r3(steadyGe1sMax)},"repro_steady_ge1s_worst":${jmap(steadyGe1sWorst)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"probe_quiet_steal_max_pct":$QuietProbeStealMaxPct,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev run must never clobber the committed
     // full-suite record (r7 postmortem: a 3-query rerun overwrote the
     // round's only full-suite detail) — filtered runs get their own file
@@ -377,7 +494,7 @@ object Bench {
     val slowestFirst = warm.toSeq.sortBy(-_._2)
     def finalLine(k: Int, dp: Int): String = {
       val shown = scala.collection.immutable.ListMap(slowestFirst.take(k): _*)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_ge1s_max_ratio":${r3(steadyGe1sMax)},"probe_quiet":$probeQuiet,"detail":"$detailPath","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"repro_max_ratio":${r3(maxRatio)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_ge1s_max_ratio":${r3(steadyGe1sMax)},"probe_quiet":$probeQuiet,"record_valid":$recordValid,"detail":"$detailPath","queries":${jmap(shown, dp)}$errPart,"sf":"$sfDir"}"""
     }
     // largest slowest-query prefix that fits the capture window at 2dp
     val line = (names.size to 1 by -1).iterator.map(finalLine(_, 2))

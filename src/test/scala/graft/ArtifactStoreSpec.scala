@@ -137,4 +137,40 @@ class ArtifactStoreSpec extends AnyFunSuite {
       Seq((9L, 90L)))
     assert(versions().size === 1)
   }
+
+  test("prune orders by version NAME (epoch-nanos), not mtime: a " +
+      "filesystem copy/restore that rewrites mtimes cannot make " +
+      "retention keep stale versions over newer ones") {
+    val root = TestSpark.tmpDir("graft-prune-mtime")
+    val corpus = TestSpark.tmpDir("prune-mtime-corpus")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactRoot", root)
+    import s1.implicits._
+    for (i <- 1 to 3)
+      ArtifactStore.publish(s1, "lbl", corpus)(
+        Seq((i.toLong, i.toLong * 10)).toDF("v", "c"))
+    def versionDirs(): Seq[java.io.File] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("v_"))
+        .map(_.toFile).toSeq
+    }
+    val byName = versionDirs().sortBy(_.getName)
+    assert(byName.size === 3)
+    // simulate a restore that stamped the OLDEST version with the newest
+    // mtime — an mtime-ordered prune would retain it and delete genuinely
+    // newer versions
+    assert(byName.head.setLastModified(System.currentTimeMillis + 3600000L))
+    assert(ArtifactStore.prune(s1, "lbl", corpus, keep = 1) === 2)
+    val survivors = versionDirs().map(_.getName)
+    assert(survivors === Seq(byName.last.getName),
+      s"name-order retention must keep the newest-named version: $survivors")
+    val cur = ArtifactStore.readOrCompute(s1, "lbl", corpus) {
+      fail("compute thunk invoked — CURRENT should have survived prune")
+    }.collect()
+    assert(cur.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((3L, 30L)))
+  }
 }
