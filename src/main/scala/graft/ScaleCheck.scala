@@ -52,9 +52,20 @@ object ScaleCheck {
     * missed all of them.
     */
   private def timed[A](label: String)(body: => A): A = {
+    // probe-bracket each phase (r14: a drill rerun read 13% SLOWER than
+    // its own baseline with zero code-path difference — without flank
+    // probes a drill number carries no quietness evidence and
+    // cross-run comparisons are guesswork; same lesson as Bench)
+    val pb = graft.Bench.probeWithSteal()
+    println(f"SCALECHECK probe_before $label min=${pb._1} med=${pb._2} " +
+      f"max=${pb._3} steal_pct=${pb._4}%.2f quiet=${graft.Bench.sampleQuiet(pb)}")
     val t0 = System.nanoTime()
     val r = body
-    println(f"SCALECHECK phase $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    val dt = (System.nanoTime() - t0) / 1e9
+    val pa = graft.Bench.probeWithSteal()
+    println(f"SCALECHECK probe_after $label min=${pa._1} med=${pa._2} " +
+      f"max=${pa._3} steal_pct=${pa._4}%.2f quiet=${graft.Bench.sampleQuiet(pa)}")
+    println(f"SCALECHECK phase $label%-22s $dt%8.1f s")
     r
   }
 

@@ -2293,8 +2293,18 @@ object Relational {
     * outer round 1 when every inner round re-joined all labels into all
     * edges).
     */
+  /** [[minLabelFix]] switches a round from the full doubling machinery
+    * to the delta (frontier-only) machinery when last round's change
+    * count falls below labels/THIS. 8 keeps the broadcast frontier ≤
+    * |labels|/8 × 16 B (≤ 10 MB at the 5M-vertex drill) and, per the
+    * r14 profile, moves the long diameter-bound tail (where changed
+    * decays geometrically but each full round still cost seconds of
+    * fixed full-table work) into rounds that touch only affected rows.
+    */
+  private[graft] val MlfDeltaModeFraction = 8L
+
   private def minLabelFix(init: DataFrame, edges0: DataFrame,
-      what: String): DataFrame = {
+      what: String, verbose: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // stationary per call, consumed every round: partition once by the
     // join key so per-round joins reuse the layout instead of
@@ -2304,41 +2314,128 @@ object Relational {
     val edges = edges0.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
-    var labels = graft.Barriers.roundBarrier(init)
-    var frontier = labels // round 1: every label is "changed"
-    var changed = 1L
+    // the label table is (base, pending-overlay): `labels` is the view
+    // base-minus-pending-ids ∪ pending. Full rounds rewrite base
+    // wholesale (they recompute every row anyway); delta rounds fold
+    // their small update set into `pending` and only COMPACT — the one
+    // full-table checkpoint — when the overlay outgrows the delta-mode
+    // fraction. Both layers are checkpointed, so the view's plan depth
+    // is a constant 2 regardless of round count.
+    var base = graft.Barriers.roundBarrier(init)
+    val nLabels = base.count()
+    var pending = init.limit(0)
+    var nPending = 0L
+    def labels: DataFrame =
+      if (nPending == 0) base
+      else base.join(broadcast(pending.select(col("id").as("pid"))),
+        col("id") === col("pid"), "left_anti").unionAll(pending)
+    def compact(): Unit = if (nPending > 0) {
+      base = graft.Barriers.roundBarrier(labels)
+      pending = init.limit(0)
+      nPending = 0
+    }
+    var frontier = base // round 1: every label is "changed"
+    var changed = nLabels
     var iter = 0
     while (changed > 0) {
-      // neighbor-min step over the FRONTIER: the best label one directed
-      // edge away from a changed src. NOT checkpointed mid-round: the
-      // jump self-joins re-read `stepped`/`mid`, but each re-read is an
-      // identical subtree on compatible keys — ReuseExchange computes it
-      // once (the cc-core pattern).
-      val nbr = edges.join(frontier, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
-      val stepped = labels.select(col("id"), col("lab").as("old"))
-        .join(nbr, col("id") === col("dst"), "left_outer")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nl"), col("old"))).as("lab1"),
-          col("old"))
-      val jump = stepped.select(col("id").as("jid"), col("lab1").as("jlab"))
-      val mid = stepped
-        .join(jump, col("lab1") === col("jid"), "left_outer")
-        .select(col("id"),
-          least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab2"),
-          col("old"))
-      val jump2 = mid.select(col("id").as("jid2"), col("lab2").as("jlab2"))
-      val next = mid
-        .join(jump2, col("lab2") === col("jid2"), "left_outer")
-        .select(col("id"),
-          least(col("lab2"), coalesce(col("jlab2"), col("lab2"))).as("lab"),
-          col("old"))
-        .transform(graft.Barriers.roundBarrier) // O(1) lineage per round
-      frontier = next.filter(col("lab") =!= col("old"))
-        .select(col("id"), col("lab")) // cheap filter over the barrier
-      changed = frontier.count()
-      labels = next.select(col("id"), col("lab"))
+      val tRound = System.nanoTime()
+      val delta = changed * MlfDeltaModeFraction < nLabels
+      if (delta) {
+        // DELTA round (r14 profiling: inner rounds are edge-DIAMETER
+        // bound — ~23 per fixpoint on the 8-layer drill — and the tail
+        // rounds were paying two full-table pointer-jump self-joins, a
+        // full-table left_outer and a count per round while `changed`
+        // was in the thousands; the per-round FIXED cost, not the edge
+        // join, dominated the 25M-edge drill). When the frontier is
+        // small, touch only rows that can actually improve:
+        //  - edge step: ids one edge from the frontier (semi-naive —
+        //    complete, so an empty delta IS the fixpoint);
+        //  - pointer chase: rows whose label IS a frontier id (their
+        //    target improved last round) — the jump accelerator
+        //    confined to where it can fire, plus one small×small
+        //    self-jump within the update set;
+        // then rewrite the table once via a small anti-join. The
+        // frontier side is broadcast (bounded by the mode threshold);
+        // nbr/update sides are left to AQE, which sees their true
+        // runtime sizes. No full-table shuffle remains in the round.
+        val nbr = edges
+          .join(broadcast(frontier), col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
+        val eImp = labels.join(nbr, col("id") === col("dst"))
+          .filter(col("nl") < col("lab"))
+          .select(col("id"), col("nl").as("lab1"))
+        val jImp = labels
+          .join(broadcast(frontier
+            .select(col("id").as("jid"), col("lab").as("jlab"))),
+            col("lab") === col("jid"))
+          .filter(col("jlab") < col("lab"))
+          .select(col("id"), col("jlab").as("lab1"))
+        val upd0 = eImp.unionAll(jImp)
+          .groupBy(col("id")).agg(min(col("lab1")).as("lab1"))
+        val selfJ = upd0.select(col("id").as("kid"), col("lab1").as("klab"))
+        val upd = graft.Barriers.roundBarrier(upd0
+          .join(selfJ, col("lab1") === col("kid"), "left_outer")
+          .select(col("id"),
+            least(col("lab1"), coalesce(col("klab"), col("lab1")))
+              .as("lab")))
+        changed = upd.count()
+        if (changed > 0) {
+          // fold the round's updates into the PENDING overlay instead of
+          // rewriting the full table: the labels view below is base
+          // anti-join pending ∪ pending (2 layers, both checkpointed —
+          // plan depth stays O(1)), and the full-table rewrite happens
+          // only at compaction, when the overlay outgrows the same
+          // fraction that gates delta mode. Kills the dominant fixed
+          // cost of a tiny round (checkpointing |labels| rows to apply
+          // a 4-row delta).
+          pending = graft.Barriers.roundBarrier(
+            pending.join(upd.select(col("id").as("uid")),
+              col("id") === col("uid"), "left_anti")
+              .unionAll(upd))
+          nPending = pending.count()
+          if (nPending * MlfDeltaModeFraction >= nLabels) compact()
+          frontier = upd
+        }
+      } else {
+        // FULL round: the doubling machinery — two pointer-jump
+        // applications over the whole table per round. Worth its
+        // full-table self-joins exactly while most labels are still
+        // moving (the giant-cycle phase collapses its 2M-node hashed
+        // label forest this way); the jump self-joins re-read
+        // `stepped`/`mid`, but each re-read is an identical subtree on
+        // compatible keys — ReuseExchange computes it once (the cc-core
+        // pattern).
+        val nbr = edges.join(frontier, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
+        val stepped = labels.select(col("id"), col("lab").as("old"))
+          .join(nbr, col("id") === col("dst"), "left_outer")
+          .select(col("id"),
+            least(col("old"), coalesce(col("nl"), col("old"))).as("lab1"),
+            col("old"))
+        val jump = stepped.select(col("id").as("jid"), col("lab1").as("jlab"))
+        val mid = stepped
+          .join(jump, col("lab1") === col("jid"), "left_outer")
+          .select(col("id"),
+            least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab2"),
+            col("old"))
+        val jump2 = mid.select(col("id").as("jid2"), col("lab2").as("jlab2"))
+        val next = mid
+          .join(jump2, col("lab2") === col("jid2"), "left_outer")
+          .select(col("id"),
+            least(col("lab2"), coalesce(col("jlab2"), col("lab2"))).as("lab"),
+            col("old"))
+          .transform(graft.Barriers.roundBarrier) // O(1) lineage per round
+        frontier = next.filter(col("lab") =!= col("old"))
+          .select(col("id"), col("lab")) // cheap filter over the barrier
+        changed = frontier.count()
+        base = next.select(col("id"), col("lab")) // full rewrite:
+        pending = init.limit(0); nPending = 0     // overlay absorbed
+      }
       iter += 1
+      if (verbose)
+        println(f"[mlf] $what iter=$iter changed=$changed " +
+          f"mode=${if (delta) "delta" else "full"} " +
+          f"sec=${(System.nanoTime() - tRound) / 1e9}%.1f")
       if (iter > 100) {
         edges.unpersist()
         throw new IllegalStateException(
@@ -2350,8 +2447,9 @@ object Relational {
             "labeling")
       }
     }
+    compact() // return one checkpointed relation, overlay folded in
     edges.unpersist() // labels is checkpoint-truncated — no cache refs
-    labels
+    base
   }
 
   /** Strongly connected components of a DIRECTED graph by forward
@@ -2549,7 +2647,7 @@ object Relational {
       val colors = graft.Barriers.roundBarrier( // 3 consumers below
         minLabelFix(
           remaining.select(col("hv").as("id"), col("hv").as("lab")),
-          live, s"scc-forward-r$round")
+          live, s"scc-forward-r$round", verbose)
           .select(col("id").as("hv"), col("lab").as("color")))
       // class-confined edges, REVERSED for the backward pass
       val ceRev = graft.Barriers.roundBarrier(
@@ -2563,7 +2661,7 @@ object Relational {
       val bcolors =
         minLabelFix(
           remaining.select(col("hv").as("id"), col("hv").as("lab")),
-          ceRev, s"scc-backward-r$round")
+          ceRev, s"scc-backward-r$round", verbose)
           .select(col("id").as("hv"), col("lab").as("bcolor"))
       val done = graft.Barriers.roundBarrier(
         colors.join(bcolors, Seq("hv"))

@@ -184,6 +184,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(c(0), "corpus_dir"))
           .queryExecution.analyzed }))
 
+    ext.injectTableFunction((FunctionIdentifier("graft_quantile_bisect"),
+      info("graft_quantile_bisect",
+        "graft_quantile_bisect(corpus_dir) - exact corpus-wide order statistics (p50/p90/p99 of lineitem extended price) by driver-coordinated 8-ary bisection, no sort (table function)"),
+      (c0: Seq[Expression]) => { val c = arity(c0, 1, "graft_quantile_bisect")
+        graft.operators.Relational.qQuantileBisect(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(c(0), "corpus_dir"))
+          .queryExecution.analyzed }))
+
     ext.injectTableFunction((FunctionIdentifier("graft_sim_topk"),
       info("graft_sim_topk",
         "graft_sim_topk(corpus_dir) - exact top-k cosine neighbors over a corpus's embeddings (table function)"),

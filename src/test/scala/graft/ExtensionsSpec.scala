@@ -200,6 +200,18 @@ class ExtensionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("table function: graft_quantile_bisect from plain SQL == the " +
+      "DataFrame runner, row for row") {
+    val sf = TestSpark.sfDir
+    val sqlQb = spark.sql(s"SELECT * FROM graft_quantile_bisect('$sf')")
+      .collect().map(_.toSeq).toSeq
+    val apiQb = graft.operators.Relational.qQuantileBisect(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlQb === apiQb)
+    assert(sqlQb.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("full SQL query over a real table through the extension functions") {
     Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("emb")
     val n = spark.sql(
