@@ -3128,7 +3128,9 @@ object Relational {
     * sorted fold itself is load-bearing: δ additions are IEEE floats, so
     * ANY regrouping (a sharded two-level fold) changes the bits the
     * oracle hashes — past the cap the right move is a different
-    * algorithm (pivot-sampled approximate BC), not a silent reorder.
+    * algorithm ([[betweennessApproxCore]], the pivot-sampled
+    * approximate BC whose unordered δ sums have no fold-width cap),
+    * not a silent reorder.
     */
   private[graft] val BrandesMaxFoldWidth = 4000000L
 
