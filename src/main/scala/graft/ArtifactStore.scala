@@ -133,6 +133,21 @@ object ArtifactStore {
     * Under a daily-cron pipeline (the reference's cadence,
     * bq-nvd/cronjob.yml) this bounds the store at `keep` labeling
     * copies instead of one per day forever.
+    *
+    * Two ordering caveats the name scheme carries (r14 advice):
+    * (a) LEGACY COEXISTENCE — a durable root written before the
+    * epoch-nanos scheme holds `v_<System.nanoTime>` names (JVM uptime
+    * nanos). Those sort BELOW every epoch-nanos name only because host
+    * uptime ≪ 56 years (uptime nanos < 2^62 ≈ epoch nanos of 1971+);
+    * that assumption is stated here rather than silently relied on, and
+    * it errs SAFE: legacy versions age out first, and CURRENT is never
+    * deleted regardless of order. (b) CLOCK STEPS — a backward
+    * wall-clock correction (NTP step) between two publishes can invert
+    * name order where mtime order would not. Retention tolerates this
+    * because versions are published at daily cadence (cronjob.yml) and
+    * NTP steps are sub-second-to-seconds scale: an inversion would need
+    * two publishes inside one clock-step window, and even then the
+    * CURRENT pointer — not the name order — decides what readers see.
     */
   def prune(spark: SparkSession, key: String, dir: String,
       keep: Int): Int = synchronized {

@@ -141,11 +141,17 @@ object Bench {
     * cpu line; (0, -1, -1) where the file is absent (non-Linux). Sampled
     * either side of a window, the deltas give the kernel's OWN account of
     * (a) neighbor-guest steal and (b) total in-guest CPU consumption
-    * (busy = total − idle − iowait) — evidence that needs no throughput
-    * calibration at all. The busy term is what closes the r13 evidence
-    * hole: steal counts only hypervisor preemption, so CPU burned by
-    * OTHER PROCESSES IN THIS GUEST is invisible to it, but it is fully
-    * visible as host-busy jiffies this JVM did not itself consume.
+    * (busy = total − idle − iowait − steal) — evidence that needs no
+    * throughput calibration at all. The busy term is what closes the r13
+    * evidence hole: steal counts only hypervisor preemption, so CPU
+    * burned by OTHER PROCESSES IN THIS GUEST is invisible to it, but it
+    * is fully visible as host-busy jiffies this JVM did not itself
+    * consume. Steal is subtracted from busy (r14 advice): /proc/stat's
+    * total INCLUDES the steal field, so without the subtraction a
+    * hypervisor storm would inflate `foreign_pct` — the column that
+    * exists precisely to separate in-guest consumers FROM hypervisor
+    * preemption — and conflate the two causes. With it, steal shows only
+    * in steal_pct and foreign_pct isolates in-guest compute.
     */
   def statSample(): (Long, Long, Long) = {
     try {
@@ -155,7 +161,8 @@ object Bench {
       val total = f.sum
       val idle = (if (f.length > 3) f(3) else 0L) +
         (if (f.length > 4) f(4) else 0L)
-      (if (f.length > 7) f(7) else 0L, total, total - idle)
+      val steal = if (f.length > 7) f(7) else 0L
+      (steal, total, total - idle - steal)
     } catch { case _: Throwable => (0L, -1L, -1L) }
   }
 

@@ -2303,6 +2303,34 @@ object Relational {
     */
   private[graft] val MlfDeltaModeFraction = 8L
 
+  /** Absolute row cap on any broadcast [[minLabelFix]] issues (frontier
+    * or pending overlay). The delta-mode TRIGGER stays fractional
+    * (|changed|·[[MlfDeltaModeFraction]] < |labels|) — it decides when
+    * frontier-confined rounds beat full ones regardless of scale — but
+    * a broadcast hint gated only on that fraction grows linearly with
+    * vertex count (a 200M-vertex graph would broadcast ~25M rows per
+    * round: driver/executor OOM risk). Same constant as the pagerank /
+    * k-core frontier broadcasts ([[PagerankBroadcastMaxVertices]]);
+    * above it the joins fall back to shuffle and AQE sizes them.
+    */
+  private[graft] val MlfBroadcastMaxRows = PagerankBroadcastMaxVertices
+
+  /** Escalation guards for delta mode (r14 advice): delta rounds drop
+    * the pointer-doubling accelerator, so tail convergence is O(log)
+    * only w.h.p. over hashed label order — an adversarial input whose
+    * still-converging region is < 1/|fraction| of vertices but DEEP in
+    * hash order could ride delta mode into the round cap where full
+    * doubling would have converged in O(log diameter). Two triggers
+    * force the next round back to full doubling: (a)
+    * [[MlfDeltaStallRounds]] consecutive delta rounds whose change
+    * count did not decrease (the geometric decay delta mode bets on has
+    * stopped), or (b) the iteration count passing [[MlfEscalateIter]]
+    * (half the 100-round cap) — the second half of the budget belongs
+    * to the accelerator, never to a crawl.
+    */
+  private[graft] val MlfDeltaStallRounds = 3
+  private[graft] val MlfEscalateIter = 50
+
   private def minLabelFix(init: DataFrame, edges0: DataFrame,
       what: String, verbose: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -2325,9 +2353,13 @@ object Relational {
     val nLabels = base.count()
     var pending = init.limit(0)
     var nPending = 0L
+    // broadcast only under the ABSOLUTE cap; the fractional delta-mode
+    // trigger alone scales the hint linearly with |labels| (r14 advice)
+    def hinted(df: DataFrame, n: Long): DataFrame =
+      if (n <= MlfBroadcastMaxRows) broadcast(df) else df
     def labels: DataFrame =
       if (nPending == 0) base
-      else base.join(broadcast(pending.select(col("id").as("pid"))),
+      else base.join(hinted(pending.select(col("id").as("pid")), nPending),
         col("id") === col("pid"), "left_anti").unionAll(pending)
     def compact(): Unit = if (nPending > 0) {
       base = graft.Barriers.roundBarrier(labels)
@@ -2337,9 +2369,12 @@ object Relational {
     var frontier = base // round 1: every label is "changed"
     var changed = nLabels
     var iter = 0
+    var deltaStall = 0 // consecutive delta rounds with non-decreasing changed
     while (changed > 0) {
       val tRound = System.nanoTime()
-      val delta = changed * MlfDeltaModeFraction < nLabels
+      val escalate = deltaStall >= MlfDeltaStallRounds ||
+        iter >= MlfEscalateIter
+      val delta = changed * MlfDeltaModeFraction < nLabels && !escalate
       if (delta) {
         // DELTA round (r14 profiling: inner rounds are edge-DIAMETER
         // bound — ~23 per fixpoint on the 8-layer drill — and the tail
@@ -2355,18 +2390,21 @@ object Relational {
         //    confined to where it can fire, plus one small×small
         //    self-jump within the update set;
         // then rewrite the table once via a small anti-join. The
-        // frontier side is broadcast (bounded by the mode threshold);
-        // nbr/update sides are left to AQE, which sees their true
-        // runtime sizes. No full-table shuffle remains in the round.
+        // frontier side is broadcast under [[MlfBroadcastMaxRows]]
+        // (shuffle join above it — the fractional mode threshold alone
+        // scales with |labels|); nbr/update sides are left to AQE,
+        // which sees their true runtime sizes. No full-table shuffle
+        // remains in the round.
+        val frontierN = changed
         val nbr = edges
-          .join(broadcast(frontier), col("src") === col("id"))
+          .join(hinted(frontier, frontierN), col("src") === col("id"))
           .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
         val eImp = labels.join(nbr, col("id") === col("dst"))
           .filter(col("nl") < col("lab"))
           .select(col("id"), col("nl").as("lab1"))
         val jImp = labels
-          .join(broadcast(frontier
-            .select(col("id").as("jid"), col("lab").as("jlab"))),
+          .join(hinted(frontier
+            .select(col("id").as("jid"), col("lab").as("jlab")), frontierN),
             col("lab") === col("jid"))
           .filter(col("jlab") < col("lab"))
           .select(col("id"), col("jlab").as("lab1"))
@@ -2396,6 +2434,9 @@ object Relational {
           if (nPending * MlfDeltaModeFraction >= nLabels) compact()
           frontier = upd
         }
+        // non-decreasing change count means the geometric-decay bet
+        // behind delta mode is off — count toward escalation
+        deltaStall = if (changed >= frontierN) deltaStall + 1 else 0
       } else {
         // FULL round: the doubling machinery — two pointer-jump
         // applications over the whole table per round. Worth its
@@ -2430,6 +2471,7 @@ object Relational {
         changed = frontier.count()
         base = next.select(col("id"), col("lab")) // full rewrite:
         pending = init.limit(0); nPending = 0     // overlay absorbed
+        deltaStall = 0 // a doubling round resets the stall account
       }
       iter += 1
       if (verbose)
@@ -2507,6 +2549,22 @@ object Relational {
     * computation finishes driver-side instead ([[sccTarjan]]) — the
     * bounded-finish contract shared with connectedComponents, regimes
     * spec-asserted identical.
+    *
+    * Three round-count cutters wrap the coloring loop (r14 verdict #3 —
+    * the drill profile showed the remaining cost was ROUNDS, not
+    * per-round work):
+    *
+    *  - TRIM prologue ([[SccTrimRounds]]): acyclic periphery (no
+    *    in-edge or no out-edge) leaves as singleton SCCs before any
+    *    fixpoint runs;
+    *  - CLASS CONFINEMENT: an SCC never spans forward color classes
+    *    (same SCC ⇒ same ancestor closure ⇒ same color), so each round
+    *    permanently drops cross-class edges — the within-class edge set
+    *    the backward pass already computed is next round's live graph,
+    *    and classes only subdivide, so more root SCCs peel per round;
+    *  - MID-LOOP DRIVER FINISH: once the surviving subproblem fits the
+    *    same bound the entry branch honors, the diameter-many tail
+    *    rounds collapse into one [[sccTarjan]] scan.
     */
   /** Below this many (deduplicated) edges the SCC finishes DRIVER-SIDE
     * with one iterative Tarjan pass over the collected edge list — the
@@ -2519,6 +2577,28 @@ object Relational {
     * 25M-edge drill exercises ONLY the distributed branch.
     */
   private[graft] val SccDriverFinishEdgeBound = 4000000L
+
+  /** Trim-prologue round cap for [[sccCore]] (the "Trim" of the FW-BW-Trim
+    * family, Slota-Rajamanickam-Madduri 2014; r14 verdict #3): a vertex
+    * with no in-edges or no out-edges in the live subgraph can sit on no
+    * cycle, so it is a SINGLETON SCC — one degree aggregate + one
+    * anti-join assigns the whole periphery without paying a fixpoint.
+    * The peel is iterative (removing a layer exposes the next), but
+    * UNBOUNDED trimming is O(chain length) rounds on a path graph, so
+    * the prologue runs a FIXED few rounds — the bulk of real-graph
+    * benefit is in the first peel — and leaves the rest to the coloring
+    * loop, which handles trivial SCCs correctly anyway (trim is an
+    * optimization, never a correctness dependency). On cycle-covered
+    * graphs (both ScaleCheck scc drill phases) round 1 removes nothing
+    * and the prologue exits after one cheap aggregate.
+    *
+    * The OTHER standard FW-BW move — single-pivot forward∩backward BFS
+    * extraction of a giant SCC — is deliberately NOT taken: BFS is
+    * diameter-bound (the 2M-node giant-cycle drill phase would pay 2M
+    * rounds), while the pointer-doubled coloring loop extracts the same
+    * giant SCC as a root class in O(log diameter) rounds.
+    */
+  private[graft] val SccTrimRounds = 3
 
   /** Driver-side iterative Tarjan over an explicit edge list — the
     * bounded finishing branch of [[sccCore]]. Ids are arbitrary longs;
@@ -2634,9 +2714,71 @@ object Relational {
     var live = graft.Barriers.roundBarrier(
       rawLive.select(xxhash64(col("src")).as("src"),
         xxhash64(col("dst")).as("dst")))
+    var nLiveE = nLive // deduped, self-loop-free — live starts as rawLive
     var out: DataFrame = null
+    def assign(d: DataFrame): Unit =
+      out = if (out == null) d
+        else graft.Barriers.roundBarrier(out.unionAll(d))
+    // TRIM prologue ([[SccTrimRounds]]): peel vertices that sit on no
+    // cycle (no in-edge or no out-edge in the live subgraph) as
+    // singleton SCCs — lbl = own hv, a member of its (one-vertex) class,
+    // so the global min-member recovery below needs no special case.
+    var trimRound = 0
+    var trimming = nRemaining > 0
+    while (trimming && trimRound < SccTrimRounds) {
+      trimRound += 1
+      val cyclic = live
+        .select(col("src").as("hv"), lit(1).as("o"), lit(0).as("i"))
+        .unionAll(live
+          .select(col("dst").as("hv"), lit(0).as("o"), lit(1).as("i")))
+        .groupBy(col("hv"))
+        .agg(max(col("o")).as("ho"), max(col("i")).as("hi"))
+        .filter(col("ho") === 1 && col("hi") === 1)
+        .select(col("hv"))
+      val trivial = graft.Barriers.roundBarrier(
+        remaining.join(cyclic, Seq("hv"), "left_anti"))
+      val nTrivial = trivial.count()
+      if (verbose)
+        println(s"[scc] trim round=$trimRound removed=$nTrivial " +
+          s"remaining_before=$nRemaining")
+      if (nTrivial == 0) trimming = false
+      else {
+        assign(trivial.select(col("hv"), col("hv").as("lbl")))
+        remaining = graft.Barriers.roundBarrier(
+          remaining.join(trivial, Seq("hv"), "left_anti"))
+        nRemaining -= nTrivial
+        if (nRemaining == 0) trimming = false
+        else {
+          live = graft.Barriers.roundBarrier(live
+            .join(remaining.select(col("hv").as("src")), Seq("src"),
+              "left_semi")
+            .join(remaining.select(col("hv").as("dst")), Seq("dst"),
+              "left_semi"))
+          nLiveE = live.count()
+        }
+      }
+    }
     var round = 0
     while (nRemaining > 0) {
+      if (nRemaining <= driverFinishEdgeBound &&
+          nLiveE <= driverFinishEdgeBound) {
+        // bounded MID-LOOP finish: rounds peel the subproblem, and once
+        // it fits the same bound the entry branch honors, diameter-many
+        // tail rounds collapse into one Tarjan scan (class-confined
+        // edges preserve every surviving SCC, see the live rebuild
+        // below, so the scan is over an equivalent subproblem). Labels
+        // are min-HASH members — unique per class, which is all the
+        // min-member recovery needs. Disabled when the caller pins the
+        // distributed regime (bound 0): regime-parity specs stay pure.
+        val vs = remaining.select(col("hv")).collect().map(_.getLong(0))
+        val es = live.collect().map(r => (r.getLong(0), r.getLong(1)))
+        if (verbose)
+          println(s"[scc] driver finish after round=$round " +
+            s"verts=${vs.length} edges=${es.length}")
+        import spark.implicits._
+        assign(sccTarjan(vs, es).toSeq.toDF("hv", "lbl"))
+        nRemaining = 0
+      } else {
       round += 1
       if (round > SccMaxRounds)
         throw new IllegalStateException(
@@ -2670,18 +2812,29 @@ object Relational {
       if (verbose)
         println(s"[scc] round=$round assigned=${done.count()} " +
           s"remaining_before=$nRemaining")
-      out = if (out == null) done
-        else graft.Barriers.roundBarrier(out.unionAll(done))
+      assign(done)
       remaining = graft.Barriers.roundBarrier(
         remaining.join(done.select(col("hv")), Seq("hv"), "left_anti"))
       nRemaining = remaining.count()
-      if (nRemaining > 0)
+      if (nRemaining > 0) {
+        // FW-BW CLASS CONFINEMENT (r14 verdict #3): two vertices of one
+        // SCC share their ancestor closure, hence their forward color —
+        // an SCC never spans color classes, so cross-class edges can be
+        // dropped PERMANENTLY, not just for the backward pass. ceRev is
+        // exactly the within-class edge set (reversed); un-reverse it
+        // and keep survivors. Each round the edge set now shrinks by
+        // confinement as well as by removal, and classes only subdivide
+        // — more root SCCs peel per round, never fewer, so the
+        // SccMaxRounds layer argument is undisturbed.
         live = graft.Barriers.roundBarrier(
-          live
+          ceRev.select(col("dst").as("src"), col("src").as("dst"))
             .join(remaining.select(col("hv").as("src")), Seq("src"),
               "left_semi")
             .join(remaining.select(col("hv").as("dst")), Seq("dst"),
               "left_semi"))
+        nLiveE = live.count()
+      }
+      }
     }
     if (out == null) // empty vertex set: nothing was ever assigned
       return vmap.select(col("v"), col("v").as("scc_id"))
@@ -2995,6 +3148,42 @@ object Relational {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
+  /** §2.2 graph_betweenness_approx: the PUBLIC surface of
+    * [[betweennessApproxCore]] — pivot-sampled (Brandes-Pich 2007)
+    * approximate betweenness over the same commerce graph as
+    * [[graphBetweenness]], with the same (node_type, entity_key,
+    * centrality) output shape and the same src ∪ dst vertex domain.
+    * This is the operator the exact core's fold-width guard
+    * ([[BrandesMaxFoldWidth]]) names in its error message: past the cap
+    * (a ≥4M-degree hub, where the exact core's sorted δ fold would be a
+    * GB-sized row) a user switches HERE — unordered map-side-combined δ
+    * sums, no degree-sized row ever materializes. Test-gated
+    * (BetweennessApproxSpec k=|V| equality + scaled-restriction
+    * equality), NEVER oracle-shared: sampling changes the graded
+    * definition. Deterministic for a fixed (graph, k): pivots are the k
+    * smallest by (xxhash64(v), v).
+    */
+  def graphBetweennessApprox(spark: SparkSession, dir: String,
+      nPivots: Int = 16): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    betweennessApproxCore(spark, edges0, nPivots)
+      .select(
+        when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("v div 2").cast("bigint").as("entity_key"),
+        col("centrality"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
   /** §2.2 graph_closeness: k-source harmonic closeness centrality
     * (Boldi-Vigna 2014's harmonic variant — finite on disconnected
     * graphs, unlike classic closeness) over the commerce graph, from
@@ -3291,7 +3480,14 @@ object Relational {
       .repartition(col("src")) // stationary: only slim frontiers shuffle
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager: every BFS round + the successor build consume
-    val verts = edges.select(col("src").as("v")).distinct()
+    // src ∪ dst: pure-sink vertices are never path-interior (BC 0) but
+    // they ARE in the exact core's output domain — a caller swapping
+    // exact → approx past the fold cap must not see the relation narrow
+    // (r14 verdict #5). A sink sampled as pivot contributes 0 dependency
+    // and still counts in k, so the |V|/k estimator stays unbiased over
+    // the FULL vertex set — the same population exact BC sums over.
+    val verts = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nVerts = verts.count() // eager: pivots, estimator scale, final join
     val pivots = verts

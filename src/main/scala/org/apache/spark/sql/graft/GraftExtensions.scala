@@ -193,6 +193,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(c(0), "corpus_dir"))
           .queryExecution.analyzed }))
 
+    // the fallback the exact core's fold-width guard names: a SQL user
+    // hitting BrandesMaxFoldWidth on a mega-hub graph must be able to
+    // invoke the pivot-sampled estimator without touching Scala
+    ext.injectTableFunction((FunctionIdentifier("graft_betweenness_approx"),
+      info("graft_betweenness_approx",
+        "graft_betweenness_approx(corpus_dir, k) - pivot-sampled (Brandes-Pich) approximate betweenness centrality over the customer-supplier graph, k xxhash64-sampled pivots; the fold-width-capped exact core's documented fallback (table function)"),
+      (c0: Seq[Expression]) => {
+        val c = arity(c0, 2, "graft_betweenness_approx")
+        graft.operators.Relational.graphBetweennessApprox(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(c(0), "corpus_dir"), intLit(c(1), "k"))
+          .queryExecution.analyzed }))
+
     ext.injectTableFunction((FunctionIdentifier("graft_sim_topk"),
       info("graft_sim_topk",
         "graft_sim_topk(corpus_dir) - exact top-k cosine neighbors over a corpus's embeddings (table function)"),

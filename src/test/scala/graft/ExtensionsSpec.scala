@@ -200,6 +200,28 @@ class ExtensionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("table function: graft_betweenness_approx from plain SQL == the " +
+      "DataFrame runner, row for row (incl. the k literal)") {
+    val sf = TestSpark.sfDir
+    val sqlBa = spark.sql(
+      s"SELECT * FROM graft_betweenness_approx('$sf', 4)")
+      .collect().map(_.toSeq).toSeq
+    graft.GraftCaches.release(spark)
+    val apiBa = graft.operators.Relational
+      .graphBetweennessApprox(spark, sf, nPivots = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlBa === apiBa)
+    assert(sqlBa.nonEmpty)
+    // a non-literal k must be rejected loudly at resolution (1+1 stays
+    // an unevaluated Add at TVF-build time — constant folding runs later)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_betweenness_approx('$sf', 1+1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+    graft.GraftCaches.release(spark)
+  }
+
   test("table function: graft_quantile_bisect from plain SQL == the " +
       "DataFrame runner, row for row") {
     val sf = TestSpark.sfDir

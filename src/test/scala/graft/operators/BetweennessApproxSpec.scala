@@ -129,6 +129,28 @@ class BetweennessApproxSpec extends AnyFunSuite {
     assert(run(sym, nPivots = k) === got)
   }
 
+  test("pure-sink vertices are in the output domain with centrality 0 " +
+      "(src ∪ dst vertex relation — r14 verdict #5)") {
+    import spark.implicits._
+    // DIRECTED path 0→1→2→3: vertex 3 has no out-edges, so a src-only
+    // vertex relation would drop it — but the exact operator's domain
+    // includes every endpoint, and a caller swapping exact → approx at
+    // the fold cap must not see the relation narrow
+    val dir = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = Relational
+      .betweennessApproxCore(spark, dir.toDF("src", "dst"), nPivots = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.GraftCaches.release(spark)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    // k = |V| = 4 (a sink pivot seeds an empty tree and still counts),
+    // so the estimate IS exact: interior vertices broker 2 paths each
+    val expected = brandes(dir, Seq(0L, 1L, 2L, 3L))
+    for (v <- got.keySet)
+      assert(math.abs(got(v) - expected.getOrElse(v, 0.0)) <= 2e-6,
+        s"vertex $v: ${got(v)} vs ${expected.getOrElse(v, 0.0)}")
+    assert(got(3L) === 0.0)
+  }
+
   test("the hub the EXACT core refuses (fold-width guard) runs to " +
       "completion and lands the exact value at k = |V|") {
     import spark.implicits._

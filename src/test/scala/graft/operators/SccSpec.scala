@@ -129,6 +129,52 @@ class SccSpec extends AnyFunSuite {
       3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("trim-shaped graph: dangling chains off a core cycle — the " +
+      "periphery the trim prologue peels; regimes stay identical") {
+    // core 4-cycle {0..3}; an IN-chain 10→11→12→0 (no in-edges at 10,
+    // peels front-first) and an OUT-chain 3→20→21→22 (no out-edges at
+    // 22, peels back-first); chains longer than SccTrimRounds leave a
+    // stub the coloring loop must still label correctly (trim is an
+    // optimization, never a correctness dependency)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 0L),
+      (3L, 20L), (20L, 21L), (21L, 22L))
+    val n = 23 // ids 4..9 and 13..19 are isolated singletons
+    val got = run(n, edges)
+    assert(got === tarjan(n, edges))
+    assert(Seq(0L, 1L, 2L, 3L).forall(got(_) == 0L))
+    assert(Seq(10L, 11L, 12L, 20L, 21L, 22L).forall(v => got(v) == v))
+  }
+
+  test("mid-loop driver finish: a distributed start that shrinks under " +
+      "the bound mid-loop matches the pure regimes") {
+    import spark.implicits._
+    val expectAll = { (n: Int, edges: Seq[(Long, Long)], bound: Long) =>
+      val expected = tarjan(n, edges)
+      val mixed = Relational.sccCore((0L until n.toLong).toDF("v"),
+        edges.toDF("src", "dst"), driverFinishEdgeBound = bound)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mixed === expected, "mid-loop driver finish regime disagrees")
+      assert(run(n, edges) === expected)
+    }
+    // (a) DETERMINISTIC trigger on the first loop entry: 31 isolated
+    // vertices force the distributed entry (37 verts > bound 20); trim
+    // round 1 peels all of them at once, the surviving two 3-cycles fit
+    // the bound, and the very first loop iteration takes the driver
+    // finish — the third regime path, exercised with zero coloring
+    // rounds
+    expectAll(37, Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L)), 20L)
+    // (b) coloring rounds BEFORE the finish: a 24-vertex one-way chain
+    // between the cycles outlasts the 3 trim rounds, so the loop colors
+    // first and crosses the bound mid-loop (whatever round that is, the
+    // xxhash64 order makes it deterministic — the gate is Tarjan
+    // equality either way)
+    val chain = (6 until 29).map(i => (i.toLong, (i + 1).toLong))
+    expectAll(30, Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 6L), (29L, 3L)) ++ chain, 12L)
+  }
+
   test("layered planted groups: the drill-graph shape in miniature") {
     // 12 groups of 4 (a 4-cycle each), 3 layers; DAG edges only from
     // layer l to layer l+1 — recovered SCCs must be exactly the groups
