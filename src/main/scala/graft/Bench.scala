@@ -223,6 +223,18 @@ object Bench {
     (s(0), s(workers / 2), s(workers - 1))
   }
 
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * deltas bracket a timed pass so a slow reading carries its own
+    * GC-pressure evidence. Shared with ScaleCheck's drill_valid verdict.
+    */
+  def gcMillis(): Long = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var s = 0L
+    while (it.hasNext) s += math.max(0L, it.next().getCollectionTime)
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(GraftSession.envCpus)
@@ -232,17 +244,6 @@ object Bench {
     // cleanup: ~0 means the session stayed clean; megabytes mean blocks
     // are outliving their query and the suite totals deserve suspicion
     var residualMax = 0L
-
-    // cumulative stop-the-world GC milliseconds across all collectors —
-    // deltas bracket a timed pass so a slow reading carries its own
-    // GC-pressure evidence
-    def gcMillis(): Long = {
-      val it = java.lang.management.ManagementFactory
-        .getGarbageCollectorMXBeans.iterator()
-      var s = 0L
-      while (it.hasNext) s += math.max(0L, it.next().getCollectionTime)
-      s
-    }
 
     // Per-pass cause attribution (r10 postmortem: the driver rerun's
     // dedup_cluster 20.8 s reading needed an isolated re-run to separate

@@ -59,13 +59,52 @@ object ScaleCheck {
     val pb = graft.Bench.probeWithSteal()
     println(f"SCALECHECK probe_before $label min=${pb._1} med=${pb._2} " +
       f"max=${pb._3} steal_pct=${pb._4}%.2f quiet=${graft.Bench.sampleQuiet(pb)}")
+    // in-phase cause attribution, the Bench.timeOne instrumentation:
+    // kernel steal + host-busy + this JVM's GC and process-CPU clocks
+    val (s0, j0, b0) = graft.Bench.statSample()
+    val g0 = graft.Bench.gcMillis()
+    val c0 = graft.Bench.processCpuNanos()
     val t0 = System.nanoTime()
     val r = body
     val dt = (System.nanoTime() - t0) / 1e9
+    val gcSec = (graft.Bench.gcMillis() - g0) / 1000.0
+    val cpuSec =
+      if (c0 < 0) -1.0 else (graft.Bench.processCpuNanos() - c0) / 1e9
+    val (s1, j1, b1) = graft.Bench.statSample()
+    val stealPct =
+      if (j1 < 0 || j0 < 0 || j1 == j0) -1.0
+      else 100.0 * (s1 - s0) / (j1 - j0)
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    val foreignPct =
+      if (j1 < 0 || j0 < 0 || j1 == j0 || b0 < 0 || cpuSec < 0) -1.0
+      else math.max(0.0,
+        100.0 * (b1 - b0).toDouble / (j1 - j0) -
+          100.0 * cpuSec / (dt * hostCpus))
     val pa = graft.Bench.probeWithSteal()
     println(f"SCALECHECK probe_after $label min=${pa._1} med=${pa._2} " +
       f"max=${pa._3} steal_pct=${pa._4}%.2f quiet=${graft.Bench.sampleQuiet(pa)}")
     println(f"SCALECHECK phase $label%-22s $dt%8.1f s")
+    // machine-readable per-phase verdict (r14 verdict #4): the same
+    // conjunct logic as Bench's record_valid — quiet flank probes ∧
+    // bounded in-phase hypervisor steal ∧ no in-guest foreign-CPU
+    // anomaly on an attributable-length phase — so a drill number
+    // carries its verdict instead of probe lines a reader interprets.
+    // drill_valid=false means direction-valid only, same reading rule
+    // as record_valid.
+    val reasons = Seq(
+      (!graft.Bench.sampleQuiet(pb)) -> "probe_before_not_quiet",
+      (!graft.Bench.sampleQuiet(pa)) -> "probe_after_not_quiet",
+      (stealPct > graft.Bench.RecordInRunStealMaxPct) ->
+        f"in_phase_steal_$stealPct%.2fpct",
+      (dt >= graft.Bench.RecordMinAttribWallSec &&
+        foreignPct >= graft.Bench.RecordForeignMaxPct) ->
+        f"foreign_cpu_$foreignPct%.2fpct").collect { case (true, r) => r }
+    println(f"""SCALECHECK drill {"phase":"$label","sec":$dt%.1f,""" +
+      f""""steal_pct":$stealPct%.2f,"foreign_pct":$foreignPct%.2f,""" +
+      f""""gc_sec":$gcSec%.1f,"cpu_sec":$cpuSec%.1f,""" +
+      s""""drill_valid":${reasons.isEmpty},""" +
+      reasons.map("\"" + _ + "\"").mkString("\"invalid_reasons\":[", ",",
+        "]}"))
     r
   }
 
@@ -394,7 +433,165 @@ object ScaleCheck {
     } finally {
       spark.conf.unset("spark.graft.artifactRoot")
     }
+
+    // pivot-sampled approximate BC at the same 25M-edge volume (r14
+    // verdict #2: the fold-cap fallback had no at-volume witness) —
+    // k = 16 hash-sampled pivots over the 178k-degree-hub graph, plain
+    // unordered δ sums, no degree-sized row anywhere
+    val bca = timed("cen_betweenness_approx") {
+      val b = Relational.betweennessApproxCore(spark, sym, nPivots = 16)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      b.count(); b
+    }
+    val bcaTop = bca.orderBy(col("centrality").desc, col("v")).head()
+    val bcaStats = bca.agg(count(lit(1)).as("n"),
+      min(col("centrality")).as("cmin")).head()
+    println(s"SCALECHECK centrality approx_rows=${bcaStats.getLong(0)} " +
+      f"min=${bcaStats.getDouble(1)}%.6f top_v=${bcaTop.getLong(0)} " +
+      f"top_centrality=${bcaTop.getDouble(1)}%.1f " +
+      s"ok=${bcaStats.getLong(0) == nV && bcaStats.getDouble(1) >= 0.0}")
+    bca.unpersist()
+
+    // k = |V| agreement on a drill SUBGRAPH: every subgraph vertex a
+    // pivot makes the estimator exact, checked against an independent
+    // driver-side all-sources Brandes under the same 12-level horizon.
+    // The id cut scales with the graph (v/500 → ~3k verts / ~6k edges at
+    // the 25M-draw drill): an all-pivots pass is quadratic-ish in the
+    // subgraph, so a FIXED cut would balloon on small smoke runs where
+    // the same id range covers a far larger population share.
+    val subCut = math.max(200L, v / 500L)
+    val subPairs = pairs.filter(col("j") < subCut)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val subEdges = subPairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val subVs = subEdges.map(_._1).distinct.sorted
+    val refBc = brandesAllSourcesRef(subEdges,
+      Relational.BetweennessMaxLevel)
+    val gotBc = timed("cen_approx_subgraph_exact") {
+      import spark.implicits._
+      Relational.betweennessApproxCore(spark,
+        subEdges.toSeq.toDF("src", "dst"), nPivots = subVs.length)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val subBad = subVs.count { vtx =>
+      val e0 = refBc.getOrElse(vtx, 0.0)
+      math.abs(gotBc(vtx) - e0) > 1e-6 + 1e-8 * math.abs(e0)
+    }
+    println(s"SCALECHECK centrality approx_subgraph_verts=${subVs.length} " +
+      s"edges=${subEdges.length} mismatches=$subBad " +
+      s"ok=${subBad == 0 && gotBc.keySet == subVs.toSet}")
+    require(subBad == 0 && gotBc.keySet == subVs.toSet,
+      "approx-BC k=|V| subgraph agreement FAILED")
+
     sym.unpersist(); verts.unpersist(); pairs.unpersist()
+
+    // the regime the fold cap EXISTS for: a hub whose degree exceeds
+    // BrandesMaxFoldWidth — the exact core must refuse it loudly, the
+    // approx core must complete and land its closed form
+    approxMegahubDrill(spark)
+  }
+
+  /** Driver-side all-sources Brandes under the engine's forward-BFS
+    * horizon (vertices beyond `maxLevel` hops from a source are not
+    * visited and accumulate nothing — the exact truncation
+    * [[operators.Relational.brandesForwardFrom]] applies), over the
+    * src ∪ dst vertex domain. The independent reference for the drill's
+    * k = |V| subgraph agreement gate.
+    */
+  private def brandesAllSourcesRef(edges: Array[(Long, Long)],
+      maxLevel: Int): Map[Long, Double] = {
+    val adj = edges.groupBy(_._1).map { case (k2, v2) => k2 -> v2.map(_._2) }
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val bc = scala.collection.mutable.Map[Long, Double]()
+      .withDefaultValue(0.0)
+    for (s <- vs) {
+      val dist = scala.collection.mutable.Map[Long, Int]()
+      val sigma = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      val preds = scala.collection.mutable.Map[Long,
+        scala.collection.mutable.Buffer[Long]]()
+      val stack = scala.collection.mutable.Buffer[Long]()
+      dist(s) = 0; sigma(s) = 1.0
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val v2 = q.dequeue(); stack += v2
+        if (dist(v2) < maxLevel) {
+          for (w <- adj.getOrElse(v2, Array.empty[Long])) {
+            if (!dist.contains(w)) { dist(w) = dist(v2) + 1; q.enqueue(w) }
+            if (dist(w) == dist(v2) + 1) {
+              sigma(w) += sigma(v2)
+              preds.getOrElseUpdate(w,
+                scala.collection.mutable.Buffer()) += v2
+            }
+          }
+        }
+      }
+      val delta = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (w <- stack.reverse; v2 <- preds.getOrElse(w, Nil))
+        delta(v2) += sigma(v2) / sigma(w) * (1.0 + delta(w))
+      for (v2 <- stack if v2 != s) bc(v2) += delta(v2)
+    }
+    bc.toMap
+  }
+
+  /** The fold-cap boundary at volume: a 4.2M-leaf star's hub degree
+    * exceeds [[operators.Relational.BrandesMaxFoldWidth]], so the EXACT
+    * core's preemptive guard must throw (caught and printed as
+    * evidence), while [[operators.Relational.betweennessApproxCore]]
+    * completes — and on a star the estimator has a CLOSED FORM to land
+    * exactly: from a leaf pivot, δ(hub) = L−1 and every other δ is 0,
+    * so hub centrality = (|V|/k) · #leaf-pivots · (L−1) and every leaf
+    * reads 0 (all sums are integers < 2⁵³ — double-exact in any order).
+    */
+  private def approxMegahubDrill(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import operators.Relational
+    val leaves = 4200000L
+    require(leaves > Relational.BrandesMaxFoldWidth,
+      "megahub must exceed the exact core's fold cap")
+    val star = spark.range(1, leaves + 1)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val starSym = star.unionAll(
+      star.select(col("dst").as("src"), col("src").as("dst")))
+    val refused =
+      try {
+        Relational.betweennessCore(spark, starSym).head(); false
+      } catch { case e: IllegalArgumentException =>
+        println(s"SCALECHECK centrality megahub exact_core_refusal: " +
+          e.getMessage.takeWhile(_ != '\n'))
+        true
+      }
+    graft.GraftCaches.release(spark) // the refused core's edge cache
+    val k = 8
+    val mh = timed("cen_approx_megahub") {
+      import org.apache.spark.storage.StorageLevel
+      val b = Relational.betweennessApproxCore(spark, starSym, nPivots = k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      b.count(); b
+    }
+    // closed form: recompute the engine's own pivot rule to count how
+    // many of the k pivots are leaves (the hub contributes 0 as a pivot)
+    val nLeafPivots = spark.range(0, leaves + 1)
+      .select(col("id").as("v"))
+      .orderBy(xxhash64(col("v")), col("v")).limit(k)
+      .filter(col("v") =!= 0L).count()
+    val expectedHub =
+      (leaves + 1).toDouble / k * nLeafPivots * (leaves - 1).toDouble
+    val hubRow = mh.filter(col("v") === 0L).head().getDouble(1)
+    val mhStats = mh.agg(count(lit(1)).as("n"),
+      max(when(col("v") =!= 0L, col("centrality"))).as("leafmax")).head()
+    val hubOk = math.abs(hubRow - expectedHub) <= 1e-8 * expectedHub
+    println(s"SCALECHECK centrality megahub refused_exact=$refused " +
+      s"approx_rows=${mhStats.getLong(0)} " +
+      f"hub=${hubRow}%.1f expected=${expectedHub}%.1f " +
+      f"leaf_max=${mhStats.getDouble(1)}%.6f " +
+      s"ok=${refused && hubOk && mhStats.getLong(0) == leaves + 1 &&
+        mhStats.getDouble(1) == 0.0}")
+    require(refused && hubOk && mhStats.getLong(0) == leaves + 1 &&
+      mhStats.getDouble(1) == 0.0,
+      "approx-BC megahub drill FAILED")
+    mh.unpersist()
+    graft.GraftCaches.release(spark)
   }
 
   /** HITS at drill volume (r12 verdict #4): the one iterative operator
