@@ -127,6 +127,7 @@ object SparkEntry {
     "q_events_pivot" -> (Relational.qEventsPivot _),
     "q_events_quantiles" -> (Relational.qEventsQuantiles _),
     "q_quantile_bisect" -> (Relational.qQuantileBisect _),
+    "q_group_quantile_bisect" -> (Relational.qGroupQuantileBisect _),
     "q_events_json_props" -> (Relational.qEventsJsonProps _),
     "q22_above_avg_idle" -> (Relational.q22AboveAvgIdle _),
     "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
@@ -2983,6 +2984,36 @@ object SparkEntry {
          FROM ks JOIN w ON w.cw >= ks.k
          GROUP BY ks.pct, ks.k, ks.n
          ORDER BY pct""",
+
+    // grouped extension: the oracle ranks per group by a partitioned
+    // cumulative window — the IMPL never does (one GROUPED counting
+    // aggregate per round with group-dependent probe literals); same
+    // ceil(q*n) integer-arithmetic k per group on exact cents
+    "q_group_quantile_bisect" ->
+      """WITH c AS (SELECT l_returnflag,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS v FROM lineitem),
+              t AS (SELECT l_returnflag, count(*) AS n FROM c
+                    GROUP BY l_returnflag),
+              d AS (SELECT l_returnflag, v, count(*) AS cnt FROM c
+                    GROUP BY l_returnflag, v),
+              w AS (SELECT l_returnflag, v,
+                           sum(cnt) OVER (PARTITION BY l_returnflag
+                                          ORDER BY v) AS cw FROM d),
+              ks AS (SELECT l_returnflag, 'p50' AS pct, (n + 1) // 2 AS k,
+                            n FROM t
+                     UNION ALL SELECT l_returnflag, 'p90',
+                            (9 * n + 9) // 10, n FROM t
+                     UNION ALL SELECT l_returnflag, 'p99',
+                            (99 * n + 99) // 100, n FROM t)
+         SELECT ks.pct, ks.l_returnflag AS l_returnflag, ks.k,
+                ks.n AS n_rows,
+                min(w.v) AS value_cents,
+                CAST(min(w.v) AS DOUBLE) / 100 AS value
+         FROM ks JOIN w ON w.l_returnflag = ks.l_returnflag
+                       AND w.cw >= ks.k
+         GROUP BY ks.pct, ks.l_returnflag, ks.k, ks.n
+         ORDER BY ks.l_returnflag, ks.pct""",
 
     "q_events_json_props" ->
       """WITH e AS (SELECT event_type,

@@ -386,6 +386,130 @@ object Relational {
       .orderBy(col("pct"))
   }
 
+  /** Group-count cap for [[qGroupQuantileBisect]]: the per-group probe
+    * midpoints ride the aggregate as CASE chains over group literals,
+    * so the expression size is O(groups) — dimension-sized group-bys
+    * (the operator's contract) stay small; a corpus-sized grouping
+    * would both blow the expression and put per-group selection in the
+    * regime where [[graft.Ranks.groupedRowNumber]] (the two-pass
+    * distributed rank) is the right tool, so past the cap the operator
+    * THROWS with that pointer rather than degrading.
+    */
+  private[graft] val GroupBisectMaxGroups = 64
+
+  /** §2.2 q_group_quantile_bisect: EXACT per-group order statistics
+    * (p50/p90/p99 of lineitem price per return flag) without a sort —
+    * the GROUPED extension of [[qQuantileBisect]]'s driver-coordinated
+    * bisection, and a plan shape nothing else in the suite has: one
+    * map-side-combined GROUPED aggregate per round whose probe
+    * midpoints are GROUP-DEPENDENT literals (a CASE chain over the
+    * dimension-sized group set), so every group's three brackets halve
+    * in the same pass. The standard per-group alternative — a ranking
+    * window partitioned by group — sorts every group's full population;
+    * this pays O(log₈ domain) counting scans TOTAL, independent of
+    * group count, and lands exact values, not approx_percentile
+    * estimates. At 100 TB: ~8 cheap scans of a cached 2-column
+    * relation vs a corpus-wide partitioned sort.
+    *
+    * Exactness: identical to the ungrouped operator — integer cents,
+    * the invariant count_g(≤lo) < k_g ≤ count_g(≤hi) pins hi to the
+    * smallest existing group value with count ≥ k, k = ⌈q·n_g⌉ in
+    * integer arithmetic, one final cents→double division. The round
+    * cap THROWS (64 halvings cover any 64-bit domain — a logic error,
+    * never a truncation), as does the [[GroupBisectMaxGroups]] cap.
+    */
+  def qGroupQuantileBisect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("grp"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("bigint").as("v"))
+      .persist()
+    rows.count() // eager: group bootstrap + every bisection round
+    val gstats = rows.groupBy(col("grp"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect() // dimension-sized by contract (cap below)
+    require(gstats.length <= GroupBisectMaxGroups,
+      s"q_group_quantile_bisect: ${gstats.length} groups exceed the " +
+        s"$GroupBisectMaxGroups-group probe-literal cap — per-group " +
+        "selection over corpus-sized groupings belongs to " +
+        "Ranks.groupedRowNumber (two-pass distributed rank), not a " +
+        "driver-coordinated bracket search")
+    if (gstats.isEmpty) {
+      rows.unpersist()
+      return spark.emptyDataFrame
+        .select(lit("").as("pct"), lit("").as("l_returnflag"),
+          lit(0L).as("k"), lit(0L).as("n_rows"),
+          lit(0L).as("value_cents"), lit(0.0).as("value")).limit(0)
+    }
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    // one bracket per (group, percentile); same invariant and 8-ary
+    // split as the ungrouped operator, plus the probes actually shipped
+    // this round (update must pair counts with the midpoints the
+    // expression was BUILT from, not post-update state)
+    final class GB(val grp: String, val pct: String, val k: Long,
+        val n: Long, vmin: Long, vmax: Long) {
+      var lo: Long = vmin - 1
+      var hi: Long = vmax
+      var shipped: IndexedSeq[Long] = IndexedSeq.empty
+      def open: Boolean = hi - lo > 1
+      def probe(i: Int): Long = lo + (hi - lo) * i / 8
+    }
+    val pcts = Seq("p50" -> ((n: Long) => ceilDiv(n, 2)),
+      "p90" -> ((n: Long) => ceilDiv(9 * n, 10)),
+      "p99" -> ((n: Long) => ceilDiv(99 * n, 100)))
+    val brackets = gstats.toSeq.flatMap { r =>
+      val (g, mn, mx, n) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      pcts.map { case (p, kf) => new GB(g, p, kf(n), n, mn, mx) }
+    }
+    val byGrpPct = brackets.map(b => (b.grp, b.pct) -> b).toMap
+    var rounds = 0
+    while (brackets.exists(_.open)) {
+      rounds += 1
+      require(rounds <= 64, "grouped quantile bisection failed to converge")
+      // 21 probe slots (3 percentiles × 7 interior midpoints), each a
+      // CASE chain mapping group → that group's current midpoint; a
+      // closed bracket probes a below-domain sentinel (count 0, ignored)
+      brackets.foreach(b => b.shipped =
+        if (b.open) (1 to 7).map(b.probe) else IndexedSeq.empty)
+      val exprs = pcts.flatMap { case (p, _) =>
+        (1 to 7).map { i =>
+          val chain = brackets.filter(b => b.pct == p && b.open)
+            .foldLeft(lit(Long.MinValue)) { (acc, b) =>
+              when(col("grp") === b.grp, lit(b.shipped(i - 1)))
+                .otherwise(acc)
+            }
+          sum(when(col("v") <= chain, 1L).otherwise(0L)).as(s"c_${p}_$i")
+        }
+      }
+      val res = rows.groupBy(col("grp")).agg(exprs.head, exprs.tail: _*)
+        .collect()
+      for (row <- res; (pIdx, (p, _)) <- pcts.zipWithIndex.map(_.swap)) {
+        val b = byGrpPct((row.getString(0), p))
+        if (b.open) {
+          val cnts = (1 to 7).map(i => row.getLong(1 + pIdx * 7 + (i - 1)))
+          // valid = strictly interior midpoints, deduplicated (a narrow
+          // bracket repeats midpoints); counts are monotone across them
+          val valid = b.shipped.zip(cnts)
+            .filter { case (m, _) => m > b.lo && m < b.hi }.distinct
+          valid.indexWhere(_._2 >= b.k) match {
+            case -1 => if (valid.nonEmpty) b.lo = valid.last._1
+            case i =>
+              b.hi = valid(i)._1
+              if (i > 0) b.lo = valid(i - 1)._1
+          }
+        }
+      }
+    }
+    rows.unpersist()
+    brackets
+      .map(b => (b.pct, b.grp, b.k, b.n, b.hi, b.hi.toDouble / 100.0))
+      .toDF("pct", "l_returnflag", "k", "n_rows", "value_cents", "value")
+      .orderBy(col("l_returnflag"), col("pct"))
+  }
+
   /** §2.2 q14_promo_share: TPC-H Q14-style conditional-aggregate ratio —
     * promo revenue share of total, both terms accumulated exact-decimal in
     * ONE pass (a conditional sum, not two scans), single fp division at
