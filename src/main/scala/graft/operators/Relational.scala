@@ -418,13 +418,25 @@ object Relational {
     * cap THROWS (64 halvings cover any 64-bit domain — a logic error,
     * never a truncation), as does the [[GroupBisectMaxGroups]] cap.
     */
-  def qGroupQuantileBisect(spark: SparkSession, dir: String): DataFrame = {
+  def qGroupQuantileBisect(spark: SparkSession, dir: String): DataFrame =
+    groupQuantileBisectCore(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("grp"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("bigint").as("v")))
+      .select(col("pct"), col("grp").as("l_returnflag"), col("k"),
+        col("n_rows"), col("value_cents"), col("value"))
+      .orderBy(col("l_returnflag"), col("pct"))
+
+  /** The grouped bracket-search body of [[qGroupQuantileBisect]] over an
+    * explicit (grp: string, v: bigint) relation — factored so the spec
+    * can drive arbitrary group shapes (the 64-group cap throw, known
+    * driver-side references) that the shipped corpus never produces.
+    */
+  private[graft] def groupQuantileBisectCore(rows0: DataFrame): DataFrame = {
+    val spark = rows0.sparkSession
     import spark.implicits._
-    val rows = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag").as("grp"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-          .cast("bigint").as("v"))
-      .persist()
+    val rows = rows0.persist()
     rows.count() // eager: group bootstrap + every bisection round
     val gstats = rows.groupBy(col("grp"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
@@ -439,7 +451,7 @@ object Relational {
     if (gstats.isEmpty) {
       rows.unpersist()
       return spark.emptyDataFrame
-        .select(lit("").as("pct"), lit("").as("l_returnflag"),
+        .select(lit("").as("pct"), lit("").as("grp"),
           lit(0L).as("k"), lit(0L).as("n_rows"),
           lit(0L).as("value_cents"), lit(0.0).as("value")).limit(0)
     }
@@ -506,8 +518,8 @@ object Relational {
     rows.unpersist()
     brackets
       .map(b => (b.pct, b.grp, b.k, b.n, b.hi, b.hi.toDouble / 100.0))
-      .toDF("pct", "l_returnflag", "k", "n_rows", "value_cents", "value")
-      .orderBy(col("l_returnflag"), col("pct"))
+      .toDF("pct", "grp", "k", "n_rows", "value_cents", "value")
+      .orderBy(col("grp"), col("pct"))
   }
 
   /** §2.2 q14_promo_share: TPC-H Q14-style conditional-aggregate ratio —
