@@ -626,7 +626,7 @@ object ScaleCheck {
     * tolerance), and the distinct-SCC count must equal the group count.
     */
   private def sccDrill(spark: org.apache.spark.sql.SparkSession,
-      nEdges: Long): Unit = {
+      nEdges: Long, giantPhase: Boolean = true): Unit = {
     import operators.Relational
     val g = 5L
     val layers = 8L
@@ -663,6 +663,8 @@ object ScaleCheck {
     require(s.getLong(0) == nV && s.getLong(1) == 0L &&
       s.getLong(2) == groups,
       "scc drill FAILED: labeling does not match the planted partition")
+    if (!giantPhase) return // `scc1`: layered phase only — halves the
+    // exposure window when hunting a drill_valid phase-1 reading
     // Phase 2 — the GIANT-DIAMETER case the layered graph doesn't touch:
     // one 2M-node directed cycle (+1M random chords inside it, same SCC;
     // diameter ~2M) and 1M DAG tail nodes hanging off it (singletons).
@@ -1490,9 +1492,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
-    if (args.headOption.contains("scc")) {
+    if (args.headOption.contains("scc") ||
+        args.headOption.contains("scc1")) {
       sccDrill(spark,
-        args.drop(1).headOption.map(_.toLong).getOrElse(25000000L))
+        args.drop(1).headOption.map(_.toLong).getOrElse(25000000L),
+        giantPhase = !args.headOption.contains("scc1"))
       spark.stop()
       return
     }
