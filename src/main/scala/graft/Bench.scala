@@ -300,6 +300,30 @@ object Bench {
       }
     }
 
+    // RECORD-ATTEMPT early abort (r15 verdict #1): twelve wrapper
+    // attempts and two judge sessions all died to MID-RUN storms behind
+    // quiet opening probes — probing-then-running pays the full ~12 min
+    // per doomed attempt. With SPARK_GRAFT_RECORD_ABORT=1 the suite
+    // kills itself (exit 3, one machine-readable line, no detail
+    // artifact) the moment a record becomes impossible: any timed pass
+    // whose in-run steal exceeds [[RecordInRunStealMaxPct]] (that
+    // conjunct of record_valid is already violated), or a between-run
+    // probe outside the quiet band. Default OFF — a driver-run bench
+    // must still complete and embed its direction-valid numbers.
+    val recordAbort = sys.env.get("SPARK_GRAFT_RECORD_ABORT")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    var nPassesDone = 0
+    def abortRun(reason: String): Nothing = {
+      println(s"""{"metric":"total","value":-1.0,"unit":"sec","aborted":true,"abort_reason":"$reason","record_valid":false,"n_passes_done":$nPassesDone,"sf":"$sfDir"}""")
+      spark.stop()
+      sys.exit(3)
+    }
+    def abortCheckSteal(name: String, st: Double): Unit = {
+      nPassesDone += 1
+      if (recordAbort && st > RecordInRunStealMaxPct)
+        abortRun(f"in_run_steal_${st}%.2fpct_at_$name")
+    }
+
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run; unset = full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -324,14 +348,16 @@ object Bench {
     val foreignRuns = scala.collection.mutable.ArrayBuffer[DMap](dmap())
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      timeOne(fn)._1 match {
+      val (r1, st1, _, _, _) = timeOne(fn)
+      r1 match {
         case Right(t1) =>
           cold(name) = t1
+          abortCheckSteal(s"${name}_cold", st1)
           val (r2, st, gc, cpu, fo) = timeOne(fn)
           stealRuns(0)(name) = st; gcRuns(0)(name) = gc
           cpuRuns(0)(name) = cpu; foreignRuns(0)(name) = fo
           r2 match {
-            case Right(t2) => warm(name) = t2
+            case Right(t2) => warm(name) = t2; abortCheckSteal(name, st)
             case Left(err) => warm(name) = -1.0; errors(name) = err
           }
         case Left(err) =>
@@ -345,14 +371,18 @@ object Bench {
     // mid-window, and the between-runs sample is what separates "run 2
     // inflated because the host got busy" from a real regression.
     val midProbes = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
-    val extraRuns = (2 to nRuns).map { _ =>
-      midProbes += probeWithSteal()
+    val extraRuns = (2 to nRuns).map { runIdx =>
+      val mp = probeWithSteal()
+      midProbes += mp
+      if (recordAbort && !sampleQuiet(mp))
+        abortRun(s"between_run_probe_not_quiet_before_run$runIdx")
       val w = scala.collection.mutable.LinkedHashMap[String, Double]()
       val sm = dmap(); val gm = dmap(); val cm = dmap(); val fm = dmap()
       names.foreach { name =>
         val (r, st, gc, cpu, fo) = timeOne(SparkEntry.queries(name))
         w(name) = r.getOrElse(-1.0)
         sm(name) = st; gm(name) = gc; cm(name) = cpu; fm(name) = fo
+        if (r.isRight) abortCheckSteal(s"${name}_run$runIdx", st)
       }
       stealRuns += sm; gcRuns += gm; cpuRuns += cm; foreignRuns += fm
       w
@@ -487,9 +517,19 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"queries":${jmap(warm)},"queries_cold":${jmap(cold)},"run_totals":${runTotals.map(r3).mkString("[", ",", "]")},"runs_warm":$runsJson,"runs_query_steal_pct":$stealJson,"runs_query_gc_sec":$gcJson,"runs_query_cpu_sec":$cpuJson,"runs_query_foreign_pct":$foreignJson,"record_valid":$recordValid,"record_invalid_reasons":${invalidReasons.map(r => "\"" + jstr(r) + "\"").mkString("[", ",", "]")},"max_inrun_steal_pct":${rd(maxInRunSteal, 2)},"cpu_anomalies":${cpuAnomalies.map(n => "\"" + jstr(n) + "\"").mkString("[", ",", "]")},"record_inrun_steal_max_pct":$RecordInRunStealMaxPct,"record_foreign_max_pct":$RecordForeignMaxPct,"repro_max_ratio":${r3(maxRatio)},"repro_worst":${jmap(worstRatios)},"repro_steady_max_ratio":${r3(steadyMax)},"repro_steady_worst":${jmap(steadyWorst)},"repro_steady_ge1s_max_ratio":${r3(steadyGe1sMax)},"repro_steady_ge1s_worst":${jmap(steadyGe1sWorst)},"errors":${jsmap(errors)},"probe_before":${jprobe(probeBefore)},"probe_between_runs":${midProbes.map(jprobe).mkString("[", ",", "]")},"probe_after":${jprobe(probeAfter)},"probe_quiet":$probeQuiet,"probe_quiet_floor":$QuietProbeMedianFloor,"probe_quiet_steal_max_pct":$QuietProbeStealMaxPct,"residual_storage_max_bytes":$residualMax,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev run must never clobber the committed
     // full-suite record (r7 postmortem: a 3-query rerun overwrote the
-    // round's only full-suite detail) — filtered runs get their own file
+    // round's only full-suite detail) — filtered runs get their own
+    // file. Since r16 (r15 verdict #4) the same protection covers
+    // record validity: only a record_valid=true full-suite run may
+    // write BENCH_DETAIL.json (the committed record slot); a completed
+    // stormy run routes its full direction-valid detail to
+    // BENCH_DETAIL_INVALID.json (gitignored), so neither a wrapper
+    // attempt nor a driver-run bench can ever leave contaminated bytes
+    // where the record lives (the 7c27153 failure mode, closed at the
+    // harness instead of the wrapper).
     val detailPath =
-      if (only.isDefined) "BENCH_DETAIL_ONLY.json" else "BENCH_DETAIL.json"
+      if (only.isDefined) "BENCH_DETAIL_ONLY.json"
+      else if (recordValid) "BENCH_DETAIL.json"
+      else "BENCH_DETAIL_INVALID.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       (detailJson + "\n").getBytes("UTF-8"))
