@@ -861,4 +861,167 @@ object StreamOps {
   }
 
   private def rint6(v: Double): Double = math.rint(v * 1e6) / 1e6
+
+  /** Per-key quantile-sketch state for [[streamQuantileSketch]]: a
+    * deterministic KLL/MRL-family compactor (Karnin-Lang-Liberty 2016;
+    * Manku-Rajagopalan-Lindsay 1998 — public literature, no reference
+    * counterpart: bq-nvd has no streaming surface at all). `levels(l)`
+    * holds values of weight 2^l; raw inserts land in level 0; a level
+    * reaching [[QuantileSketch.Cap]] items sorts itself, promotes every
+    * OTHER element one level up (surviving elements double their
+    * weight, so total mass is conserved), and the kept-offset parity
+    * flips per level per compaction — the deterministic
+    * alternating-parity compactor, which replaces KLL's random coin so
+    * replays and the batch twin are bit-reproducible, with successive
+    * compaction errors at a level cancelling in pairs instead of
+    * accumulating w.h.p.
+    */
+  case class QSketchState(n: Long, parity: Seq[Boolean],
+      levels: Seq[Seq[Long]])
+
+  /** One per-type estimate row emitted after each micro-batch touching
+    * the key (units of the raw value column). */
+  case class QSketchRow(event_type: String, n: Long,
+      p50: Double, p90: Double, p99: Double)
+
+  /** The deterministic compactor behind [[streamQuantileSketch]] —
+    * private[graft] so the spec can drive it directly against exact
+    * order statistics.
+    *
+    * Error contract: a level-l compaction drops every other of `Cap`
+    * sorted weight-2^l items, perturbing any rank by at most 2^l; over
+    * n inserts level l compacts at most n / (2^l · Cap/2) times, so the
+    * worst-case total rank error is Σ_l 2n/Cap = 2·L·n/Cap with
+    * L = number of levels ≈ log₂(2n/Cap) — the bound
+    * [[QuantileSketch.rankErrorBound]] returns and the spec asserts.
+    * With no compaction (n < Cap) the sketch IS the data: estimates are
+    * exact order statistics. Alternating parity keeps the observed
+    * error far below the bound; the bound is what is PROVEN.
+    */
+  private[graft] object QuantileSketch {
+    /** Per-level item capacity. 256 longs × ~log₂(n/128) levels ≈ a few
+      * KB of state per key at any stream length — the state-store shape
+      * that scales: estimates of a 10¹¹-row stream cost the same state
+      * as a 10⁵-row one, vs the unbounded per-key buffer an exact
+      * percentile would need. */
+    val Cap = 256
+
+    def empty: QSketchState = QSketchState(0L, Nil, Nil)
+
+    /** Worst-case rank error of any quantile query after n inserts. */
+    def rankErrorBound(s: QSketchState): Long =
+      2L * s.levels.size * s.n / Cap
+
+    /** Mutable fold of one ordered run of values into the state —
+      * per-micro-batch usage: thaw, insert the batch's values in
+      * deterministic order, freeze. */
+    final class Folder(init: QSketchState) {
+      private val levels = scala.collection.mutable.ArrayBuffer(
+        init.levels.map(l => scala.collection.mutable.ArrayBuffer(l: _*)): _*)
+      private val parity =
+        scala.collection.mutable.ArrayBuffer(init.parity: _*)
+      private var n = init.n
+
+      def insert(v: Long): Unit = {
+        if (levels.isEmpty) {
+          levels += scala.collection.mutable.ArrayBuffer.empty[Long]
+          parity += false
+        }
+        levels(0) += v
+        n += 1
+        var l = 0
+        while (l < levels.size && levels(l).size >= Cap) {
+          compact(l); l += 1
+        }
+      }
+
+      /** Sort level l, promote alternate elements (offset = the level's
+        * parity bit, flipped each compaction); an odd straggler keeps
+        * its weight and stays at level l — mass is conserved exactly. */
+      private def compact(l: Int): Unit = {
+        val sorted = levels(l).sorted
+        val off = if (parity(l)) 1 else 0
+        parity(l) = !parity(l)
+        if (l + 1 >= levels.size) {
+          levels += scala.collection.mutable.ArrayBuffer.empty[Long]
+          parity += false
+        }
+        val pairs = sorted.size / 2 * 2
+        var i = off
+        while (i < pairs) { levels(l + 1) += sorted(i); i += 2 }
+        levels(l).clear()
+        if (pairs < sorted.size) levels(l) += sorted(pairs)
+      }
+
+      def state: QSketchState =
+        QSketchState(n, parity.toSeq, levels.map(_.toSeq).toSeq)
+    }
+
+    /** The value whose weighted rank first reaches ⌈q·n⌉: one sort of
+      * the ≤ Cap·L resident items, weights 2^level. */
+    def query(s: QSketchState, q: Double): Long = {
+      require(s.n > 0, "quantile of an empty sketch")
+      val target = math.max(1L, math.ceil(q * s.n).toLong)
+      val items = s.levels.zipWithIndex.flatMap { case (vs, l) =>
+        vs.map(v => (v, 1L << l))
+      }.sortBy(_._1)
+      var cum = 0L
+      var i = 0
+      while (i < items.size) {
+        cum += items(i)._2
+        if (cum >= target) return items(i)._1
+        i += 1
+      }
+      items.last._1
+    }
+  }
+
+  /** stream_quantile_sketch: streaming p50/p90/p99 of event value per
+    * event type via a bounded-state rank sketch in the state store —
+    * the streaming family's sketch member (r15 verdict #7: the one
+    * family hole). The built-in percentile_approx is a batch aggregate;
+    * this keeps a [[QSketchState]] per key across micro-batches with
+    * `flatMapGroupsWithState` and emits the key's current estimates
+    * after every batch that touches it.
+    *
+    * Determinism and parity (the stream_cusum discipline): values fold
+    * in strict (time, event_id) order within each micro-batch and the
+    * compactor is coin-free, so the state after event k is a pure
+    * function of the first k events — one batch or fifty, the SAME
+    * estimates emerge, and the batch path (same code, empty initial
+    * state, one group call) agrees exactly; both asserted in
+    * StreamingSpec, alongside the PROVEN 2·L·n/Cap rank-error bound
+    * against exact order statistics and small-n exactness.
+    *
+    * Values are folded as exact scale-4 fixed-point (micro-units of
+    * `value`), the same integer-cents discipline as the bisect
+    * operators; the only floats are the final unit divisions.
+    */
+  def streamQuantileSketch(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts")),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[(String, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[QSketchState]) =>
+          val folder = new QuantileSketch.Folder(
+            state.getOption.getOrElse(QuantileSketch.empty))
+          it.toSeq.sortBy(e => (e._3, e._2))
+            .foreach(e => folder.insert(e._4))
+          val s = folder.state
+          state.update(s)
+          if (s.n == 0) Iterator.empty
+          else Iterator.single(QSketchRow(etype, s.n,
+            QuantileSketch.query(s, 0.50) / 1e4,
+            QuantileSketch.query(s, 0.90) / 1e4,
+            QuantileSketch.query(s, 0.99) / 1e4))
+      }
+      .toDF()
+  }
 }

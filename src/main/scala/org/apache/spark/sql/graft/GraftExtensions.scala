@@ -193,6 +193,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(c(0), "corpus_dir"))
           .queryExecution.analyzed }))
 
+    // per-group percentiles is the form a SQL user actually asks for
+    // ("p99 per return flag") — the grouped bisection core must be
+    // reachable without Scala just like its ungrouped sibling
+    ext.injectTableFunction((FunctionIdentifier("graft_group_quantile_bisect"),
+      info("graft_group_quantile_bisect",
+        "graft_group_quantile_bisect(corpus_dir) - exact PER-GROUP order statistics (p50/p90/p99 of lineitem extended price per return flag) by grouped driver-coordinated bisection with group-dependent probe literals, no partitioned sort (table function)"),
+      (c0: Seq[Expression]) => {
+        val c = arity(c0, 1, "graft_group_quantile_bisect")
+        graft.operators.Relational.qGroupQuantileBisect(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(c(0), "corpus_dir"))
+          .queryExecution.analyzed }))
+
     // the fallback the exact core's fold-width guard names: a SQL user
     // hitting BrandesMaxFoldWidth on a mega-hub graph must be able to
     // invoke the pivot-sampled estimator without touching Scala

@@ -234,6 +234,19 @@ class ExtensionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("table function: graft_group_quantile_bisect from plain SQL == " +
+      "the DataFrame runner, row for row") {
+    val sf = TestSpark.sfDir
+    val sqlGb = spark
+      .sql(s"SELECT * FROM graft_group_quantile_bisect('$sf')")
+      .collect().map(_.toSeq).toSeq
+    val apiGb = graft.operators.Relational.qGroupQuantileBisect(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlGb === apiGb)
+    assert(sqlGb.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("full SQL query over a real table through the extension functions") {
     Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("emb")
     val n = spark.sql(

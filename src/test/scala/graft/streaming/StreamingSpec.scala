@@ -914,6 +914,118 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRun === realExpected)
   }
 
+  test("stream_quantile_sketch: exact under the compaction threshold, " +
+      "inside the proven rank-error bound at volume, re-chunk " +
+      "invariant, and the batch path agrees") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StreamOps.QuantileSketch
+
+    // 1) small-n exactness: below Cap no compaction ever fires, so the
+    // sketch IS the data and every quantile is the exact order statistic
+    val small = new scala.util.Random(11)
+      .shuffle((1 to 200).map(_.toLong * 7 - 300)).take(200)
+    val f0 = new QuantileSketch.Folder(QuantileSketch.empty)
+    small.take(QuantileSketch.Cap - 1).foreach(f0.insert)
+    val s0 = f0.state
+    val sortedSmall = small.take(QuantileSketch.Cap - 1).sorted
+    for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.99)) {
+      val k = math.max(1L, math.ceil(q * s0.n).toLong)
+      assert(QuantileSketch.query(s0, q) === sortedSmall((k - 1).toInt),
+        s"small-n q=$q")
+    }
+
+    // 2) the PROVEN 2·L·n/Cap worst-case rank bound at volume, on a
+    // deterministic heavy-tailed sequence (the shape that breaks naive
+    // uniform histograms)
+    val rnd = new scala.util.Random(42)
+    val big = (1 to 60000).map { _ =>
+      val u = rnd.nextDouble()
+      if (u < 0.9) (rnd.nextDouble() * 1e4).toLong
+      else (1e4 / math.max(1e-6, 1.0 - u)).toLong // Pareto tail
+    }
+    val fb = new QuantileSketch.Folder(QuantileSketch.empty)
+    big.foreach(fb.insert)
+    val sb = fb.state
+    assert(sb.n === big.size.toLong)
+    // mass conservation: total resident weight equals the insert count
+    assert(sb.levels.zipWithIndex
+      .map { case (vs, l) => vs.size.toLong * (1L << l) }.sum === sb.n)
+    val bound = QuantileSketch.rankErrorBound(sb)
+    assert(bound < sb.n / 5, s"bound $bound degenerate for n=${sb.n}")
+    val sortedBig = big.sorted
+    for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.99)) {
+      val est = QuantileSketch.query(sb, q)
+      val target = math.max(1L, math.ceil(q * sb.n).toLong)
+      val rLo = sortedBig.count(_ < est).toLong + 1
+      val rHi = sortedBig.count(_ <= est).toLong
+      val dist =
+        if (target < rLo) rLo - target
+        else if (target > rHi) target - rHi
+        else 0L
+      assert(dist <= bound, s"q=$q est=$est rank [$rLo,$rHi] " +
+        s"target=$target dist=$dist bound=$bound")
+    }
+
+    // 3) streaming: re-chunking cannot change any key's final estimate
+    // (coin-free compactor + per-batch (ts, event_id) fold order), and
+    // the batch path lands the same rows
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val evs = eventsAsCase().sortBy(e => (micros(e.ts), e.event_id))
+    def finalPerKey(rows: Array[org.apache.spark.sql.Row])
+        : Map[String, (Long, Double, Double, Double)] =
+      rows.groupBy(_.getString(0)).map { case (k, rs) =>
+        val last = rs.maxBy(_.getLong(1))
+        k -> ((last.getLong(1), last.getDouble(2), last.getDouble(3),
+          last.getDouble(4)))
+      }
+    def streamed(chunks: Int): Map[String, (Long, Double, Double, Double)] = {
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.streamQuantileSketch(stream.toDF())
+        .writeStream.format("memory").queryName("qsketch_stream")
+        .outputMode("update").start()
+      try {
+        evs.grouped(math.max(1, evs.size / chunks + 1)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        finalPerKey(spark.table("qsketch_stream").collect())
+      } finally q.stop()
+    }
+    val one = streamed(1)
+    assert(one.nonEmpty)
+    assert(streamed(7) === one)
+    val batchRun = finalPerKey(StreamOps.streamQuantileSketch(
+      Tables.events(spark, TestSpark.sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))).collect())
+    assert(batchRun === one)
+    // and the streaming estimates obey the same proven bound per key
+    // against the exact per-type order statistics
+    val byType = evs.groupBy(_.event_type)
+    for ((et, (n, p50, _, p99)) <- one) {
+      val cents = byType(et).map(e =>
+        (BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 10000).toLongExact).sorted
+      assert(n === cents.size.toLong, s"$et n")
+      val lvls = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, 2 * n / QuantileSketch.Cap)))
+      val bnd = 2L * lvls * n / QuantileSketch.Cap
+      for ((q, est) <- Seq(0.5 -> p50, 0.99 -> p99)) {
+        val estC = math.rint(est * 1e4).toLong
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val rLo = cents.count(_ < estC).toLong + 1
+        val rHi = cents.count(_ <= estC).toLong
+        val dist =
+          if (target < rLo) rLo - target
+          else if (target > rHi) target - rHi else 0L
+        assert(dist <= bnd, s"$et q=$q dist=$dist bound=$bnd")
+      }
+    }
+  }
+
   test("stream_benford: cumulative digit-drift scores match a driver " +
       "reference per batch and the batch path agrees") {
     import spark.implicits._
