@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import scala.collection.mutable
+
+/** Dev tool (not part of the driver contract): run one named query through
+  * the noop sink with a job/stage listener attached, then print a per-job
+  * timing table — wall ms, stage count, summed task time, and the first
+  * line of the job's call site. Answers "where do an iterative query's
+  * seconds actually go" (scheduling/barrier overhead vs task compute)
+  * without the Spark UI, which this sandbox disables.
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("graph_pagerank")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.build(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    final case class Job(start: Long, var end: Long = -1L,
+        var stages: Int = 0, var taskMs: Long = 0L, site: String)
+    val jobs = mutable.LinkedHashMap.empty[Int, Job]
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.synchronized {
+          jobs(e.jobId) = Job(e.time,
+            site = Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse(""))
+        }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        jobs.synchronized {
+          // attribute the stage to the most recent unfinished job; exact
+          // mapping is unnecessary for a per-round overhead readout
+          val tMs = e.stageInfo.taskMetrics.executorRunTime
+          jobs.lastOption.foreach { case (_, j) =>
+            j.stages += 1; j.taskMs += tMs
+          }
+        }
+    }
+    // warm pass first (codegen/JIT), then the profiled pass — mirrors
+    // Bench's warm-pass methodology
+    val fn = SparkEntry.queries(name)
+    fn(spark, dir).write.format("noop").mode("overwrite").save()
+    GraftCaches.release(spark)
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    fn(spark, dir).write.format("noop").mode("overwrite").save()
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    spark.sparkContext.removeSparkListener(listener)
+    GraftCaches.release(spark)
+    Thread.sleep(300) // let listener events drain
+    val rows = jobs.synchronized(jobs.toSeq)
+    println(f"== $name warm pass: $wallMs ms wall, ${rows.size} jobs ==")
+    var prevEnd = -1L
+    rows.foreach { case (id, j) =>
+      val gap = if (prevEnd < 0) 0L else math.max(0L, j.start - prevEnd)
+      prevEnd = math.max(prevEnd, j.end)
+      println(f"job $id%3d  wall ${j.end - j.start}%6d ms  gap $gap%5d ms  " +
+        f"stages ${j.stages}%2d  taskSum ${j.taskMs}%6d ms  ${j.site}")
+    }
+    val jobWall = rows.map(j => j._2.end - j._2.start).sum
+    println(f"sum(job wall) $jobWall ms; wall outside jobs ${wallMs - jobWall} ms")
+    spark.stop()
+  }
+}

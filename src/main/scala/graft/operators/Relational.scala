@@ -334,23 +334,49 @@ object Relational {
         .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast("bigint").as("v")))
 
-  /** Overflow-safe 8-ary split midpoint, shared by both bisection
+  /** Probe fan-out of both bisection operators: each round splits every
+    * open bracket `BisectFan`-ary (fan − 1 interior midpoints). The
+    * fan-out trades per-round EXPRESSION width (cheap: one conditional
+    * sum per probe inside the same whole-stage-codegen'd scan) for
+    * ROUNDS (expensive: every round is a full pass over the cached
+    * relation plus a driver round-trip), so probe wide: at 32-ary the
+    * shipped cents domain (~10⁷ wide) closes in ⌈log₃₂ 10⁷⌉ = 5 passes
+    * where the r15 8-ary shape paid 8 and binary would pay 24 (r16
+    * optimization: measured ~8 → ~5 rounds on both bisect queries, with
+    * the per-round scan time unchanged — guide §1.2: cut passes first).
+    */
+  private[graft] val BisectFan = 32
+
+  /** Grouped-core fan-out — deliberately NARROWER than [[BisectFan]]:
+    * the grouped core's probe expressions are null-safe CASE chains
+    * over the group literals (O(groups) arms re-evaluated per row per
+    * probe slot), so per-round cost grows ~linearly in fan × groups and
+    * the r16 same-window sweep (BisectProbe, fans 8/16/32 interleaved
+    * twice) measured NO win from widening — the saved rounds were paid
+    * back in expression time. The ungrouped core's probes are plain
+    * literals (one comparison each), where 32-ary did win; both cores
+    * stay fan-parameterized so the spec pins bit-equality across fans.
+    */
+  private[graft] val GroupBisectFan = 8
+
+  /** Overflow-safe `fan`-ary split midpoint, shared by both bisection
     * operators (r15 verdict "What's wrong" #1 / advice): the naive
-    * `lo + (hi - lo) * i / 8` overflows signed 64-bit once the bracket
-    * width exceeds ~Long.MaxValue/7, and `hi - lo` itself wraps when the
-    * domain spans more than half the 64-bit line — so the width is
+    * `lo + (hi - lo) * i / fan` overflows signed 64-bit once the bracket
+    * width exceeds ~Long.MaxValue/(fan-1), and `hi - lo` itself wraps when
+    * the domain spans more than half the 64-bit line — so the width is
     * treated as UNSIGNED. For lo ≤ hi the two's-complement difference
     * hi - lo IS the true width mod 2⁶⁴; the split offset decomposes as
-    * ⌊w·i/8⌋ = ⌊w/8⌋·i + ⌊(w mod 8)·i/8⌋ with every intermediate exact
-    * mod 2⁶⁴; and the wrapping add lands in [lo, hi], which fits the
-    * signed range — so the result is exact for ANY 64-bit domain (the
-    * "64 halvings cover any 64-bit domain" Scaladoc claim now actually
-    * holds). Bit-identical to the naive formula wherever the naive
-    * formula does not overflow, so shipped-corpus plans are unchanged.
+    * ⌊w·i/f⌋ = ⌊w/f⌋·i + ⌊(w mod f)·i/f⌋ with every intermediate exact
+    * mod 2⁶⁴ ((w mod f)·i < f² ≪ 2⁶³ for any sane fan); and the wrapping
+    * add lands in [lo, hi], which fits the signed range — so the result
+    * is exact for ANY 64-bit domain (the "64 halvings cover any 64-bit
+    * domain" Scaladoc claim actually holds). Bit-identical to the naive
+    * formula wherever the naive formula does not overflow.
     */
-  private[graft] def bisectMid(lo: Long, hi: Long, i: Int): Long =
-    lo + java.lang.Long.divideUnsigned(hi - lo, 8L) * i +
-      java.lang.Long.remainderUnsigned(hi - lo, 8L) * i / 8
+  private[graft] def bisectMid(lo: Long, hi: Long, i: Int,
+      fan: Int = BisectFan): Long =
+    lo + java.lang.Long.divideUnsigned(hi - lo, fan.toLong) * i +
+      java.lang.Long.remainderUnsigned(hi - lo, fan.toLong) * i / fan
 
   /** True-width bracket-open test: `hi - lo > 1` in SIGNED arithmetic
     * reads false on domains wider than Long.MaxValue (the difference
@@ -366,7 +392,8 @@ object Relational {
     * [[bisectMid]]/[[bisectOpen]]), the Long.MinValue sentinel guard,
     * and the null-domain guard, each failing loud instead of spinning
     * to the round cap. */
-  private[graft] def quantileBisectCore(cents0: DataFrame): DataFrame = {
+  private[graft] def quantileBisectCore(cents0: DataFrame,
+      fan: Int = BisectFan): DataFrame = {
     val spark = cents0.sparkSession
     import spark.implicits._
     val cents = cents0.select(col("v")).persist()
@@ -391,17 +418,18 @@ object Relational {
       "is Long.MinValue — the exclusive lower sentinel vmin - 1 does " +
       "not exist in 64 bits; shift or rescale the value domain")
     def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
-    // bracket invariant: count(≤lo) < k ≤ count(≤hi); 8-ary splits (7
-    // interior probes per bracket per pass — one extra conditional sum
-    // costs nothing next to the scan, one extra ROUND costs a full
-    // driver round-trip, so probe wide: ⌈log₈ 10⁷⌉ = 8 passes where
-    // binary pays 24)
+    // bracket invariant: count(≤lo) < k ≤ count(≤hi); BisectFan-ary
+    // splits (fan − 1 interior probes per bracket per pass — one extra
+    // conditional sum costs nothing next to the scan, one extra ROUND
+    // costs a full cached-relation pass plus a driver round-trip, so
+    // probe wide: ⌈log₃₂ 10⁷⌉ = 5 passes where 8-ary paid 8 and binary
+    // pays 24; see [[BisectFan]])
     final class Bracket(val pct: String, val k: Long) {
       var lo: Long = vmin - 1
       var hi: Long = vmax
       def open: Boolean = bisectOpen(lo, hi)
       def probes: Seq[Long] =
-        (1 to 7).map(i => bisectMid(lo, hi, i))
+        (1 until fan).map(i => bisectMid(lo, hi, i, fan))
           .filter(m => m > lo && m < hi).distinct
     }
     val brackets = Seq(new Bracket("p50", ceilDiv(n, 2)),
@@ -453,7 +481,7 @@ object Relational {
     * dimension-sized group set), so every group's three brackets halve
     * in the same pass. The standard per-group alternative — a ranking
     * window partitioned by group — sorts every group's full population;
-    * this pays O(log₈ domain) counting scans TOTAL, independent of
+    * this pays O(log_fan domain) counting scans TOTAL ([[BisectFan]]-ary), independent of
     * group count, and lands exact values, not approx_percentile
     * estimates. At 100 TB: ~8 cheap scans of a cached 2-column
     * relation vs a corpus-wide partitioned sort.
@@ -480,7 +508,8 @@ object Relational {
     * can drive arbitrary group shapes (the 64-group cap throw, known
     * driver-side references) that the shipped corpus never produces.
     */
-  private[graft] def groupQuantileBisectCore(rows0: DataFrame): DataFrame = {
+  private[graft] def groupQuantileBisectCore(rows0: DataFrame,
+      fan: Int = GroupBisectFan): DataFrame = {
     val spark = rows0.sparkSession
     import spark.implicits._
     val rows = rows0.persist()
@@ -517,7 +546,7 @@ object Relational {
           "not exist in 64 bits; shift or rescale the value domain")
     }
     def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
-    // one bracket per (group, percentile); same invariant and 8-ary
+    // one bracket per (group, percentile); same invariant and BisectFan-ary
     // split as the ungrouped operator ([[bisectMid]]/[[bisectOpen]] —
     // exact on any 64-bit domain), plus the probes actually shipped
     // this round (update must pair counts with the midpoints the
@@ -528,7 +557,7 @@ object Relational {
       var hi: Long = vmax
       var shipped: IndexedSeq[Long] = IndexedSeq.empty
       def open: Boolean = bisectOpen(lo, hi)
-      def probe(i: Int): Long = bisectMid(lo, hi, i)
+      def probe(i: Int): Long = bisectMid(lo, hi, i, fan)
     }
     val pcts = Seq("p50" -> ((n: Long) => ceilDiv(n, 2)),
       "p90" -> ((n: Long) => ceilDiv(9 * n, 10)),
@@ -540,16 +569,20 @@ object Relational {
     }
     val byGrpPct = brackets.map(b => (b.grp, b.pct) -> b).toMap
     var rounds = 0
+    val nProbes = fan - 1
     while (brackets.exists(_.open)) {
       rounds += 1
       require(rounds <= 64, "grouped quantile bisection failed to converge")
-      // 21 probe slots (3 percentiles × 7 interior midpoints), each a
-      // CASE chain mapping group → that group's current midpoint; a
-      // closed bracket probes a below-domain sentinel (count 0, ignored)
+      // 3 · (BisectFan − 1) probe slots (one per percentile × interior
+      // midpoint), each a CASE chain mapping group → that group's
+      // current midpoint; a closed bracket probes a below-domain
+      // sentinel (count 0, ignored). All slots ride ONE grouped
+      // counting aggregate, so widening the fan costs expression width,
+      // never an extra pass (see [[BisectFan]]).
       brackets.foreach(b => b.shipped =
-        if (b.open) (1 to 7).map(b.probe) else IndexedSeq.empty)
+        if (b.open) (1 to nProbes).map(b.probe(_)) else IndexedSeq.empty)
       val exprs = pcts.flatMap { case (p, _) =>
-        (1 to 7).map { i =>
+        (1 to nProbes).map { i =>
           // null-SAFE group equality (r15 advice): with ===, a NULL
           // group key never matches its own CASE arm, its counts read 0
           // every round, and the bracket silently marches to the group
@@ -567,7 +600,8 @@ object Relational {
       for (row <- res; (pIdx, (p, _)) <- pcts.zipWithIndex.map(_.swap)) {
         val b = byGrpPct((row.getString(0), p))
         if (b.open) {
-          val cnts = (1 to 7).map(i => row.getLong(1 + pIdx * 7 + (i - 1)))
+          val cnts = (1 to nProbes)
+            .map(i => row.getLong(1 + pIdx * nProbes + (i - 1)))
           // valid = strictly interior midpoints, deduplicated (a narrow
           // bracket repeats midpoints); counts are monotone across them
           val valid = b.shipped.zip(cnts)
@@ -1952,7 +1986,8 @@ object Relational {
       .agg(sum(col("contrib")).as("c"))
 
   private[graft] def pagerankCore(edges0: DataFrame, rounds: Int = 10,
-      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
+      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
     // the outdeg self-join consumes edges0 twice, but deliberately
     // WITHOUT a persist: both consumers end in the identical exchange
     // subtree, so ReuseExchange computes the caller's plan once anyway —
@@ -1965,6 +2000,7 @@ object Relational {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // EAGER: 10 rounds + the vertex/dangling builds consume this
+    releaseAfterMaterialize.foreach(_.unpersist())
     // vertices derive from the CACHED edge relation, not edges0 — the
     // outdeg inner join preserves every edge row (its build side is
     // edges0's own groupBy), so the src/dst vertex set is identical and
@@ -2031,6 +2067,36 @@ object Relational {
     scores
   }
 
+  /** The distinct (customer 2k, supplier 2k+1) commerce pair relation
+    * shared by the graph family, PERSISTED and eagerly counted. The
+    * symmetric edge list every consumer builds is a 2-arm union over
+    * this relation — and several consumers additionally self-join it
+    * for degrees — so each plan carries the orders⋈lineitem distinct
+    * subtree 2-4 times. Uncached, every occurrence re-evaluates the
+    * join+distinct (AQE's exchange reuse does not collapse the swapped
+    * union arms: the arms' distinct aggregates produce different output
+    * orders, so the canonical plans differ above the exchange); the
+    * r16 same-window A/B measured the pagerank edge build at ~1.9-3.0 s
+    * warm uncached vs ~1.2-1.9 s with this cache. Callers pass the
+    * handle to their core's `releaseAfterMaterialize` (the
+    * [[graft.operators.Dedup.connectedComponents]] pattern: release as
+    * soon as the downstream stationary cache is materialized) or
+    * unpersist it inline right after their own eager count.
+    */
+  private def commercePairs(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cs.count() // EAGER: both union arms (and degree self-joins) consume
+    cs
+  }
+
   /** §2.2 graph_pagerank over the commerce graph — see [[pagerankCore]]
     * for the loop; the symmetric edge set has no dangling nodes, so the
     * core's driver-side branch compiles the dangling term away and the
@@ -2038,16 +2104,10 @@ object Relational {
     * bit-for-bit.
     */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
-    pagerankCore(edges0)
+    pagerankCore(edges0, releaseAfterMaterialize = Seq(cs))
       .select(
         when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
@@ -2077,17 +2137,10 @@ object Relational {
     * co-partitioned above, barriered rounds.
     */
   def graphPersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
-    pprCore(edges0).select(
+    pprCore(edges0, releaseAfterMaterialize = Seq(cs)).select(
         when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
         expr("v div 2").cast("bigint").as("entity_key"),
@@ -2104,7 +2157,8 @@ object Relational {
     */
   private[graft] def pprCore(edges0: DataFrame, nSeeds: Int = 4,
       rounds: Int = 10,
-      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
+      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = edges0
       .join(edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
@@ -2112,6 +2166,7 @@ object Relational {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager: rounds + the seed/routing builds consume
+    releaseAfterMaterialize.foreach(_.unpersist())
     val nVerts = edges.select(col("src")).distinct().count()
     val routed: DataFrame => DataFrame =
       if (nVerts <= broadcastMaxVertices) broadcast
@@ -2143,11 +2198,13 @@ object Relational {
     * vertex that only ever appears as a src keeps exactly its self-vote.
     */
   private[graft] def lpaCore(edges0: DataFrame, rounds: Int = 4,
-      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
+      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
     val edges = edges0
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // EAGER: all rounds consume this cache
+    releaseAfterMaterialize.foreach(_.unpersist())
     var labels = graft.Barriers.roundBarrier(
       edges.select(col("src").as("v"))
         .unionAll(edges.select(col("dst").as("v")))
@@ -2221,13 +2278,7 @@ object Relational {
   }
 
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
     // publish the raw (v, lbl) labeling (ArtifactStore "lpa_labels") so
@@ -2235,7 +2286,8 @@ object Relational {
     // re-running the propagation it grades — this query stays the
     // pipeline and always pays its own compute + materialization
     graft.ArtifactStore.publish(spark, "lpa_labels", dir) {
-      lpaCore(edges0).select(col("v"), col("lbl"))
+      lpaCore(edges0, releaseAfterMaterialize = Seq(cs))
+        .select(col("v"), col("lbl"))
     }.select(
       when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
         .as("node_type"),
@@ -2331,10 +2383,16 @@ object Relational {
     * bit-for-bit.
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both union arms below read the cache instead of each
+    // re-evaluating the urgent-slice join+distinct (the commercePairs
+    // rationale)
     val pairs = urgentSlicePairs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // EAGER: both union arms consume
     val edges0 = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
-    bfsCore(edges0, 3, BfsMaxHops).select(
+    bfsCore(edges0, 3, BfsMaxHops, releaseAfterMaterialize = Seq(pairs))
+      .select(
       when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
         .as("node_type"),
       expr("id div 2").cast("bigint").as("entity_key"),
@@ -2383,11 +2441,15 @@ object Relational {
         datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint")
           .as("d"))
       .groupBy(col("c"), col("s")).agg(min(col("d")).as("w"))
+      // persisted: both union arms read the cache instead of each
+      // re-evaluating the fact join + min rollup (commercePairs rationale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // EAGER: both union arms consume
     val edges0 = base.select(col("c").as("src"), col("s").as("dst"),
         col("w"))
       .unionAll(base.select(col("s").as("src"), col("c").as("dst"),
         col("w")))
-    ssspCore(edges0).select(
+    ssspCore(edges0, releaseAfterMaterialize = Seq(base)).select(
         when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
         expr("id div 2").cast("bigint").as("entity_key"),
@@ -2402,12 +2464,14 @@ object Relational {
     * out so ScaleCheck can drive the loop on the 25M-edge drill graph.
     */
   private[graft] def ssspCore(edges0: DataFrame, nSeeds: Int = 3,
-      maxRounds: Int = SsspMaxRounds): DataFrame = {
+      maxRounds: Int = SsspMaxRounds,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = edges0
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager: seeds + every relaxation round consume
+    releaseAfterMaterialize.foreach(_.unpersist())
     val seeds = edges.filter(col("src") % 2 === 0)
       .select(col("src").as("id")).distinct()
       .orderBy(col("id")).limit(nSeeds)
@@ -3181,11 +3245,13 @@ object Relational {
     */
   private[graft] def bfsCore(edges0: DataFrame, nSeeds: Int,
       maxHops: Long,
-      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices): DataFrame = {
+      broadcastMaxVertices: Long = PagerankBroadcastMaxVertices,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
     val edges = edges0
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // EAGER: seeds + every BFS round consume this cache
+    releaseAfterMaterialize.foreach(_.unpersist())
     val seeds = edges.filter(col("src") % 2 === 0)
       .select(col("src").as("id")).distinct()
       .orderBy(col("id")).limit(nSeeds)
@@ -3356,17 +3422,11 @@ object Relational {
     * ≤ 8·|V| rows end to end.
     */
   def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
-    betweennessCore(spark, edges0, Some(dir))
+    betweennessCore(spark, edges0, Some(dir),
+      releaseAfterMaterialize = Seq(cs))
       .select(
         when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
@@ -3392,17 +3452,11 @@ object Relational {
     */
   def graphBetweennessApprox(spark: SparkSession, dir: String,
       nPivots: Int = 16): DataFrame = {
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges0 = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
-    betweennessApproxCore(spark, edges0, nPivots)
+    betweennessApproxCore(spark, edges0, nPivots,
+      releaseAfterMaterialize = Seq(cs))
       .select(
         when(col("v") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
@@ -3514,19 +3568,13 @@ object Relational {
   private def centralityGraph(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
       .repartition(col("src")) // stationary: only slim frontiers shuffle
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager: every BFS round + the successor build consume
+    cs.unpersist() // edge cache materialized — the pair cache is dead weight
     val verts = edges.select(col("src").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     verts.count() // eager: roots + the final left join consume
@@ -3559,12 +3607,14 @@ object Relational {
   private[graft] def betweennessCore(spark: SparkSession,
       edges0: DataFrame,
       visStore: Option[String] = None,
-      maxFold: Long = BrandesMaxFoldWidth): DataFrame = {
+      maxFold: Long = BrandesMaxFoldWidth,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = edges0
       .repartition(col("src")) // stationary: only slim frontiers shuffle
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager: every BFS round + the successor build consume
+    releaseAfterMaterialize.foreach(_.unpersist())
     val verts = edges.select(col("src").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     verts.count() // eager: roots + the final left join consume
@@ -3700,13 +3750,15 @@ object Relational {
     * slim per-level frontiers, one checkpointed level per backward round.
     */
   private[graft] def betweennessApproxCore(spark: SparkSession,
-      edges0: DataFrame, nPivots: Int = 16): DataFrame = {
+      edges0: DataFrame, nPivots: Int = 16,
+      releaseAfterMaterialize: Seq[DataFrame] = Nil): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(nPivots >= 1, s"need at least one pivot: $nPivots")
     val edges = edges0
       .repartition(col("src")) // stationary: only slim frontiers shuffle
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager: every BFS round + the successor build consume
+    releaseAfterMaterialize.foreach(_.unpersist())
     // src ∪ dst: pure-sink vertices are never path-interior (BC 0) but
     // they ARE in the exact core's output domain — a caller swapping
     // exact → approx past the fold cap must not see the relation narrow
@@ -3794,18 +3846,12 @@ object Relational {
     * sort with the unique vertex id as the total tie-break.
     */
   def graphLouvainGain(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
       .persist()
     edges.count() // eager: degree, per-neighbor counts, and lpa (on miss)
+    cs.unpersist() // edge cache materialized — the pair cache is dead weight
     val lbl = graft.ArtifactStore.readOrCompute(spark, "lpa_labels", dir) {
       lpaCore(edges).select(col("v"), col("lbl"))
     }.persist()
@@ -4580,17 +4626,66 @@ object Relational {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("n"))
-      .persist()
-    trans.count() // eager: row sums + 10 round joins consume it
+    markovStationaryCore(trans)
+  }
+
+  /** Driver-finish bound for [[markovStationaryCore]], in transition-
+    * matrix ROWS (distinct (prev, cur) state pairs — |states|², a
+    * DIMENSION square, never fact-sized): at or under it the matrix
+    * collects (~tens of MB of short strings at the bound) and the 10
+    * power-iteration rounds run as in-memory map sweeps; above it the
+    * distributed join loop takes over. The [[Dedup.connectedComponents]]
+    * / [[kCoreCore]] driver-finish pattern: the bound gates WHICH engine
+    * iterates, never the answer (MarkovStationarySpec asserts both
+    * regimes bit-identical) — the r16 profile measured the distributed
+    * loop's 10 chained join+agg stages costing ~20 scheduled stages of
+    * pure fixed overhead to iterate a 25-row cached matrix.
+    */
+  private[graft] val MarkovDriverEdgeBound = 1000000L
+
+  /** The 10-round power iteration under q_markov_stationary over a
+    * (prev, cur, n) transition-count relation: (state, ppm) after 10
+    * integer-exact spreads — per edge (ppm · n) div r with r the row
+    * sum, summed by target state. Split out so the spec can drive BOTH
+    * finish regimes over one matrix and assert bit equality.
+    */
+  private[graft] def markovStationaryCore(trans0: DataFrame,
+      rounds: Int = 10,
+      driverEdgeBound: Long = MarkovDriverEdgeBound): DataFrame = {
+    val spark = trans0.sparkSession
+    import spark.implicits._
+    val trans = trans0.persist()
+    val nEdges = trans.count() // eager: row sums + the round joins consume
     val rows = trans.groupBy(col("prev")).agg(sum(col("n")).as("r"))
     val m = trans.join(rows, Seq("prev"))
       .select(col("prev"), col("cur"), col("n"), col("r"))
-      .persist()
-    m.count()
+    if (nEdges <= driverEdgeBound) {
+      // FINISH ON THE DRIVER: the matrix is dimension-adjacency
+      // structure, not corpus data. Each round replicates the
+      // distributed arithmetic exactly — per-edge floor division, then
+      // an order-free integer sum per target state — so the labeling is
+      // bit-identical to the join loop below (spec-asserted).
+      val edges = m.as[(String, String, Long, Long)].collect()
+      trans.unpersist()
+      var pi: Map[String, Long] =
+        edges.iterator.map(_._1).distinct.map(_ -> 1000000L).toMap
+      for (_ <- 1 to rounds) {
+        val nxt = scala.collection.mutable.HashMap.empty[String, Long]
+        // p != null mirrors the join's === semantics exactly: a NULL
+        // prev state matches no pi row (not even a NULL one), while a
+        // NULL cur still lands its own group row like groupBy does
+        for ((p, c, n, r) <- edges; if p != null; ppm <- pi.get(p))
+          nxt.update(c, nxt.getOrElse(c, 0L) + (ppm * n) / r)
+        pi = nxt.toMap
+      }
+      return pi.toSeq.toDF("state", "ppm").orderBy(col("state"))
+    }
+    val mp = m.persist()
+    mp.count()
     var pi = trans.select(col("prev").as("state")).distinct()
       .select(col("state"), lit(1000000L).as("ppm"))
-    for (_ <- 1 to 10) {
-      pi = m.join(pi, col("prev") === col("state"))
+    for (_ <- 1 to rounds) {
+      pi = mp.join(pi, col("prev") === col("state"))
         .select(col("cur"),
           expr("(ppm * n) div r").as("contrib"))
         .groupBy(col("cur"))
@@ -5458,18 +5553,12 @@ object Relational {
     * with the degree shuffle); the moment reducer is a 1-row aggregate.
     */
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
       .persist()
     val m = edges.count() // eager: degree table + endpoint joins consume
+    cs.unpersist() // edge cache materialized — the pair cache is dead weight
     assortativityFrom(edges, useDecimal = m > AssortativityBigintMaxEdges)
   }
 
@@ -5900,18 +5989,12 @@ object Relational {
     * the gate IS the stored ≡ recompute claim.
     */
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val cs = commercePairs(spark, dir)
     val edges = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
       .persist()
     edges.count() // eager: degree + both label joins consume
+    cs.unpersist() // edge cache materialized — the pair cache is dead weight
     val lbl = graft.ArtifactStore.readOrCompute(spark, "lpa_labels", dir) {
       lpaCore(edges).select(col("v"), col("lbl"))
     }.persist()

@@ -470,8 +470,18 @@ object Similarity {
     */
   def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
     def ids(df: DataFrame): DataFrame = df.select(col("q_id"), col("c_id"))
-    val exactCos = ids(simTopkBruteforce(spark, dir))
-    val exactL2 = ids(exactL2TopK(spark, dir))
+    // the truth relations are multi-consumer (each row() reads its truth
+    // TWICE — semi-join + n_truth — and exactCos feeds both the ivf and
+    // lsh rows, 4 plan occurrences total): persist + EAGER count
+    // (CLAUDE.md shared-relations contract) so the exact top-k pipelines
+    // evaluate once instead of once per occurrence (r16: the uncached
+    // report re-ran the brute-force scan 4× and the L2 scan 2×; released
+    // by the harness-level GraftCaches contract — the returned plan
+    // still references both caches)
+    val exactCos = ids(simTopkBruteforce(spark, dir)).persist()
+    exactCos.count()
+    val exactL2 = ids(exactL2TopK(spark, dir)).persist()
+    exactL2.count()
     def row(name: String, truth: DataFrame, approx: DataFrame): DataFrame =
       truth.join(approx, Seq("q_id", "c_id"), "left_semi")
         .agg(count(lit(1)).as("matched"))

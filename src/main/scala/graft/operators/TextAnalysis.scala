@@ -1338,7 +1338,14 @@ object TextAnalysis {
   def pipelineContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    // persisted + eagerly counted: both symmetrization arms below carry
+    // the full ngram-Jaccard AllPairs pipeline as their subtree, so the
+    // uncached plan evaluated that pipeline TWICE (r16; the commercePairs
+    // rationale — swapped union arms defeat exchange reuse). Released by
+    // the harness-level GraftCaches contract.
     val pairs = Dedup.dedupNgramJaccard(spark, dir).select(col("i"), col("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     val best = pairs.select(col("i").as("anchor"), col("j").as("pos"))
       .unionAll(pairs.select(col("j").as("anchor"), col("i").as("pos")))
       .groupBy(col("anchor")).agg(min(col("pos")).as("pos_id"))

@@ -65,6 +65,24 @@ class GroupQuantileBisectSpec extends AnyFunSuite {
     }
   }
 
+  test("every probe fan-out lands the identical brackets (r16: the fan " +
+      "is a performance knob, never a semantics knob)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 300).map(_ => ("a", rnd.nextLong() % 1000000L)) ++
+      (1 to 7).map(i => ("b", i * 1001L)) ++ Seq(("c", -9L))
+    val expected = ref(data)
+    for (fan <- Seq(2, 8, 32)) {
+      val got = Relational
+        .groupQuantileBisectCore(data.toDF("grp", "v"), fan = fan)
+        .collect()
+        .map(r => (r.getString(1), r.getString(0)) -> r.getLong(4)).toMap
+      graft.GraftCaches.release(spark)
+      assert(got.keySet === expected.keySet, s"fan=$fan")
+      for ((k, v) <- got) assert(v === expected(k), s"fan=$fan $k")
+    }
+  }
+
   test("the 64-group probe-literal cap throws loudly and names the " +
       "distributed alternative") {
     import spark.implicits._
@@ -86,10 +104,12 @@ class GroupQuantileBisectSpec extends AnyFunSuite {
       (Long.MaxValue - 9, Long.MaxValue),
       (-3L, 4L), (0L, 1L), (5L, 5L),
       (Long.MinValue / 2, Long.MaxValue / 3))
-    for ((lo, hi) <- cases; i <- 1 to 7) {
-      val expect = BigInt(lo) + (BigInt(hi) - BigInt(lo)) * i / 8
-      assert(BigInt(Relational.bisectMid(lo, hi, i)) === expect,
-        s"bisectMid($lo, $hi, $i)")
+    // both the historical 8-ary fan and the shipped BisectFan (r16: 32)
+    for ((lo, hi) <- cases; fan <- Seq(8, Relational.BisectFan);
+        i <- 1 until fan) {
+      val expect = BigInt(lo) + (BigInt(hi) - BigInt(lo)) * i / fan
+      assert(BigInt(Relational.bisectMid(lo, hi, i, fan)) === expect,
+        s"bisectMid($lo, $hi, $i, $fan)")
       assert(Relational.bisectOpen(lo, hi) ===
         (BigInt(hi) - BigInt(lo) > 1), s"bisectOpen($lo, $hi)")
     }
