@@ -336,16 +336,18 @@ object Relational {
 
   /** Probe fan-out of both bisection operators: each round splits every
     * open bracket `BisectFan`-ary (fan − 1 interior midpoints). The
-    * fan-out trades per-round EXPRESSION width (cheap: one conditional
-    * sum per probe inside the same whole-stage-codegen'd scan) for
-    * ROUNDS (expensive: every round is a full pass over the cached
-    * relation plus a driver round-trip), so probe wide: at 32-ary the
-    * shipped cents domain (~10⁷ wide) closes in ⌈log₃₂ 10⁷⌉ = 5 passes
-    * where the r15 8-ary shape paid 8 and binary would pay 24 (r16
-    * optimization: measured ~8 → ~5 rounds on both bisect queries, with
-    * the per-round scan time unchanged — guide §1.2: cut passes first).
+    * fan-out trades per-round EXPRESSION width for ROUNDS — and the r16
+    * same-window A/B measured that widening does NOT pay on this
+    * engine: at fan 32 the ungrouped query ran 1.65 → 3.74 s (both
+    * passes at 0.0 % steal) despite dropping 8 passes to 5 — ~90
+    * simultaneous conditional-sum aggregate buffers push the generated
+    * update past JIT-friendly size, so the per-round scan got MORE than
+    * 3 rounds slower. 8-ary (7 probes/bracket, ≤21 buffers,
+    * ⌈log₈ 10⁷⌉ = 8 passes vs binary's 24) stays the measured optimum;
+    * the fan remains a parameter with cross-fan bit-equality pinned in
+    * the specs, so re-measuring on different hardware is one constant.
     */
-  private[graft] val BisectFan = 32
+  private[graft] val BisectFan = 8
 
   /** Grouped-core fan-out — deliberately NARROWER than [[BisectFan]]:
     * the grouped core's probe expressions are null-safe CASE chains
@@ -353,9 +355,10 @@ object Relational {
     * probe slot), so per-round cost grows ~linearly in fan × groups and
     * the r16 same-window sweep (BisectProbe, fans 8/16/32 interleaved
     * twice) measured NO win from widening — the saved rounds were paid
-    * back in expression time. The ungrouped core's probes are plain
-    * literals (one comparison each), where 32-ary did win; both cores
-    * stay fan-parameterized so the spec pins bit-equality across fans.
+    * back in expression time (and the real-query A/B then showed the
+    * same on the ungrouped core's plain-literal probes: see
+    * [[BisectFan]]). Both cores stay fan-parameterized so the spec pins
+    * bit-equality across fans.
     */
   private[graft] val GroupBisectFan = 8
 
@@ -419,11 +422,9 @@ object Relational {
       "not exist in 64 bits; shift or rescale the value domain")
     def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
     // bracket invariant: count(≤lo) < k ≤ count(≤hi); BisectFan-ary
-    // splits (fan − 1 interior probes per bracket per pass — one extra
-    // conditional sum costs nothing next to the scan, one extra ROUND
-    // costs a full cached-relation pass plus a driver round-trip, so
-    // probe wide: ⌈log₃₂ 10⁷⌉ = 5 passes where 8-ary paid 8 and binary
-    // pays 24; see [[BisectFan]])
+    // splits (fan − 1 interior probes per bracket per pass; the fan is
+    // a measured constant — see [[BisectFan]] for why wide fans LOSE
+    // on this engine despite saving rounds)
     final class Bracket(val pct: String, val k: Long) {
       var lo: Long = vmin - 1
       var hi: Long = vmax
@@ -4830,7 +4831,14 @@ object Relational {
     * cost — the spread cut it to ~1.5 s.
     */
   def qDqSchemaProfile(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).repartition(32)
+    // scale-adaptive scan-parallelism floor (r16: was a literal 32 —
+    // exactly the local-mode constant the optimization contract bans):
+    // the single-row-group testdata parquet otherwise profiles the whole
+    // table in one task; on real multi-row-group inputs the scan splits
+    // upstream and this repartition is a cheap row-count-preserving
+    // rebalance sized to the session, not to one sandbox
+    val o = Tables.orders(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     def prof(c: Column, norm: Column => Column) = Seq(
       sum(when(c.isNull, 1L).otherwise(0L)),
       countDistinct(c),

@@ -470,18 +470,22 @@ object Similarity {
     */
   def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
     def ids(df: DataFrame): DataFrame = df.select(col("q_id"), col("c_id"))
-    // the truth relations are multi-consumer (each row() reads its truth
-    // TWICE — semi-join + n_truth — and exactCos feeds both the ivf and
-    // lsh rows, 4 plan occurrences total): persist + EAGER count
-    // (CLAUDE.md shared-relations contract) so the exact top-k pipelines
-    // evaluate once instead of once per occurrence (r16: the uncached
-    // report re-ran the brute-force scan 4× and the L2 scan 2×; released
-    // by the harness-level GraftCaches contract — the returned plan
-    // still references both caches)
-    val exactCos = ids(simTopkBruteforce(spark, dir)).persist()
-    exactCos.count()
-    val exactL2 = ids(exactL2TopK(spark, dir)).persist()
-    exactL2.count()
+    // DELIBERATELY UNCACHED (r16 measured negative, twice): the truth
+    // relations are multi-consumer (each row() reads its truth twice,
+    // and exactCos feeds both the ivf and lsh rows — 4 plan occurrences
+    // of the brute-force pipeline, 2 of the L2 one), which looks like
+    // the textbook persist+eager-count case. But the report's wall time
+    // is bounded by its SLOWEST branch (the PQ pipeline), and all the
+    // redundant truth evaluations run as concurrent subtrees of the one
+    // union action — they hide entirely in scheduler slack. Persisting
+    // them (even with the two counts submitted as concurrent jobs,
+    // guide §2.6) measured 4.63 → 6.11-9.36 s same-window isolated:
+    // the materialization jobs serialize AHEAD of the union action and
+    // nothing downstream gets faster. Leave the redundancy to the
+    // scheduler; on a slack-free cluster revisit with the A/B in
+    // OPTIMIZATION_r16.md.
+    val exactCos = ids(simTopkBruteforce(spark, dir))
+    val exactL2 = ids(exactL2TopK(spark, dir))
     def row(name: String, truth: DataFrame, approx: DataFrame): DataFrame =
       truth.join(approx, Seq("q_id", "c_id"), "left_semi")
         .agg(count(lit(1)).as("matched"))
