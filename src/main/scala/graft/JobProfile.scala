@@ -21,6 +21,7 @@ object JobProfile {
     final case class Job(start: Long, var end: Long = -1L,
         var stages: Int = 0, var taskMs: Long = 0L, site: String)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
+    val stageOwner = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
@@ -28,17 +29,19 @@ object JobProfile {
             site = Option(e.properties)
               .flatMap(p => Option(p.getProperty("callSite.short")))
               .getOrElse(""))
+          // exact stage→job attribution: concurrent jobs (AQE broadcast
+          // builds overlap main jobs) would otherwise charge their stages
+          // to whichever job started last
+          e.stageIds.foreach(sid => stageOwner(sid) = e.jobId)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          // attribute the stage to the most recent unfinished job; exact
-          // mapping is unnecessary for a per-round overhead readout
           val tMs = e.stageInfo.taskMetrics.executorRunTime
-          jobs.lastOption.foreach { case (_, j) =>
-            j.stages += 1; j.taskMs += tMs
-          }
+          stageOwner.get(e.stageInfo.stageId).flatMap(jobs.get)
+            .orElse(jobs.lastOption.map(_._2))
+            .foreach { j => j.stages += 1; j.taskMs += tMs }
         }
     }
     // warm pass first (codegen/JIT), then the profiled pass — mirrors

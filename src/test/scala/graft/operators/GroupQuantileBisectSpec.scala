@@ -104,8 +104,11 @@ class GroupQuantileBisectSpec extends AnyFunSuite {
       (Long.MaxValue - 9, Long.MaxValue),
       (-3L, 4L), (0L, 1L), (5L, 5L),
       (Long.MinValue / 2, Long.MaxValue / 3))
-    // both the historical 8-ary fan and the shipped BisectFan (r16: 32)
-    for ((lo, hi) <- cases; fan <- Seq(8, Relational.BisectFan);
+    // the fan is a parameter, not the shipped constant (BisectFan reverted
+    // to 8 in r16 after the 32-ary A/B measured negative) — cover narrow,
+    // shipped, and wide fans so the BigInt cross-check keeps pinning the
+    // wide-fan decomposition regardless of what ships
+    for ((lo, hi) <- cases; fan <- Seq(2, 8, 32);
         i <- 1 until fan) {
       val expect = BigInt(lo) + (BigInt(hi) - BigInt(lo)) * i / fan
       assert(BigInt(Relational.bisectMid(lo, hi, i, fan)) === expect,

@@ -14,7 +14,9 @@ mkdir -p /tmp/ab
 for i in $(seq 1 "$REPS"); do
   for side in old new; do
     cp=$([ "$side" = old ] && echo "$OLD" || echo "$NEW")
-    probe=$(java -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Probe 2>/dev/null | tail -1)
+    # probe from the SAME class tree as the timed pass, so a mid-rebuild
+    # or diverged working tree can never bracket with a different Probe
+    probe=$(java -cp "$cp:/opt/spark/jars/*" graft.Probe 2>/dev/null | tail -1)
     echo "[ab] rep $i $side probe: $probe"
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
       SPARK_GRAFT_ONLY="$QS" \
