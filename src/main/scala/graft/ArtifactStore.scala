@@ -33,7 +33,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtifactStore {
   private lazy val defaultRoot: String =
-    Files.createTempDirectory("graft-artifacts").toString
+    GraftSession.scratchDir("graft-artifacts")
 
   private def root(spark: SparkSession): String =
     spark.conf.get("spark.graft.artifactRoot", defaultRoot)

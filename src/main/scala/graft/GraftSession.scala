@@ -11,8 +11,41 @@ import org.apache.spark.sql.SparkSession
   * instead of being mutated as a loader side effect.
   */
 object GraftSession {
-  private lazy val warehouseDir: String =
-    java.nio.file.Files.createTempDirectory("graft-wh").toString
+  /** Root for ALL session-lifetime scratch storage: shuffle files +
+    * block-manager spill (`spark.local.dir`), the temp warehouse,
+    * reliable-checkpoint dirs, and the default ArtifactStore root.
+    *
+    * Default is RAM-backed tmpfs (`/dev/shm`) when present and
+    * writable, else `java.io.tmpdir`. Rationale (r17, measured):
+    * Spark's scratch path belongs on the fastest local storage the
+    * node has — NVMe on a real cluster, tmpfs in this sandbox. The
+    * sandbox's root disk is burst-throttled: mid-bench its write
+    * bandwidth intermittently collapses, and thread dumps of the
+    * stalled passes (graph_betweenness 12 s → 160 s, CPU flat) put
+    * every stuck task in DiskBlockObjectWriter/copyFileStreamNIO —
+    * shuffle-file I/O, not compute. Parameterized via
+    * `SPARK_GRAFT_SCRATCH` (point it at a disk path to reproduce the
+    * old layout, or at a cluster-local NVMe mount in production).
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(base)
+    base
+  }
+
+  /** Fresh per-JVM scratch subdirectory under [[scratchRoot]]. */
+  private[graft] def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
+  private lazy val warehouseDir: String = scratchDir("graft-wh")
+  private lazy val localDir: String = scratchDir("graft-local")
 
   def builder(cpus: Int): SparkSession.Builder =
     SparkSession.builder()
@@ -55,10 +88,12 @@ object GraftSession {
       // files into the repo or collide with a previous run's leftovers
       // (lazy val: ONE dir per JVM, not one per builder() call)
       .config("spark.sql.warehouse.dir", warehouseDir)
+      // shuffle + spill scratch on the fast local root (see scratchRoot);
+      // static conf — must be set before the SparkContext exists
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
 
-  private lazy val checkpointDir: String =
-    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+  private lazy val checkpointDir: String = scratchDir("graft-ckpt")
 
   def build(cpus: Int): SparkSession = {
     val s = builder(cpus).getOrCreate()

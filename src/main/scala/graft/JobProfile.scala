@@ -19,7 +19,8 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class Job(start: Long, var end: Long = -1L,
-        var stages: Int = 0, var taskMs: Long = 0L, site: String)
+        var stages: Int = 0, var taskMs: Long = 0L, site: String,
+        stageNames: mutable.ListBuffer[String] = mutable.ListBuffer.empty)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
     val stageOwner = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
@@ -41,7 +42,22 @@ object JobProfile {
           val tMs = e.stageInfo.taskMetrics.executorRunTime
           stageOwner.get(e.stageInfo.stageId).flatMap(jobs.get)
             .orElse(jobs.lastOption.map(_._2))
-            .foreach { j => j.stages += 1; j.taskMs += tMs }
+            .foreach { j =>
+              j.stages += 1; j.taskMs += tMs
+              // stage name carries the action's call site (file:line) —
+              // the no-UI way to attribute a monster job to its operator;
+              // AQE stage names are opaque futures, so also surface the
+              // first graft frame of the submission stack (details)
+              val graftFrame = e.stageInfo.details.linesIterator
+                .find(l => l.contains("graft") && !l.contains("JobProfile"))
+                .map(_.trim).getOrElse("")
+              val m = e.stageInfo.taskMetrics
+              val cpuMs = m.executorCpuTime / 1000000
+              val spill = m.memoryBytesSpilled / 1024 / 1024
+              val tasks = e.stageInfo.numTasks
+              j.stageNames += s"${e.stageInfo.name} [wall=${tMs}ms " +
+                s"cpu=${cpuMs}ms tasks=$tasks spillMB=$spill] $graftFrame"
+            }
         }
     }
     // warm pass first (codegen/JIT), then the profiled pass — mirrors
@@ -63,7 +79,8 @@ object JobProfile {
       val gap = if (prevEnd < 0) 0L else math.max(0L, j.start - prevEnd)
       prevEnd = math.max(prevEnd, j.end)
       println(f"job $id%3d  wall ${j.end - j.start}%6d ms  gap $gap%5d ms  " +
-        f"stages ${j.stages}%2d  taskSum ${j.taskMs}%6d ms  ${j.site}")
+        f"stages ${j.stages}%2d  taskSum ${j.taskMs}%6d ms  ${j.site}  " +
+        j.stageNames.mkString(" | "))
     }
     val jobWall = rows.map(j => j._2.end - j._2.start).sum
     println(f"sum(job wall) $jobWall ms; wall outside jobs ${wallMs - jobWall} ms")

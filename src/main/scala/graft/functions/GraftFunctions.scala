@@ -72,4 +72,12 @@ object GraftFunctions {
   /** Per-group bounded top-k of (score, id) — map-side partial, O(k) state. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftAggregates.topKByScore(score, id, k)
+  /** Sequential Σ term in (key asc, term asc) order — bit-identical to
+    * aggregate(sort_array(collect_list(struct(key, term))), 0.0, +) with
+    * primitive buffers; throws `overflowMsg` past `maxWidth` pairs/group.
+    */
+  def sortedKeyFold(key: Column, term: Column, maxWidth: Long,
+      overflowMsg: String): Column =
+    org.apache.spark.sql.graft.GraftAggregates.sortedKeyFold(
+      key, term, maxWidth, overflowMsg)
 }

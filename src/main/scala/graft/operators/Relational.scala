@@ -3621,32 +3621,27 @@ object Relational {
     verts.count() // eager: roots + the final left join consume
     // PREEMPTIVE fold-width guard: the δ fold width is bounded by the
     // max out-degree, measured here by a counting aggregate — safe at
-    // ANY degree — before a single degree-sized collect_list row exists.
-    // The in-plan assert_true below stays as defense in depth, but on a
-    // 10⁷-degree hub it would only evaluate AFTER the aggregation had
-    // already materialized (and possibly OOM'd on) the GB-sized row it
-    // guards; this check THROWS before the BFS even starts.
+    // ANY degree — before a single degree-sized fold buffer exists.
+    // The in-aggregate width guard (sortedKeyFold throws during
+    // accumulation) stays as defense in depth; this check THROWS
+    // before the BFS even starts.
     val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
     require(maxDeg <= maxFold,
       s"brandes δ fold width past $maxFold (max out-degree $maxDeg): " +
         "use betweennessApproxCore (pivot-sampled approximate BC, " +
         "unordered δ sums — no fold-width cap) at this scale")
-    def fold(lst: org.apache.spark.sql.Column, field: String) =
-      aggregate(lst, lit(0.0), (acc, x) => acc + x.getField(field))
-    // the δ fold's width is the hub out-degree — guarded, the guard
-    // rides the fold's INITIAL value (assert_true → null on pass, so
-    // coalesce lands 0.0; an unused guard column would be pruned away)
-    def guardedFold(lst: org.apache.spark.sql.Column, field: String) =
-      aggregate(lst,
-        coalesce(
-          assert_true(size(lst) <= maxFold,
-            concat(lit(s"brandes δ fold width past $maxFold (hub degree "),
-              size(lst).cast("string"),
-              lit("): use betweennessApproxCore at this scale")))
-            .cast("double"),
-          lit(0.0)),
-        (acc, x) => acc + x.getField(field))
+    // sorted δ folds ride [[GraftFunctions.sortedKeyFold]] (r17):
+    // bit-identical to the collect_list → sort_array → HOF-fold chain
+    // (same lexicographic order, same 0.0 seed, same sequential float
+    // adds) but on primitive buffers — the generic chain paid a
+    // GenericInternalRow per input row, a full ArrayData deserialize +
+    // foreach per partial-buffer merge (the top task-thread frame in
+    // the r17 stall dumps), an UnsafeArrayData copy in sort_array, and
+    // an interpreted fold. The maxFold width guard moves into the
+    // aggregate (throws DURING accumulation — strictly earlier than
+    // the assert_true-in-fold-seed it replaces, which only fired after
+    // the degree-sized row existed).
     // the forward pass is the shared "brandes_vis" artifact when a
     // store key is given (graph_closeness reads the same relation —
     // stored ≡ recompute is what both oracles grade); σ doubles
@@ -3685,13 +3680,11 @@ object Relational {
         .join(prevDelta.select(col("root").as("dr"), col("v").as("dv"),
           col("delta").as("dw")),
           col("root") === col("dr") && col("w") === col("dv"))
-        .select(col("root"), col("v"),
-          struct(col("w").as("w"),
-            (col("sigv") / col("sigw") * (lit(1.0) + col("dw"))).as("t"))
-            .as("st"))
         .groupBy(col("root"), col("v"))
-        .agg(sort_array(collect_list(col("st"))).as("lst"))
-        .select(col("root"), col("v"), guardedFold(col("lst"), "t").as("dsum"))
+        .agg(GraftFunctions.sortedKeyFold(col("w"),
+          col("sigv") / col("sigw") * (lit(1.0) + col("dw")), maxFold,
+          "brandes δ accumulation: use betweennessApproxCore at this scale")
+          .as("dsum"))
       val dl = vis.filter(col("lvl") === l)
         .select(col("root"), col("v"))
         .join(dsum, Seq("root", "v"), "left_outer")
@@ -3704,11 +3697,10 @@ object Relational {
     // the contrib fold needs no guard: its width is the number of
     // ROOTS reaching v — bounded by the k-source sample, never degree
     val contrib = delta.filter(col("v") =!= col("root"))
-      .select(col("v"), struct(col("root").as("r"), col("delta").as("d"))
-        .as("st"))
       .groupBy(col("v"))
-      .agg(sort_array(collect_list(col("st"))).as("lst"))
-      .select(col("v"), fold(col("lst"), "d").as("centrality"))
+      .agg(GraftFunctions.sortedKeyFold(col("root"), col("delta"),
+        Long.MaxValue, "brandes root fold (width is the root count)")
+        .as("centrality"))
     verts
       .join(contrib, Seq("v"), "left_outer")
       .select(col("v"),

@@ -634,6 +634,141 @@ case class SubsampleSums(
   override def prettyName: String = "subsample_sums"
 }
 
+/** Growable primitive (key, term) pair buffer for [[SortedKeyFold]] —
+  * parallel long/double arrays, no per-element boxing or struct rows.
+  */
+final class KeyFoldBuf(initial: Int = 16) {
+  var keys: Array[Long] = new Array[Long](initial)
+  var terms: Array[Double] = new Array[Double](initial)
+  var n: Int = 0
+  def add(k: Long, t: Double): Unit = {
+    if (n == keys.length) {
+      keys = java.util.Arrays.copyOf(keys, n * 2)
+      terms = java.util.Arrays.copyOf(terms, n * 2)
+    }
+    keys(n) = k; terms(n) = t; n += 1
+  }
+}
+
+/** sorted_key_fold(key long, term double): the SEQUENTIAL float fold
+  * Σ term ordered by (key asc, term asc), as one aggregate.
+  *
+  * Bit-identical to the expression chain it replaces —
+  * `aggregate(sort_array(collect_list(struct(key, term))), 0.0d,
+  * (acc, x) -> acc + x.term)` — because the sort is the same
+  * lexicographic struct order (Long order on key; SQLOrderingUtil
+  * double semantics on term ties: x == y compares 0, so -0.0 ties 0.0)
+  * and the fold adds the identical doubles in the identical order from
+  * the identical 0.0 seed. The float-exactness contract (e.g. the
+  * Brandes δ accumulation, where addition order decides bits the
+  * oracle hashes) is therefore preserved.
+  *
+  * Why it exists (r17): the collect_list chain pays generic
+  * ArrayData/struct machinery on the hot path — per-row
+  * GenericInternalRow allocation in update, full ArrayData
+  * deserialize-and-foreach per partial-buffer merge
+  * (Collect.deserialize was the top task-thread frame in the
+  * graph_betweenness stall dumps), an UnsafeArrayData copy in
+  * sort_array, and an interpreted higher-order fold. This buffer is
+  * two primitive arrays: O(1) unboxed append, bulk array-copy merge,
+  * 16 B/pair serialization, one index sort + tight fold loop at eval.
+  *
+  * `maxWidth` guards the per-group width exactly like the guarded fold
+  * it replaces (the width is one group's row count — e.g. a hub
+  * degree): past it the aggregate THROWS the caller-supplied message
+  * (the fixpoint-cap contract: loud, never a truncation). The check
+  * runs in update/merge, so an over-cap group dies while its buffer is
+  * still ~maxWidth pairs, BEFORE the sort — earlier than the
+  * assert_true-in-fold-seed it replaces, which only fired after the
+  * degree-sized row had materialized.
+  */
+case class SortedKeyFold(
+    key: Expression,
+    term: Expression,
+    maxWidth: Long,
+    overflowMsg: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KeyFoldBuf] with ExpectsInputTypes {
+
+  require(maxWidth > 0, s"fold width cap must be positive: $maxWidth")
+
+  override def children: Seq[Expression] = Seq(key, term)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  private def widthGuard(n: Int): Unit =
+    if (n > maxWidth)
+      throw new IllegalStateException(
+        s"$overflowMsg: fold width $n past $maxWidth")
+
+  override def createAggregationBuffer(): KeyFoldBuf = new KeyFoldBuf()
+
+  override def update(buf: KeyFoldBuf, input: InternalRow): KeyFoldBuf = {
+    val k = key.eval(input)
+    val t = term.eval(input)
+    if (k != null && t != null) {
+      buf.add(k.asInstanceOf[Long], t.asInstanceOf[Double])
+      widthGuard(buf.n)
+    }
+    buf
+  }
+
+  override def merge(buf: KeyFoldBuf, other: KeyFoldBuf): KeyFoldBuf = {
+    var i = 0
+    while (i < other.n) { buf.add(other.keys(i), other.terms(i)); i += 1 }
+    widthGuard(buf.n)
+    buf
+  }
+
+  override def eval(buf: KeyFoldBuf): Any = {
+    val idx = Array.range(0, buf.n)
+    // (key asc, term asc) — the struct(key, term) sort_array order;
+    // double ties via SQLOrderingUtil semantics (x == y → 0 first, so
+    // -0.0 ties 0.0; NaN handling never differs on equal-key ties that
+    // the callers' unique keys rule out anyway)
+    val sorted = idx.sortWith { (a, b) =>
+      val kc = java.lang.Long.compare(buf.keys(a), buf.keys(b))
+      if (kc != 0) kc < 0
+      else {
+        val x = buf.terms(a); val y = buf.terms(b)
+        if (x == y) false else java.lang.Double.compare(x, y) < 0
+      }
+    }
+    var acc = 0.0
+    var i = 0
+    while (i < sorted.length) { acc += buf.terms(sorted(i)); i += 1 }
+    acc
+  }
+
+  override def serialize(buf: KeyFoldBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.keys(i)); bb.putDouble(buf.terms(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KeyFoldBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new KeyFoldBuf(math.max(16, n))
+    var i = 0
+    while (i < n) { b.add(bb.getLong, bb.getDouble); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SortedKeyFold =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SortedKeyFold =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), term = newChildren(1))
+  override def prettyName: String = "sorted_key_fold"
+}
+
 object GraftAggregates {
   /** Column API: per-group top-k of (score, id), best-first. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
@@ -659,6 +794,17 @@ object GraftAggregates {
     ExpressionUtils.column(
       SubsampleSums(ExpressionUtils.expression(key),
         ExpressionUtils.expression(value), b).toAggregateExpression())
+
+  /** Column API: sequential Σ term over (key asc, term asc) order —
+    * the sorted-fold float-exactness primitive. `maxWidth` throws
+    * `overflowMsg` past the per-group width cap.
+    */
+  def sortedKeyFold(key: Column, term: Column, maxWidth: Long,
+      overflowMsg: String): Column =
+    ExpressionUtils.column(
+      SortedKeyFold(ExpressionUtils.expression(key),
+        ExpressionUtils.expression(term), maxWidth, overflowMsg)
+        .toAggregateExpression())
 
   /** Column API: exact bitmap distinct count over ids in [0, maxId]. */
   def bitmapDistinct(id: Column, maxId: Long): Column =
