@@ -24,7 +24,9 @@ object BisectProbe {
       .select(col("l_returnflag").as("grp"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast("bigint").as("v"))
-    val fans = Seq(8, 16, 32, 8, 16, 32) // repeat: ride through noise
+    val fans = sys.env.get("BISECT_FANS")
+      .map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(8, 16, 32, 8, 16, 32)) // repeat: ride through noise
     var ref: String = null
     var refG: String = null
     for (fan <- fans) {

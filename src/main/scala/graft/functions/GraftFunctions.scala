@@ -46,6 +46,13 @@ object GraftFunctions {
   def fingerprint64(text: Column): Column = GraftColumns.fingerprint64(text)
   /** 64-bucket byte histogram (edit-distance prefilter signature). */
   def charHist64(text: Column): Column = GraftColumns.charHist64(text)
+  /** Per-group bisection probe bucket index — smallest i with
+    * v ≤ mids(grp)(i) (binary search; −1 for a group with no open
+    * bracket this round). The bucketized-round kernel of both
+    * quantile-bisection cores. */
+  def bisectBucket(grp: Column, v: Column,
+      mids: Seq[(Option[String], Array[Long])]): Column =
+    GraftColumns.bisectBucket(grp, v, mids)
   /** L1 distance between two int histograms (histL1 > 2k ⇒ edit > k). */
   def histL1(a: Column, b: Column): Column = GraftColumns.histL1(a, b)
   /** Bloom-filter sketch aggregate over xxhash64 values. */

@@ -434,4 +434,32 @@ object GraftKernels {
     }
     hash
   }
+
+  /** Bisection probe bucket: the smallest index i with v ≤ mids(i) over
+    * the group's sorted probe-midpoint array (mids.length when v exceeds
+    * every midpoint), or −1 when the group has no open bracket this round
+    * (absent from the map) — those rows are counted under a bucket the
+    * driver ignores. One binary search (O(log probes)) replaces the
+    * per-probe conditional-sum chain that made wide bisection fans lose
+    * to their own expression width (see Relational.BisectFan history):
+    * per-row cost is now logarithmic in the probe count, so a round can
+    * carry thousands of midpoints and the bracket search closes in 2–3
+    * counting passes instead of 8–24. A null group key is a first-class
+    * group (HashMap supports a null key), matching the cores' null-safe
+    * group handling.
+    */
+  def bisectBucket(grp: UTF8String, v: Long,
+      mids: java.util.HashMap[UTF8String, Array[Long]]): Int = {
+    val m = mids.get(grp)
+    if (m == null) -1
+    else {
+      var lo = 0
+      var hi = m.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (m(mid) < v) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
 }

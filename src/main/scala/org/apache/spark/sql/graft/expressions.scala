@@ -564,6 +564,74 @@ case class PairsGenerator(child: Expression)
     copy(child = c)
 }
 
+/** bisect_bucket(grp, v) → the smallest index i with v ≤ mids(grp)(i)
+  * over the group's sorted probe-midpoint array this bisection round
+  * (|mids(grp)| when v exceeds every midpoint; −1 for a group with no
+  * open bracket). One grouped count over this bucket index replaces the
+  * per-probe conditional-sum slots of the bisection cores: the counts
+  * count(v ≤ m) fall out of the cumulative bucket histogram, per-row
+  * cost is O(log probes) instead of O(probes), and the probe fan can be
+  * orders of magnitude wider without widening the aggregate (see
+  * [[graft.operators.Relational.BisectFan]]).
+  *
+  * `grp` is NOT null-intolerant — a null group key is a first-class
+  * group (the cores' `<=>` contract), so this implements eval/codegen
+  * directly instead of the nullSafeEval scaffolding. `v` null returns
+  * the ignored −1 bucket (the cores' null-domain guard throws before
+  * any round runs, so this is shape-safety, not semantics).
+  */
+case class BisectBucket(grp: Expression, v: Expression,
+    mids: Seq[(Option[String], Array[Long])])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = grp
+  override def right: Expression = v
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  // probe arrays keyed by group, shipped to executors as one codegen
+  // reference object (the RhpBuckets pattern); HashMap accepts the null
+  // key, so the null group needs no sentinel encoding
+  @transient private lazy val jmap: java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    mids.foreach { case (k, a) =>
+      m.put(k.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull, a)
+    }
+    m
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vv = v.eval(input)
+    if (vv == null) -1
+    else GraftKernels.bisectBucket(
+      grp.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      vv.asInstanceOf[Long], jmap)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("bisectMids", jmap, "java.util.HashMap")
+    val g = grp.genCode(ctx)
+    val vv = v.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${g.code}
+        ${vv.code}
+        int ${ev.value} = -1;
+        if (!${vv.isNull}) {
+          ${ev.value} = graft.functions.GraftKernels.bisectBucket(
+            ${g.isNull} ? null : ${g.value}, ${vv.value}, $ref);
+        }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(grp = l, v = r)
+}
+
 /** Column-API wrappers (re-exported as graft.functions.GraftFunctions). */
 object GraftColumns {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -584,6 +652,10 @@ object GraftColumns {
   def rhpBuckets(vec: Column, tables: Int, bits: Int, dim: Int, seed: Long): Column =
     col(RhpBuckets(ex(vec), tables, bits, dim, seed))
   def charHist64(text: Column): Column = col(CharHist64(ex(text)))
+  /** Per-group bisection probe bucket index (see [[BisectBucket]]). */
+  def bisectBucket(grp: Column, v: Column,
+      mids: Seq[(Option[String], Array[Long])]): Column =
+    col(BisectBucket(ex(grp), ex(v), mids))
   /** Bloom-filter sketch aggregate over 64-bit hashes (the runtime-filter
     * build side; Spark's own InjectRuntimeFilter uses the same expression
     * pair). Returns the serialized filter — O(numBits), corpus-independent.

@@ -83,6 +83,44 @@ class GroupQuantileBisectSpec extends AnyFunSuite {
     }
   }
 
+  test("BisectBucket (the r17 bucketized-round expression) lands every " +
+      "row in the lower-bound bucket of its group's probe array — " +
+      "boundaries inclusive-right, above-all = |mids|, unknown group " +
+      "and null v = -1, null group a first-class key (codegen path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mids: Seq[(Option[String], Array[Long])] = Seq(
+      Some("a") -> Array(-5L, 0L, 10L),
+      None -> Array(7L))
+    val rows = Seq[(Option[String], Option[Long])](
+      (Some("a"), Some(-6L)), // below all -> 0
+      (Some("a"), Some(-5L)), // == mids(0) -> 0 (v <= m inclusive)
+      (Some("a"), Some(-4L)), // -> 1
+      (Some("a"), Some(0L)), // == mids(1) -> 1
+      (Some("a"), Some(10L)), // == mids(2) -> 2
+      (Some("a"), Some(11L)), // above all -> 3 (= |mids|, ignored bucket)
+      (Some("zz"), Some(1L)), // group with no open bracket -> -1
+      (None, Some(7L)), // null group, == its only mid -> 0
+      (None, Some(8L)), // null group, above -> 1
+      (Some("a"), None)) // null v -> -1 (shape-safety)
+    val got = rows.toDF("grp", "v")
+      .select(graft.functions.GraftFunctions
+        .bisectBucket(col("grp"), col("v"), mids).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(0, 0, 1, 1, 2, 3, -1, 0, 1, -1))
+    // interpreted eval agrees with the codegen path
+    val k = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    mids.foreach { case (g, m) => k.put(
+      g.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull, m) }
+    def kb(g: String, v: Long) = graft.functions.GraftKernels.bisectBucket(
+      Option(g).map(org.apache.spark.unsafe.types.UTF8String.fromString)
+        .orNull, v, k)
+    assert(kb("a", -6) === 0 && kb("a", -5) === 0 && kb("a", -4) === 1 &&
+      kb("a", 0) === 1 && kb("a", 10) === 2 && kb("a", 11) === 3 &&
+      kb("zz", 1) === -1 && kb(null, 7) === 0 && kb(null, 8) === 1)
+  }
+
   test("the 64-group probe-literal cap throws loudly and names the " +
       "distributed alternative") {
     import spark.implicits._
@@ -104,11 +142,12 @@ class GroupQuantileBisectSpec extends AnyFunSuite {
       (Long.MaxValue - 9, Long.MaxValue),
       (-3L, 4L), (0L, 1L), (5L, 5L),
       (Long.MinValue / 2, Long.MaxValue / 3))
-    // the fan is a parameter, not the shipped constant (BisectFan reverted
-    // to 8 in r16 after the 32-ary A/B measured negative) — cover narrow,
-    // shipped, and wide fans so the BigInt cross-check keeps pinning the
-    // wide-fan decomposition regardless of what ships
-    for ((lo, hi) <- cases; fan <- Seq(2, 8, 32);
+    // the fan is a parameter, not the shipped constant (8 under the r16
+    // when-chain rounds, 4096/adaptive under the r17 bucketized rounds)
+    // — cover narrow, mid, and shipped-wide fans so the BigInt
+    // cross-check keeps pinning the wide-fan decomposition regardless
+    // of what ships
+    for ((lo, hi) <- cases; fan <- Seq(2, 8, 32, Relational.BisectFan);
         i <- 1 until fan) {
       val expect = BigInt(lo) + (BigInt(hi) - BigInt(lo)) * i / fan
       assert(BigInt(Relational.bisectMid(lo, hi, i, fan)) === expect,
